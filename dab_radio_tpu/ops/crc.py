@@ -1,0 +1,52 @@
+"""Table-driven CRC engines (host-side NumPy, byte-at-a-time).
+
+Generic MSB-first CRC with configurable width/poly/init/final-xor, matching
+the reference's CRC_Calculator (src/dab/algorithms/crc.h:11-69). Instances
+used across DAB:
+  - FIB CRC16:        poly 0x1021, init 0xFFFF, final xor 0xFFFF (EN 300 401 5.2.1)
+  - firecode CRC16:   poly 0x782F, init 0x0000  (ETSI TS 102 563, DAB+ superframe)
+  - AU / data-group / packet CRC16: poly 0x1021, init 0xFFFF, xor 0xFFFF
+"""
+
+import functools
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _crc16_table(poly: int) -> np.ndarray:
+    lut = np.zeros(256, dtype=np.uint32)
+    for i in range(256):
+        crc = i << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) if (crc & 0x8000) else (crc << 1)
+            crc &= 0xFFFF
+        lut[i] = crc
+    return lut
+
+
+def crc16(data, poly: int = 0x1021, init: int = 0xFFFF, final_xor: int = 0xFFFF) -> int:
+    """CRC16 over a byte buffer (bytes | np.uint8 array)."""
+    lut = _crc16_table(poly)
+    buf = np.asarray(bytearray(data) if isinstance(data, (bytes, bytearray)) else data,
+                     dtype=np.uint8)
+    crc = init
+    for b in buf.tolist():
+        crc = ((crc << 8) & 0xFFFF) ^ int(lut[((crc >> 8) ^ b) & 0xFF])
+    return crc ^ final_xor
+
+
+def crc16_check(data_with_crc) -> bool:
+    """Validate a buffer whose last two bytes are the big-endian CRC16
+    (FIB / access-unit / MSC data-group convention)."""
+    buf = np.asarray(bytearray(data_with_crc)
+                     if isinstance(data_with_crc, (bytes, bytearray))
+                     else data_with_crc, dtype=np.uint8)
+    if buf.shape[-1] < 2:
+        return False
+    rx = (int(buf[-2]) << 8) | int(buf[-1])
+    return crc16(buf[:-2]) == rx
+
+
+def firecode_crc16(data) -> int:
+    """DAB+ firecode (ETSI TS 102 563): poly 0x782F, init 0, no final xor."""
+    return crc16(data, poly=0x782F, init=0x0000, final_xor=0x0000)

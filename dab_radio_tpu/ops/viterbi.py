@@ -1,0 +1,180 @@
+"""Punctured convolutional codec for DAB: K=7, rate-1/4 mother code.
+
+ETSI EN 300 401 clause 11.1: generator polynomials (octal) 133, 171, 145, 133.
+Parity surface: reference src/dab/algorithms/dab_viterbi_decoder.{h,cpp} and
+the vendored ViterbiDecoderCpp (soft bits int8 in [-127,+127], punctured
+positions fed as 0, add-compare-select over 64 states, chainback to state 0).
+
+TPU design (SURVEY.md §7): instead of SIMD lanes over one stream, the decoder
+is a `lax.scan` over trellis steps whose per-step add-compare-select is a pure
+reshape/min butterfly over the 64-state axis (no gathers), vmapped over a batch
+axis (subchannels x ensembles). Depuncturing is a precomputed static gather.
+A Pallas ACS kernel can swap in behind the same interface later.
+
+State convention: state s after consuming bit a(t) is the 6 most recent input
+bits with a(t) at bit 5: s_t = [a(t) a(t-1) ... a(t-5)]. The transition from
+s with new input b is s' = (b << 5) | (s >> 1).
+"""
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..params.puncture import build_depuncture_gather, CODE_RATE
+
+K = 7
+NB_STATES = 1 << (K - 1)
+POLYS = (0o133, 0o171, 0o145, 0o133)
+SOFT_HIGH = 127   # logical bit 1
+SOFT_LOW = -127   # logical bit 0
+
+
+def _parity(x: np.ndarray) -> np.ndarray:
+    x = x ^ (x >> 4)
+    x = x ^ (x >> 2)
+    x = x ^ (x >> 1)
+    return x & 1
+
+
+@functools.lru_cache(maxsize=1)
+def _expected_outputs() -> np.ndarray:
+    """(64, 2, 4) int32: expected soft sign (+/-1) of each coded bit for a
+    transition from state s with input b. Register = [b, s5..s0] where poly
+    bit 6 taps the newest input bit."""
+    s = np.arange(NB_STATES, dtype=np.int64)[:, None, None]
+    b = np.arange(2, dtype=np.int64)[None, :, None]
+    reg = (b << 6) | s
+    polys = np.array(POLYS, dtype=np.int64)[None, None, :]
+    bits = _parity(reg & polys)
+    return (2 * bits - 1).astype(np.int32)   # bit -> +/-1
+
+
+def conv_encode(bits: np.ndarray, append_tail: bool = True) -> np.ndarray:
+    """Encode 0/1 bits with the DAB mother code. Returns the serialized coded
+    bit stream x0(0) x1(0) x2(0) x3(0) x0(1) ... as 0/1 uint8.
+    With append_tail, six zero bits terminate the trellis at state 0."""
+    bits = np.asarray(bits, dtype=np.uint8)
+    if append_tail:
+        bits = np.concatenate([bits, np.zeros(K - 1, dtype=np.uint8)])
+    exp = (_expected_outputs() + 1) // 2     # back to 0/1, (64, 2, 4)
+    out = np.empty((bits.shape[0], CODE_RATE), dtype=np.uint8)
+    state = 0
+    for t, b in enumerate(bits.tolist()):
+        out[t] = exp[state, b]
+        state = (b << 5) | (state >> 1)
+    return out.reshape(-1)
+
+
+def puncture(coded: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Keep only transmitted mother symbols (TX side)."""
+    return coded[mask]
+
+
+def bits_to_soft(bits: np.ndarray) -> np.ndarray:
+    """0/1 bits -> ideal int8 soft symbols (+127 for 1, -127 for 0)."""
+    return np.where(np.asarray(bits) > 0, SOFT_HIGH, SOFT_LOW).astype(np.int8)
+
+
+@dataclass(frozen=True)
+class ViterbiSpec:
+    """Static decode plan for one puncture schedule."""
+    gather_idx: np.ndarray     # (nb_mother,) int32 into the received stream
+    mask: np.ndarray           # (nb_mother,) bool, True where transmitted
+    nb_in: int                 # transmitted symbols consumed
+    nb_steps: int              # trellis steps = nb_mother / 4
+    nb_data_bits: int          # decoded bits excluding the 6 tail bits
+
+    @classmethod
+    def from_schedule(cls, schedule) -> "ViterbiSpec":
+        idx, mask, nb_in = build_depuncture_gather(schedule)
+        nb_steps = mask.shape[0] // CODE_RATE
+        return cls(idx, mask, nb_in, nb_steps, nb_data_bits=nb_steps - (K - 1))
+
+
+def depuncture(rx_soft: jnp.ndarray, spec: ViterbiSpec) -> jnp.ndarray:
+    """(..., nb_in) int8 -> (..., nb_steps, 4) int32 with zeros at punctured
+    positions (zero soft symbols are metric-neutral)."""
+    idx = jnp.asarray(spec.gather_idx)
+    mask = jnp.asarray(spec.mask)
+    d = jnp.where(mask, rx_soft[..., idx], 0)
+    return d.astype(jnp.int32).reshape(*rx_soft.shape[:-1], spec.nb_steps, CODE_RATE)
+
+
+def _acs_step(pm, branch_err):
+    """One add-compare-select butterfly.
+
+    pm: (..., 64) path metrics. branch_err: (..., 64, 2) branch error for each
+    (state, input-bit). New state s' = (b<<5)|(s>>1); its two predecessors are
+    2j and 2j+1 where j = s' & 31, both with input b = s' >> 5.
+    Returns (new_pm (...,64), decision (...,64) uint8)."""
+    cand = pm[..., :, None] + branch_err                      # (..., 64, 2)
+    pairs = cand.reshape(*cand.shape[:-2], 32, 2, 2)          # (..., j, p, b)
+    new_pm_jb = jnp.min(pairs, axis=-2)                       # (..., j, b)
+    dec_jb = jnp.argmin(pairs, axis=-2).astype(jnp.uint8)     # (..., j, b)
+    # state layout s' = b*32 + j  ->  transpose (j, b) -> (b, j)
+    new_pm = jnp.swapaxes(new_pm_jb, -1, -2).reshape(*pm.shape[:-1], NB_STATES)
+    dec = jnp.swapaxes(dec_jb, -1, -2).reshape(*pm.shape[:-1], NB_STATES)
+    return new_pm, dec
+
+
+_INITIAL_NON_START = 5 * CODE_RATE * (SOFT_HIGH - SOFT_LOW)   # reference error margin
+
+
+def viterbi_decode_soft(depunctured: jnp.ndarray, start_state: int = 0,
+                        end_state: int = 0):
+    """Decode (..., T, 4) int32 depunctured soft symbols.
+
+    Returns (bits (..., T) int8 of 0/1 including tail, path_error (...,) int32).
+    Fully jit-compatible; batch dims broadcast through.
+    """
+    expected = jnp.asarray(_expected_outputs())               # (64, 2, 4)
+    T = depunctured.shape[-2]
+    batch_shape = depunctured.shape[:-2]
+
+    pm0 = jnp.full((*batch_shape, NB_STATES), _INITIAL_NON_START, dtype=jnp.int32)
+    pm0 = pm0.at[..., start_state].set(0)
+
+    # scan over trellis steps; xs leading axis must be time
+    xs = jnp.moveaxis(depunctured, -2, 0)                     # (T, ..., 4)
+
+    def step(pm, d_t):
+        # branch error: sum_r |d_r - 127*e_r| over the 4 coded bits
+        err = jnp.abs(d_t[..., None, None, :] - SOFT_HIGH * expected)
+        branch_err = jnp.sum(err, axis=-1)                    # (..., 64, 2)
+        new_pm, dec = _acs_step(pm, branch_err)
+        return new_pm, dec
+
+    pm_final, decisions = jax.lax.scan(step, pm0, xs)         # decisions (T, ..., 64)
+
+    # chainback from end_state
+    def back(state, dec_t):
+        bit = (state >> 5).astype(jnp.int8)
+        d = jnp.take_along_axis(dec_t, state[..., None].astype(jnp.int32),
+                                axis=-1)[..., 0]
+        prev = ((state & 31) << 1) | d.astype(state.dtype)
+        return prev, bit
+
+    state0 = jnp.full(batch_shape, end_state, dtype=jnp.int32)
+    _, bits_rev = jax.lax.scan(back, state0, decisions, reverse=True)
+    bits = jnp.moveaxis(bits_rev, 0, -1)                      # (..., T)
+    error = pm_final[..., end_state]
+    return bits, error
+
+
+def viterbi_decode(rx_soft: jnp.ndarray, spec: ViterbiSpec):
+    """End-to-end: depuncture + decode + drop tail bits.
+
+    rx_soft: (..., nb_in) int8 soft symbols. Returns (data_bits (..., nb_data)
+    int8, path_error (...,) int32)."""
+    d = depuncture(rx_soft, spec)
+    bits, err = viterbi_decode_soft(d)
+    nb_data = spec.nb_steps - (K - 1)
+    return bits[..., :nb_data], err
+
+
+def pack_bits_msb(bits: np.ndarray) -> np.ndarray:
+    """0/1 bit array -> uint8 bytes, MSB first (host side)."""
+    return np.packbits(np.asarray(bits, dtype=np.uint8), axis=-1)

@@ -1,0 +1,130 @@
+"""Viterbi codec tests: encode/puncture/decode round trips, noise robustness,
+batching, and the FIC bit budget."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dab_radio_tpu.ops import viterbi as vit
+from dab_radio_tpu.ops.scrambler import prbs_bytes, descramble
+from dab_radio_tpu.ops.crc import crc16, crc16_check, firecode_crc16
+from dab_radio_tpu.params import fic_puncture_schedule
+from dab_radio_tpu.params.puncture import build_puncture_mask, get_puncture_vector, PI_X_VECTOR
+
+
+def _roundtrip(bits, schedule, rng=None, flip=0):
+    coded = vit.conv_encode(bits)
+    mask = build_puncture_mask(schedule)
+    assert coded.shape[0] == mask.shape[0]
+    tx = vit.puncture(coded, mask)
+    soft = vit.bits_to_soft(tx).astype(np.int8)
+    if flip:
+        idx = rng.choice(soft.shape[0], size=flip, replace=False)
+        soft[idx] = -soft[idx]
+    spec = vit.ViterbiSpec.from_schedule(schedule)
+    dec, err = vit.viterbi_decode(jnp.asarray(soft), spec)
+    return np.asarray(dec), int(err)
+
+
+def test_encoder_basics():
+    # all-zero input -> all-zero output, trellis stays at state 0
+    out = vit.conv_encode(np.zeros(10, dtype=np.uint8))
+    assert out.shape == (16 * 4,)
+    assert not out.any()
+    # single 1 produces the impulse response of the code
+    out = vit.conv_encode(np.array([1, 0, 0, 0, 0, 0, 0], dtype=np.uint8),
+                          append_tail=False)
+    # first step: reg = 1000000b, taps g0: octal 133 has MSB tap set
+    assert out[:4].tolist() == [1, 1, 1, 1]
+
+
+def test_fic_roundtrip_clean():
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, size=768).astype(np.uint8)
+    sched = fic_puncture_schedule()
+    dec, err = _roundtrip(bits, sched)
+    assert dec.shape == (768,)
+    np.testing.assert_array_equal(dec, bits)
+    # clean-channel path error = 127 per punctured (zero-fed) mother symbol,
+    # matching the reference decoder's metric semantics
+    nb_punctured = 3096 - 2304
+    assert err == nb_punctured * 127
+
+
+def test_fic_roundtrip_with_errors():
+    rng = np.random.default_rng(1)
+    bits = rng.integers(0, 2, size=768).astype(np.uint8)
+    sched = fic_puncture_schedule()
+    # flip 100 of the 2304 transmitted symbols: rate-1/3 K=7 corrects this
+    dec, err = _roundtrip(bits, sched, rng=rng, flip=100)
+    np.testing.assert_array_equal(dec, bits)
+    assert err > 0
+
+
+def test_roundtrip_eep_schedule():
+    from dab_radio_tpu.params import msc_puncture_schedule, SubchannelConfig
+    cfg = SubchannelConfig(0, 48, False, eep_type="A", eep_prot_level=2)  # 64kbps 3-A
+    sched = msc_puncture_schedule(cfg)
+    spec = vit.ViterbiSpec.from_schedule(sched)
+    rng = np.random.default_rng(2)
+    bits = rng.integers(0, 2, size=spec.nb_data_bits).astype(np.uint8)
+    dec, err = _roundtrip(bits, sched, rng=rng, flip=40)
+    np.testing.assert_array_equal(dec, bits)
+
+
+def test_batched_decode():
+    sched = fic_puncture_schedule()
+    spec = vit.ViterbiSpec.from_schedule(sched)
+    rng = np.random.default_rng(3)
+    B = 4
+    bits = rng.integers(0, 2, size=(B, 768)).astype(np.uint8)
+    mask = build_puncture_mask(sched)
+    soft = np.stack([vit.bits_to_soft(vit.puncture(vit.conv_encode(b), mask))
+                     for b in bits])
+    dec, err = vit.viterbi_decode(jnp.asarray(soft), spec)
+    np.testing.assert_array_equal(np.asarray(dec), bits)
+    assert err.shape == (B,)
+
+
+def test_soft_decisions_help():
+    """Attenuated-but-correct soft symbols should still decode."""
+    rng = np.random.default_rng(4)
+    bits = rng.integers(0, 2, size=768).astype(np.uint8)
+    sched = fic_puncture_schedule()
+    coded = vit.conv_encode(bits)
+    tx = vit.puncture(coded, build_puncture_mask(sched))
+    soft = vit.bits_to_soft(tx).astype(np.float32)
+    noisy = soft + rng.normal(0, 80, size=soft.shape)
+    soft_q = np.clip(noisy, -127, 127).astype(np.int8)
+    spec = vit.ViterbiSpec.from_schedule(sched)
+    dec, _ = vit.viterbi_decode(jnp.asarray(soft_q), spec)
+    np.testing.assert_array_equal(np.asarray(dec), bits)
+
+
+def test_prbs_scrambler():
+    p = prbs_bytes(16)
+    # involution: descramble twice = identity
+    data = np.arange(16, dtype=np.uint8)
+    np.testing.assert_array_equal(descramble(descramble(data)), data)
+    # first PRBS byte from all-ones register: known value 0xFF? compute manually
+    reg = 0x1FF
+    b = 0
+    for j in range(8):
+        v = ((reg >> 8) ^ (reg >> 4)) & 1
+        b |= v << (7 - j)
+        reg = ((reg << 1) | v) & 0xFFFF
+    assert p[0] == b
+
+
+def test_crc16_known_vector():
+    # CCITT-FALSE("123456789") = 0x29B1; DAB FIB adds final xor 0xFFFF
+    assert crc16(b"123456789", final_xor=0x0000) == 0x29B1
+    buf = bytearray(b"123456789")
+    c = crc16(bytes(buf))
+    buf += bytes([(c >> 8) & 0xFF, c & 0xFF])
+    assert crc16_check(bytes(buf))
+
+
+def test_firecode_nonzero():
+    assert firecode_crc16(b"\x00" * 9) == 0
+    assert firecode_crc16(b"\x01" + b"\x00" * 8) != 0
