@@ -1,0 +1,226 @@
+"""Streaming OFDM demodulator — the flagship compute model.
+
+TPU-first re-design of the reference's 5-state sample-consuming machine
+(src/ofdm/ofdm_demodulator.cpp): demodulation is a fixed-shape, jittable
+`frame_step(carry, window)` over one frame-sized window plus a timing margin,
+with all synchronisation state in an explicit carry pytree. The host driver
+only moves a read pointer (acquisition / per-frame timing drift); every FLOP
+runs on device. Batch a leading axis (many ensembles) with jax.vmap, shard it
+over a Mesh (parallel/).
+
+Per frame the step performs, exactly mirroring the reference's tracking loop:
+  1. running L1 signal average update (AGC reference for null-dip search)
+  2. coarse integral CFO by PRS relative-phase correlation (fast/slow blend)
+  3. fine time sync by PRS matched filter (desync reset if peak < 20 dB)
+  4. CFO-corrected batched FFT demod of all 76 symbols
+  5. differential QPSK + frequency deinterleave + int8 soft-bit demap
+  6. fractional CFO update from the cyclic-prefix phase error
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..params import get_ofdm_params, get_prs_reference
+from ..params.mapper import get_carrier_mapper, get_carrier_to_fft_bin
+from ..ops import sync as sync_ops
+from ..ops.demod import demod_frame_body
+
+
+@dataclass(frozen=True)
+class DemodConfig:
+    """Sync hyperparameters (reference OFDM_Demod_Config)."""
+    signal_l1_beta: float = 0.95
+    null_search_nb_samples: int = 100
+    thresh_null_start: float = 0.35
+    thresh_null_end: float = 0.75
+    fine_freq_beta: float = 0.9
+    enable_coarse_freq: bool = True
+    max_coarse_freq_norm: float = 0.5
+    coarse_slow_beta: float = 0.1
+    impulse_peak_threshold_db: float = 20.0
+    impulse_peak_distance_prob: float = 0.15
+
+
+class DemodCarry(NamedTuple):
+    """Per-stream synchronisation state carried between frames."""
+    freq_coarse: jnp.ndarray     # f32, normalised
+    freq_fine: jnp.ndarray       # f32, normalised
+    is_coarse_found: jnp.ndarray  # bool
+    signal_l1_avg: jnp.ndarray   # f32
+    total_frames: jnp.ndarray    # i32
+    total_desync: jnp.ndarray    # i32
+
+    @classmethod
+    def init(cls, batch_shape=()) -> "DemodCarry":
+        z = lambda dt: jnp.zeros(batch_shape, dt)
+        return cls(z(jnp.float32), z(jnp.float32), z(jnp.bool_),
+                   z(jnp.float32), z(jnp.int32), z(jnp.int32))
+
+
+class OFDMDemodulator:
+    """Holds the static mode constants and the jitted frame step."""
+
+    def __init__(self, transmission_mode: int = 1,
+                 config: DemodConfig = DemodConfig()):
+        self.mode = transmission_mode
+        self.cfg = config
+        self.params = p = get_ofdm_params(transmission_mode)
+
+        prs = get_prs_reference(transmission_mode, p.nb_fft)
+        self.prs_fft_conj = np.conj(prs)
+        self.prs_time_corr_ref = sync_ops.make_prs_time_correlation_ref(prs)
+        self.carrier_map = get_carrier_mapper(p.nb_fft, p.nb_data_carriers)
+        self.carrier_bins = get_carrier_to_fft_bin(p.nb_fft, p.nb_data_carriers)
+
+        self.body_len = p.nb_frame_symbols * p.nb_symbol_period
+        self.margin = p.nb_symbol_period          # timing drift search span
+        self.window_len = p.nb_null_period + self.body_len + self.margin
+        self.frame_advance = p.nb_frame_samples   # nominal samples per frame
+
+        self._frame_step = jax.jit(self._frame_step_impl)
+        self._frame_step_batch = jax.jit(jax.vmap(self._frame_step_impl))
+        self._acquire = jax.jit(self._acquire_impl)
+
+    # ---------------- device ops ----------------
+
+    def _frame_step_impl(self, carry: DemodCarry, window: jnp.ndarray):
+        p, cfg = self.params, self.cfg
+        nfft, cp = p.nb_fft, p.nb_cyclic_prefix
+
+        # 1. signal level EMA (frame-granularity update of the reference's
+        # block-wise running average; the null is ~1% of the window)
+        measured = sync_ops.l1_average(window)
+        l1 = jnp.where(carry.signal_l1_avg > 0,
+                       cfg.signal_l1_beta * carry.signal_l1_avg
+                       + (1 - cfg.signal_l1_beta) * measured,
+                       measured)
+
+        prs_rx = jax.lax.dynamic_slice_in_dim(window, p.nb_null_period, nfft, -1)
+
+        # 2. coarse integral CFO
+        if cfg.enable_coarse_freq:
+            pred = sync_ops.coarse_freq_estimate(
+                prs_rx, jnp.asarray(self.prs_time_corr_ref), nfft,
+                cfg.max_coarse_freq_norm)
+            coarse, delta_c = sync_ops.coarse_freq_update(
+                pred, carry.freq_coarse, carry.is_coarse_found, nfft,
+                cfg.coarse_slow_beta)
+            fine = sync_ops.wrap_fine_offset(carry.freq_fine - delta_c, nfft)
+        else:
+            coarse = jnp.zeros_like(carry.freq_coarse)
+            fine = carry.freq_fine
+
+        # 3. fine time sync on the CFO-corrected PRS
+        offset, sync_ok, _ = sync_ops.fine_time_offset(
+            prs_rx, jnp.asarray(self.prs_fft_conj), coarse + fine,
+            nfft, cp, p.nb_symbol_period,
+            cfg.impulse_peak_threshold_db, cfg.impulse_peak_distance_prob)
+        offset = jnp.clip(offset, -cp, self.margin)
+
+        # 4-5. aligned frame body -> soft bits
+        start = p.nb_null_period + offset
+        body = jax.lax.dynamic_slice_in_dim(window, start, self.body_len, -1)
+        bits, cyc_err, _ = demod_frame_body(
+            body, coarse + fine, nb_fft=nfft,
+            nb_symbol_period=p.nb_symbol_period,
+            nb_frame_symbols=p.nb_frame_symbols,
+            nb_cyclic_prefix=cp,
+            carrier_bins=jnp.asarray(self.carrier_bins),
+            carrier_map=jnp.asarray(self.carrier_map))
+
+        # 6. fractional CFO update (used from the next frame on)
+        ferr = sync_ops.fine_freq_error(cyc_err, nfft)
+        fine2 = sync_ops.wrap_fine_offset(fine - cfg.fine_freq_beta * ferr, nfft)
+
+        tracked = DemodCarry(coarse, fine2, jnp.ones_like(carry.is_coarse_found),
+                             l1, carry.total_frames + 1, carry.total_desync)
+        reset = DemodCarry(jnp.zeros_like(coarse), jnp.zeros_like(fine2),
+                           jnp.zeros_like(carry.is_coarse_found),
+                           l1, carry.total_frames, carry.total_desync + 1)
+        new_carry = jax.tree.map(lambda a, b: jnp.where(sync_ok, a, b),
+                                 tracked, reset)
+        return new_carry, {"bits": bits, "sync_ok": sync_ok, "offset": offset}
+
+    def _acquire_impl(self, block: jnp.ndarray, l1_avg: jnp.ndarray):
+        cfg = self.cfg
+        return sync_ops.find_null_dip(
+            block, l1_avg, nb_block=cfg.null_search_nb_samples,
+            thresh_start=cfg.thresh_null_start, thresh_end=cfg.thresh_null_end)
+
+    def frame_step(self, carry: DemodCarry, window: jnp.ndarray):
+        """Jitted single-stream step; window shape (window_len,)."""
+        return self._frame_step(carry, window)
+
+    def frame_step_batch(self, carry: DemodCarry, windows: jnp.ndarray):
+        """Jitted vmapped step; windows shape (B, window_len)."""
+        return self._frame_step_batch(carry, windows)
+
+
+class StreamingDemodulator:
+    """Host-side streaming driver over one IQ stream.
+
+    Owns a growable sample buffer and a read pointer; alternates between
+    device-side acquisition (null-dip search) and per-frame tracking. Emits
+    one int8 soft-bit array per locked frame, mirroring On_OFDM_Frame."""
+
+    ACQUIRE, TRACK = 0, 1
+
+    def __init__(self, demod: OFDMDemodulator):
+        self.demod = demod
+        self.carry = DemodCarry.init()
+        self.state = self.ACQUIRE
+        self._buf = np.zeros(0, dtype=np.complex64)
+        self._l1 = 0.0
+
+    def reset(self):
+        self.carry = DemodCarry.init()
+        self.state = self.ACQUIRE
+
+    def process(self, iq: np.ndarray):
+        """Consume an arbitrary-size chunk of complex64 IQ; yields soft-bit
+        frames (np.int8 arrays) as they lock."""
+        d = self.demod
+        p = d.params
+        self._buf = np.concatenate([self._buf, np.asarray(iq, np.complex64)])
+        frames = []
+        ptr = 0
+        while True:
+            avail = self._buf.shape[0] - ptr
+            if self.state == self.ACQUIRE:
+                acq_len = d.window_len
+                if avail < acq_len:
+                    break
+                block = jnp.asarray(self._buf[ptr:ptr + acq_len])
+                if self._l1 == 0.0:
+                    self._l1 = float(sync_ops.l1_average(block))
+                found, end_idx = d._acquire(block, jnp.float32(self._l1))
+                self._l1 = 0.7 * self._l1 + 0.3 * float(sync_ops.l1_average(block))
+                if bool(found):
+                    null_start = ptr + int(end_idx) - p.nb_null_period
+                    ptr = max(null_start, ptr)
+                    self.state = self.TRACK
+                    self.carry = DemodCarry.init()
+                    self.carry = self.carry._replace(
+                        signal_l1_avg=jnp.float32(self._l1))
+                else:
+                    ptr += acq_len - p.nb_null_period
+            else:
+                if avail < d.window_len:
+                    break
+                window = jnp.asarray(self._buf[ptr:ptr + d.window_len])
+                self.carry, out = d.frame_step(self.carry, window)
+                if bool(out["sync_ok"]):
+                    frames.append(np.asarray(out["bits"]))
+                    ptr += int(out["offset"]) + d.frame_advance
+                else:
+                    # desync: re-acquire, advancing past the failed region so
+                    # the search always makes forward progress
+                    self.state = self.ACQUIRE
+                    ptr += p.nb_null_period
+        self._buf = self._buf[ptr:]
+        return frames
