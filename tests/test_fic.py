@@ -1,0 +1,124 @@
+"""FIC + FIG + database closed-loop tests: synthesize a FIC carrying a full
+ensemble description, decode it, and check the database contents."""
+
+import numpy as np
+import pytest
+
+from dab_radio_tpu.dab.fic import FICDecoder, FICEncoder
+from dab_radio_tpu.dab.fig import FIGParser
+from dab_radio_tpu.dab.database import (
+    DatabaseUpdater, STREAM_AUDIO, AUDIO_DAB_PLUS,
+)
+from dab_radio_tpu.dab.charsets import decode_label
+
+
+# ---- FIG payload builders (TX side of the FIC schema) ----
+
+def fig_header(fig_type: int, body: bytes) -> bytes:
+    assert len(body) <= 29
+    return bytes([(fig_type << 5) | len(body)]) + body
+
+
+def fig0(ext: int, data: bytes, pd: int = 0) -> bytes:
+    return fig_header(0, bytes([(pd << 5) | ext]) + data)
+
+
+def fig0_0(eid: int, cif_upper=0, cif_lower=0) -> bytes:
+    return fig0(0, bytes([eid >> 8, eid & 0xFF, cif_upper & 0b11111, cif_lower]))
+
+
+def fig0_1_long(sub_id, start, option, prot_level, size) -> bytes:
+    return fig0(1, bytes([
+        (sub_id << 2) | ((start >> 8) & 0b11), start & 0xFF,
+        0x80 | (option << 4) | (prot_level << 2) | ((size >> 8) & 0b11),
+        size & 0xFF]))
+
+
+def fig0_2_audio(sid, sub_id, ascty, primary=True) -> bytes:
+    return fig0(2, bytes([
+        sid >> 8, sid & 0xFF, 0x01,
+        ascty & 0b111111, (sub_id << 2) | (int(primary) << 1)]))
+
+
+def fig1_label(ext, idbytes: bytes, label: str, flags=0xFF00, charset=0) -> bytes:
+    lab = label.encode("ascii").ljust(16)[:16]
+    return fig_header(1, bytes([(charset << 4) | ext]) + idbytes + lab
+                      + bytes([flags >> 8, flags & 0xFF]))
+
+
+def build_test_fic(encoder: FICEncoder):
+    """12 FIBs describing one ensemble with one DAB+ audio service."""
+    eid, sid, sub = 0xCDEF, 0xF123, 5
+    figs = [
+        fig0_0(eid) + fig0_1_long(sub, 0, 0, 2, 48),       # EEP 3-A 48 CU
+        fig0_2_audio(sid, sub, AUDIO_DAB_PLUS),
+        fig1_label(0, bytes([eid >> 8, eid & 0xFF]), "Test Ensemble"),
+        fig1_label(1, bytes([sid >> 8, sid & 0xFF]), "Radio One"),
+    ]
+    payloads = [figs[i % len(figs)] for i in range(encoder.dab.nb_fibs)]
+    return encoder.encode_fic(payloads), (eid, sid, sub)
+
+
+def test_fic_roundtrip_and_database():
+    enc = FICEncoder(1)
+    dec = FICDecoder(1)
+    soft, (eid, sid, sub) = build_test_fic(enc)
+    assert soft.shape == (3 * 3072,)
+
+    fibs, info = dec.decode_fic(soft)
+    assert info["crc_errors"] == 0
+    assert len(fibs) == 12
+
+    parser = FIGParser()
+    upd = DatabaseUpdater()
+    for fib in fibs:
+        for ev in parser.parse_fib(fib):
+            upd.apply(ev)
+
+    db = upd.db
+    assert db.ensemble.id == eid
+    assert db.ensemble.label == "Test Ensemble"
+    assert sid in db.services
+    assert db.services[sid].label == "Radio One"
+    assert sub in db.subchannels
+    sch = db.subchannels[sub]
+    assert sch.is_complete
+    assert (sch.start_address, sch.length, sch.is_uep) == (0, 48, False)
+    assert (sch.eep_type, sch.eep_prot_level) == ("A", 2)
+    comp = db.component_by_subchannel(sub)
+    assert comp is not None and comp.is_complete
+    assert comp.transport_mode == STREAM_AUDIO
+    assert comp.audio_service_type == AUDIO_DAB_PLUS
+
+
+def test_fic_with_noise():
+    enc = FICEncoder(1)
+    dec = FICDecoder(1)
+    soft, _ = build_test_fic(enc)
+    rng = np.random.default_rng(0)
+    noisy = np.clip(soft.astype(np.int32)
+                    + rng.normal(0, 60, soft.shape).astype(np.int32),
+                    -127, 127).astype(np.int8)
+    fibs, info = dec.decode_fic(noisy)
+    assert info["crc_errors"] == 0
+    assert len(fibs) == 12
+
+
+def test_fib_crc_gate():
+    enc = FICEncoder(1)
+    dec = FICDecoder(1)
+    soft, _ = build_test_fic(enc)
+    # saturate one group with garbage: its 3 FIBs must be dropped
+    bad = soft.copy()
+    bad[:2304] = 127
+    fibs, info = dec.decode_fic(bad)
+    assert info["crc_errors"] == 3
+    assert len(fibs) == 9
+
+
+def test_charsets():
+    assert decode_label(b"Hello", 0) == "Hello"
+    assert decode_label(bytes([0x24]), 0) == "ł"     # EBU Latin specific
+    assert decode_label("héllo".encode("latin-1"), 4) == "héllo"
+    assert decode_label("héllo".encode("utf-16-be"), 6) == "héllo"
+    assert decode_label("héllo".encode("utf-8"), 15) == "héllo"
