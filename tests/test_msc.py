@@ -1,0 +1,104 @@
+"""MSC path tests: time (de)interleaver, subchannel encode/decode round
+trips, Reed-Solomon codec."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dab_radio_tpu.ops.deinterleave import (
+    make_gather_index, deinterleave_push, DEPTH, CIF_OFFSETS,
+)
+from dab_radio_tpu.ops.rs import ReedSolomonDecoder, rs_encode, dab_plus_rs, packet_rs
+from dab_radio_tpu.dab.msc import MSCDecoder, MSCEncoder
+from dab_radio_tpu.params import SubchannelConfig
+
+
+def test_deinterleaver_reconstructs_oldest_frame():
+    """Push 16 interleaved CIFs built from known frames; the deinterleaved
+    output must equal the frame from 15 CIFs ago."""
+    nb_bits = 64
+    rng = np.random.default_rng(0)
+    frames = rng.integers(-127, 128, size=(40, nb_bits)).astype(np.int8)
+    offs = CIF_OFFSETS[np.arange(nb_bits) % DEPTH]
+
+    # transmit side: cif[t][i] = frames[t - offs[i]][i]
+    cifs = np.zeros_like(frames)
+    for t in range(DEPTH, 40):
+        for i in range(nb_bits):
+            cifs[t, i] = frames[t - offs[i], i]
+
+    hist = jnp.zeros((DEPTH, nb_bits), jnp.int8)
+    gidx = jnp.asarray(make_gather_index(nb_bits))
+    outs = []
+    for t in range(40):
+        hist, out = deinterleave_push(hist, jnp.asarray(cifs[t]), gidx)
+        outs.append(np.asarray(out))
+    # after the pipe is full, output at time t equals frames[t-15]
+    for t in range(2 * DEPTH, 40):
+        np.testing.assert_array_equal(outs[t], frames[t - 15])
+
+
+@pytest.mark.parametrize("nroots,pad", [(10, 135), (16, 51)])
+def test_rs_roundtrip(nroots, pad):
+    dec = ReedSolomonDecoder(nroots, pad)
+    rng = np.random.default_rng(1)
+    k = dec.k
+    msg = rng.integers(0, 256, size=(5, k)).astype(np.uint8)
+    cw = rs_encode(msg, nroots, pad)
+    assert cw.shape == (5, dec.n)
+
+    # no errors
+    out, nerr = dec.decode(cw.copy())
+    np.testing.assert_array_equal(out, cw)
+    assert (nerr == 0).all()
+
+    # correctable errors (t/2 per codeword)
+    bad = cw.copy()
+    for b in range(5):
+        pos = rng.choice(dec.n, size=nroots // 2, replace=False)
+        bad[b, pos] ^= rng.integers(1, 256, size=nroots // 2).astype(np.uint8)
+    out, nerr = dec.decode(bad)
+    np.testing.assert_array_equal(out, cw)
+    assert (nerr == nroots // 2).all()
+
+    # uncorrectable
+    bad = cw.copy()
+    bad[0, :nroots + 2] ^= 0x55
+    out, nerr = dec.decode(bad)
+    assert nerr[0] == -1
+
+
+def test_rs_syndrome_zero_for_codeword():
+    enc = rs_encode(np.arange(110, dtype=np.uint8)[None], 10, 135)
+    dec = dab_plus_rs()
+    _, nerr = dec.decode(enc)
+    assert nerr[0] == 0
+
+
+@pytest.mark.parametrize("cfg", [
+    SubchannelConfig(0, 48, False, eep_type="A", eep_prot_level=2),
+    SubchannelConfig(4, 42, False, eep_type="B", eep_prot_level=1),
+    SubchannelConfig(0, 84, True, uep_table_index=33),
+])
+def test_msc_subchannel_roundtrip(cfg):
+    enc = MSCEncoder(cfg)
+    dec = MSCDecoder(cfg)
+    rng = np.random.default_rng(2)
+    total_cif_bits = (cfg.start_address + cfg.length) * 64 + 128
+
+    payloads = [rng.integers(0, 256, enc.nb_data_bytes).astype(np.uint8).tobytes()
+                for _ in range(20)]
+    decoded = []
+    for t in range(20):
+        sub_bits = enc.encode_cif(payloads[t])
+        # embed at the subchannel's start address inside a larger CIF
+        cif = np.zeros(total_cif_bits, dtype=np.int8)
+        cif[cfg.start_address * 64: cfg.start_address * 64 + cfg.nb_cif_bits] = sub_bits
+        out = dec.decode_cif(cif)
+        if out is not None:
+            decoded.append(out)
+    # pipeline delay: encoder interleaves over 16 CIFs, decoder waits 16;
+    # decoded frame k corresponds to payload k (both sides add the same skew)
+    assert len(decoded) == 5
+    for k, out in enumerate(decoded):
+        assert out == payloads[k], f"frame {k} mismatch"
