@@ -1,0 +1,160 @@
+"""Device-mesh sharded receiver steps.
+
+Axes:
+  'ens'  - ensembles/streams (pure data parallel; the north-star metric is
+           concurrent real-time ensembles per chip, BASELINE.md)
+  'time' - time blocks within one stream (sequence parallel with a
+           one-window halo from the right neighbor via lax.ppermute,
+           replacing the reference's SignalFFT/WaitFFT halo threads,
+           SURVEY.md §2.6.1)
+  'sub'  - MSC subchannels (the reference's per-subchannel thread pool,
+           vmapped and sharded)
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+from jax import shard_map
+
+from ..models.demodulator import OFDMDemodulator, DemodCarry
+
+
+def make_receiver_mesh(n_devices: int | None = None, axis_sizes=None) -> Mesh:
+    """Factor the device count into ('ens', 'time', 'sub') axes."""
+    devices = np.array(jax.devices())
+    n = n_devices or devices.size
+    devices = devices[:n]
+    if axis_sizes is None:
+        # greedy factorisation: prefer ensemble parallelism
+        sizes = []
+        rem = n
+        for _ in range(2):
+            f = 1
+            for cand in (2, 3, 5, 7):
+                if rem % cand == 0:
+                    f = cand
+                    break
+            sizes.append(f)
+            rem //= f
+        axis_sizes = (rem, sizes[0], sizes[1])  # (ens, time, sub)
+    assert int(np.prod(axis_sizes)) == n, (axis_sizes, n)
+    return Mesh(devices.reshape(axis_sizes), ("ens", "time", "sub"))
+
+
+def shard_demod_batch(demod: OFDMDemodulator, mesh: Mesh):
+    """Data-parallel frame step: batch axis sharded over every mesh axis."""
+    spec = P(("ens", "time", "sub"))
+    win_sh = NamedSharding(mesh, spec)
+    carry_sh = NamedSharding(mesh, P(("ens", "time", "sub")))
+    step = jax.jit(
+        jax.vmap(demod._frame_step_impl),
+        in_shardings=(carry_sh, win_sh),
+        out_shardings=(carry_sh, NamedSharding(mesh, spec)),
+    )
+    return step, win_sh, carry_sh
+
+
+def make_timesharded_demod(demod: OFDMDemodulator, mesh: Mesh,
+                           frames_per_shard: int):
+    """Sequence-parallel streaming demod over the 'time' axis.
+
+    Input iq: (B, T) with T = n_time * frames_per_shard * frame_samples,
+    aligned so frame f starts at f*frame_samples. Each time shard demodulates
+    its local frames with a lax.scan carry; the trailing window margin
+    (window_len - frame_samples) comes from the right neighbor via ppermute.
+    Returns a jitted fn (carry, iq) -> (carry, bits) where carry has shape
+    (B, n_time) leading dims (each shard tracks its own steady-state sync).
+    """
+    p = demod.params
+    fs = p.nb_frame_samples
+    halo = demod.window_len - fs
+    n_time = mesh.shape["time"]
+    f_loc = frames_per_shard
+
+    def local_demod(carry, iq_local):
+        # iq_local: (B_loc, f_loc*fs) after shard_map splits 'time'
+        axis = "time"
+        right = [(i, (i - 1) % n_time) for i in range(n_time)]
+        halo_samples = jax.lax.ppermute(iq_local[:, :halo], axis, right)
+        idx = jax.lax.axis_index(axis)
+        # last shard has no right neighbor: zero halo
+        halo_samples = jnp.where(idx == n_time - 1,
+                                 jnp.zeros_like(halo_samples), halo_samples)
+        ext = jnp.concatenate([iq_local, halo_samples], axis=-1)
+
+        def step(c, f):
+            win = jax.lax.dynamic_slice_in_dim(ext, f * fs, demod.window_len, -1)
+            c, out = jax.vmap(demod._frame_step_impl)(c, win)
+            return c, out["bits"]
+
+        carry = jax.tree.map(lambda x: x[:, 0], carry)
+        carry, bits = jax.lax.scan(step, carry, jnp.arange(f_loc))
+        bits = jnp.moveaxis(bits, 0, 1)            # (B_loc, f_loc, nbits)
+        carry = jax.tree.map(lambda x: x[:, None], carry)
+        return carry, bits[:, None]                # (B_loc, 1, f_loc, nbits)
+
+    sharded = shard_map(
+        local_demod, mesh=mesh,
+        in_specs=(P("ens", "time"), P("ens", "time")),
+        out_specs=(P("ens", "time"), P("ens", "time", None, None)),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
+                            frames_per_shard: int = 1,
+                            nb_subchannel_cu: int = 12):
+    """Build the full sharded receiver step used by dryrun_multichip:
+    time+ensemble-sharded OFDM demod, ensemble-sharded FIC Viterbi, and
+    subchannel-sharded MSC Viterbi, one jitted function.
+
+    Returns (fn, example_args): fn(carry, iq, msc_soft) -> dict of outputs.
+    """
+    from ..ops import viterbi as vit
+    from ..params import (fic_puncture_schedule, msc_puncture_schedule,
+                          SubchannelConfig, get_dab_params)
+
+    demod = OFDMDemodulator(transmission_mode)
+    dab = get_dab_params(transmission_mode)
+    n_ens = mesh.shape["ens"]
+    n_time = mesh.shape["time"]
+    n_sub = mesh.shape["sub"]
+    B = n_ens * 2                                   # 2 ensembles per dp shard
+    S = n_sub * 2                                   # 2 subchannels per shard
+
+    demod_fn = make_timesharded_demod(demod, mesh, frames_per_shard)
+
+    fic_spec = vit.ViterbiSpec.from_schedule(fic_puncture_schedule()) \
+        if dab.nb_fib_cif_bits == 2304 else None
+    sub_cfg = SubchannelConfig(0, nb_subchannel_cu, False,
+                               eep_type="A", eep_prot_level=2)
+    msc_spec = vit.ViterbiSpec.from_schedule(msc_puncture_schedule(sub_cfg))
+
+    ens_sh = NamedSharding(mesh, P("ens"))
+    sub_sh = NamedSharding(mesh, P("ens", "sub"))
+
+    @partial(jax.jit,
+             out_shardings=None)
+    def step(carry, iq, fic_soft, msc_soft):
+        carry, bits = demod_fn(carry, iq)
+        fic_bits, fic_err = vit.viterbi_decode(fic_soft, fic_spec)
+        msc_bits, msc_err = vit.viterbi_decode(msc_soft, msc_spec)
+        return carry, {"ofdm_bits": bits, "fic_bits": fic_bits,
+                       "msc_bits": msc_bits,
+                       "errors": (fic_err, msc_err)}
+
+    fs = demod.params.nb_frame_samples
+    T = n_time * frames_per_shard * fs
+    iq = jax.device_put(
+        jnp.zeros((B, T), jnp.complex64), NamedSharding(mesh, P("ens", "time")))
+    carry = DemodCarry.init((B, n_time))
+    carry = jax.device_put(carry, NamedSharding(mesh, P("ens", "time")))
+    fic_soft = jax.device_put(
+        jnp.zeros((B, dab.nb_cifs, fic_spec.nb_in), jnp.int8), ens_sh)
+    msc_soft = jax.device_put(
+        jnp.zeros((B, S, msc_spec.nb_in), jnp.int8), sub_sh)
+    return step, (carry, iq, fic_soft, msc_soft)
