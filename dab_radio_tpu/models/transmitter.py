@@ -1,0 +1,171 @@
+"""Full DAB ensemble transmitter.
+
+Goes beyond the reference's simulate_transmitter (which fills carriers with
+random scrambled bytes, examples/simulate_transmitter.cpp:26-41): this builds
+a complete, decodable synthetic ensemble — FIG-carrying FIC, MSC subchannels
+with DAB+ superframes or raw stream payloads, proper frequency interleaving —
+so the whole receiver stack can be validated closed-loop without RF captures
+(the reference relies on released IQ recordings for that, SURVEY.md §4.4).
+"""
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..params import get_dab_params, get_ofdm_params, SubchannelConfig
+from ..dab.fic import FICEncoder
+from ..dab.msc import MSCEncoder
+from ..dab.aac import SuperframeEncoder, SuperFrameHeader
+from .modulator import OFDMModulator
+
+
+def fig_header(fig_type: int, body: bytes) -> bytes:
+    assert len(body) <= 29
+    return bytes([(fig_type << 5) | len(body)]) + body
+
+
+def fig0(ext: int, data: bytes, pd: int = 0, cn: int = 0, oe: int = 0) -> bytes:
+    return fig_header(0, bytes([(cn << 7) | (oe << 6) | (pd << 5) | ext]) + data)
+
+
+def fig0_0_ensemble(eid: int, cif_upper=0, cif_lower=0) -> bytes:
+    return fig0(0, bytes([eid >> 8, eid & 0xFF, cif_upper & 0b11111,
+                          cif_lower & 0xFF]))
+
+
+def fig0_1_subchannel(cfg: SubchannelConfig, subchannel_id: int) -> bytes:
+    b0 = (subchannel_id << 2) | ((cfg.start_address >> 8) & 0b11)
+    b1 = cfg.start_address & 0xFF
+    if cfg.is_uep:
+        return fig0(1, bytes([b0, b1, (0 << 7) | (0 << 6) | cfg.uep_table_index]))
+    option = 0 if cfg.eep_type == "A" else 1
+    return fig0(1, bytes([
+        b0, b1,
+        0x80 | (option << 4) | (cfg.eep_prot_level << 2) | ((cfg.length >> 8) & 0b11),
+        cfg.length & 0xFF]))
+
+
+def fig0_2_stream_audio(service_id: int, subchannel_id: int, ascty: int,
+                        primary: bool = True) -> bytes:
+    return fig0(2, bytes([service_id >> 8, service_id & 0xFF, 0x01,
+                          ascty & 0b111111,
+                          (subchannel_id << 2) | (int(primary) << 1)]))
+
+
+def fig1_label(ext: int, id_bytes: bytes, label: str, charset: int = 0) -> bytes:
+    lab = label.encode("ascii", errors="replace").ljust(16)[:16]
+    # flag the first 8 characters for the short label
+    return fig_header(1, bytes([(charset << 4) | ext]) + id_bytes + lab
+                      + bytes([0xFF, 0x00]))
+
+
+@dataclass
+class ServiceSpec:
+    """One DAB+ audio service in the synthetic ensemble."""
+    service_id: int
+    subchannel_id: int
+    label: str
+    cfg: SubchannelConfig
+    superframe_header: SuperFrameHeader = field(
+        default_factory=lambda: SuperFrameHeader(48000, True, True, False, 0))
+
+
+class EnsembleTransmitter:
+    """Synthesizes IQ for a complete DAB ensemble (mode I-IV)."""
+
+    def __init__(self, transmission_mode: int = 1, ensemble_id: int = 0xC0FE,
+                 ensemble_label: str = "TPU Ensemble",
+                 services: Optional[List[ServiceSpec]] = None):
+        self.mode = transmission_mode
+        self.dab = get_dab_params(transmission_mode)
+        self.ofdm = get_ofdm_params(transmission_mode)
+        self.ensemble_id = ensemble_id
+        self.ensemble_label = ensemble_label
+        self.services = services or []
+        self.fic_encoder = FICEncoder(transmission_mode)
+        self.modulator = OFDMModulator(transmission_mode)
+        self.msc_encoders: Dict[int, MSCEncoder] = {}
+        self.sf_encoders: Dict[int, SuperframeEncoder] = {}
+        self.sf_pending: Dict[int, List[bytes]] = {}
+        self._au_source = {}
+        self._cif_counter = 0
+        for s in self.services:
+            enc = MSCEncoder(s.cfg)
+            self.msc_encoders[s.subchannel_id] = enc
+            sf = SuperframeEncoder(enc.nb_data_bytes, s.superframe_header)
+            self.sf_encoders[s.subchannel_id] = sf
+            self.sf_pending[s.subchannel_id] = []
+
+    # ---- FIC content ----
+
+    def _fib_payloads(self) -> List[bytes]:
+        figs = [fig0_0_ensemble(self.ensemble_id,
+                                (self._cif_counter // 250) % 20,
+                                self._cif_counter % 250)]
+        for s in self.services:
+            figs.append(fig0_1_subchannel(s.cfg, s.subchannel_id)
+                        + fig0_2_stream_audio(s.service_id, s.subchannel_id,
+                                              ascty=63))
+        figs.append(fig1_label(0, self.ensemble_id.to_bytes(2, "big"),
+                               self.ensemble_label))
+        for s in self.services:
+            figs.append(fig1_label(1, s.service_id.to_bytes(2, "big"), s.label))
+        return [figs[i % len(figs)] for i in range(self.dab.nb_fibs)]
+
+    # ---- audio payload ----
+
+    def set_au_source(self, subchannel_id: int, make_aus):
+        """make_aus(superframe_index, capacity, num_aus) -> list of AU payload
+        bytes that exactly fill the superframe (see SuperframeEncoder)."""
+        self._au_source[subchannel_id] = make_aus
+        self._sf_index = 0
+
+    def _next_subchannel_frame(self, sub_id: int) -> bytes:
+        pend = self.sf_pending[sub_id]
+        if not pend:
+            sf = self.sf_encoders[sub_id]
+            make = self._au_source.get(sub_id)
+            num = sf.header.num_aus
+            cap = sf.au_capacity()
+            if make is not None:
+                aus = make(cap, num)
+            else:
+                base = cap // num
+                sizes = [base] * (num - 1) + [cap - base * (num - 1)]
+                rng = np.random.default_rng(len(pend) + sub_id)
+                aus = [rng.integers(0, 256, n).astype(np.uint8).tobytes()
+                       for n in sizes]
+            pend.extend(sf.encode(aus))
+        return pend.pop(0)
+
+    # ---- frame synthesis ----
+
+    def next_frame_bits(self) -> np.ndarray:
+        """Soft-bit layout of one transmission frame (before OFDM)."""
+        fic = self.fic_encoder.encode_fic(self._fib_payloads())
+        cif_bits = self.dab.nb_cif_bits
+        cifs = np.zeros((self.dab.nb_cifs, cif_bits), dtype=np.int8)
+        for _ in range(1):
+            pass
+        for c in range(self.dab.nb_cifs):
+            for s in self.services:
+                enc = self.msc_encoders[s.subchannel_id]
+                payload = self._next_subchannel_frame(s.subchannel_id)
+                sub = enc.encode_cif(payload)
+                a = s.cfg.start_address * 64
+                cifs[c, a:a + sub.shape[0]] = sub
+            self._cif_counter += 1
+        return np.concatenate([fic, cifs.reshape(-1)])
+
+    def next_frame_iq(self) -> np.ndarray:
+        """One transmission frame of complex64 IQ samples."""
+        soft = self.next_frame_bits()
+        bits = (soft > 0).astype(np.uint8)
+        p = self.ofdm
+        bits = bits.reshape(p.nb_data_symbols, 2 * p.nb_data_carriers)
+        return np.asarray(self.modulator.modulate_frame(jnp.asarray(bits[None]))[0])
+
+    def generate(self, nb_frames: int) -> np.ndarray:
+        return np.concatenate([self.next_frame_iq() for _ in range(nb_frames)])
