@@ -33,20 +33,42 @@ class ChannelEvents:
     on_access_unit: List[Callable] = field(default_factory=list)
     on_superframe_header: List[Callable] = field(default_factory=list)
     on_frame_data: List[Callable] = field(default_factory=list)
+    on_dynamic_label: List[Callable] = field(default_factory=list)
 
 
 class DabPlusChannel:
-    """MSC subchannel -> DAB+ superframe -> access units (audio decode is
-    attached separately via the codecs module)."""
+    """MSC subchannel -> DAB+ superframe -> access units + PAD (dynamic
+    labels, MOT slideshows); PCM audio decode attaches via host.codecs."""
 
     kind = "dab+"
 
     def __init__(self, cfg: SubchannelConfig):
+        from ..dab.aac_data import AACDataDecoder
+        from ..dab.slideshow import SlideshowManager
         self.cfg = cfg
         self.msc = MSCDecoder(cfg)
         self.superframe = SuperframeProcessor()
         self.events = ChannelEvents()
         self.header = None
+        self.aac_data = AACDataDecoder()
+        self.slideshows = SlideshowManager()
+        self.aac_data.pad.on_mot_entity.append(
+            self.slideshows.process_mot_entity)
+        self.dynamic_label = ""
+        self.aac_data.pad.on_label.append(self._set_label)
+
+    def _set_label(self, label: str):
+        self.dynamic_label = label
+        for cb in self.events.on_dynamic_label:
+            cb(label)
+
+    @property
+    def on_dynamic_label(self):
+        return self.events.on_dynamic_label
+
+    @property
+    def on_slideshow(self):
+        return self.slideshows.on_slideshow
 
     def process_cif(self, msc_soft_bits: np.ndarray):
         payload = self.msc.decode_cif(msc_soft_bits)
@@ -61,24 +83,39 @@ class DabPlusChannel:
             for cb in self.events.on_superframe_header:
                 cb(header)
         for i, au in enumerate(aus):
+            self.aac_data.process_access_unit(au)
             for cb in self.events.on_access_unit:
                 cb(i, len(aus), au, header)
 
 
 class DabChannel:
-    """MSC subchannel -> MP2 logical frames (classic DAB audio)."""
+    """MSC subchannel -> MP2 logical frames + PAD (classic DAB audio)."""
 
     kind = "dab"
 
     def __init__(self, cfg: SubchannelConfig):
+        from ..dab.mp2 import MP2PadExtractor
+        from ..dab.slideshow import SlideshowManager
         self.cfg = cfg
         self.msc = MSCDecoder(cfg)
         self.events = ChannelEvents()
+        self.pad_extractor = MP2PadExtractor()
+        self.slideshows = SlideshowManager()
+        self.pad_extractor.pad.on_mot_entity.append(
+            self.slideshows.process_mot_entity)
+        self.dynamic_label = ""
+        self.pad_extractor.pad.on_label.append(self._set_label)
+
+    def _set_label(self, label: str):
+        self.dynamic_label = label
+        for cb in self.events.on_dynamic_label:
+            cb(label)
 
     def process_cif(self, msc_soft_bits: np.ndarray):
         payload = self.msc.decode_cif(msc_soft_bits)
         if payload is None:
             return
+        self.pad_extractor.process_frame(payload)
         for cb in self.events.on_frame_data:
             cb(payload)
 
