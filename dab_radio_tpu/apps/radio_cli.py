@@ -1,0 +1,124 @@
+"""basic_radio_app_cli equivalent: IQ (file/stdin) -> OFDM demod -> DAB decode.
+
+Pipeline configurations mirror the reference's --configuration flag
+(examples/basic_radio_app.cpp):
+  dab+ofdm : raw IQ in -> full receiver
+  ofdm     : raw IQ in -> soft-bit frames out (stdout)
+  dab      : soft-bit frames in -> DAB decode
+Plus --scraper-enable (disk sink tree) and --benchmark (decode every
+discovered subchannel, reference --radio-enable-benchmark).
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ..host.native import iq_convert, IQ_FORMATS
+from ..models.demodulator import OFDMDemodulator, StreamingDemodulator
+from ..models.receiver import DabReceiver
+from ..dab.database import STREAM_AUDIO
+
+
+def summarize(rx: DabReceiver, file=sys.stderr):
+    db = rx.db
+    print(f"ensemble: id={db.ensemble.id:04X} label='{db.ensemble.label}' "
+          f"services={len(db.services)} subchannels={len(db.subchannels)}",
+          file=file)
+    for sid, svc in sorted(db.services.items()):
+        print(f"  service {sid:04X}: '{svc.label}'", file=file)
+    for sub_id, sub in sorted(db.subchannels.items()):
+        comp = db.component_by_subchannel(sub_id)
+        kind = "?"
+        if comp is not None and comp.transport_mode == STREAM_AUDIO:
+            kind = "DAB+" if comp.audio_service_type == 63 else "DAB"
+        prot = (f"UEP#{sub.uep_table_index}" if sub.is_uep
+                else f"EEP-{(sub.eep_prot_level or 0) + 1}{sub.eep_type}")
+        print(f"  subchannel {sub_id}: start={sub.start_address} "
+              f"len={sub.length}CU {prot} type={kind}", file=file)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-i", "--input", default="-", help="IQ file or - for stdin")
+    ap.add_argument("-F", "--format", default="u8", choices=sorted(IQ_FORMATS))
+    ap.add_argument("-M", "--transmission-mode", type=int, default=1)
+    ap.add_argument("--configuration", default="dab+ofdm",
+                    choices=["dab+ofdm", "ofdm", "dab"])
+    ap.add_argument("-b", "--block-size", type=int, default=65536 * 4)
+    ap.add_argument("--scraper-enable", action="store_true")
+    ap.add_argument("--scraper-output", default="scraper_out")
+    ap.add_argument("--benchmark", action="store_true",
+                    help="decode all subchannels, print throughput")
+    ap.add_argument("--max-frames", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    run_ofdm = args.configuration in ("dab+ofdm", "ofdm")
+    run_dab = args.configuration in ("dab+ofdm", "dab")
+
+    demod = OFDMDemodulator(args.transmission_mode) if run_ofdm else None
+    sd = StreamingDemodulator(demod) if run_ofdm else None
+    rx = DabReceiver(args.transmission_mode,
+                     benchmark_all=args.benchmark) if run_dab else None
+
+    scraper = None
+    if args.scraper_enable and rx is not None:
+        from ..host.scraper import Scraper
+        scraper = Scraper(args.scraper_output)
+        scraper.attach(rx)
+
+    nb_frames = 0
+    last_stats = None
+    t_start = time.time()
+    total_samples = 0
+    nb_frame_bits = rx.dab.nb_frame_bits if rx else demod.params.nb_frame_bits
+
+    def handle_frame(bits):
+        nonlocal nb_frames, last_stats
+        nb_frames += 1
+        if rx is not None:
+            rx.process_frame(bits)
+            stats = rx.updater.stats()
+            if stats != last_stats:
+                last_stats = stats
+                summarize(rx)
+        else:
+            sys.stdout.buffer.write(np.asarray(bits, np.int8).tobytes())
+
+    while True:
+        raw = fin.read(args.block_size)
+        if not raw:
+            break
+        if run_ofdm:
+            iq = iq_convert(raw, args.format)
+            total_samples += iq.shape[0]
+            for bits in sd.process(iq):
+                handle_frame(bits)
+        else:
+            soft = np.frombuffer(raw, dtype=np.int8)
+            for off in range(0, soft.shape[0] - nb_frame_bits + 1,
+                             nb_frame_bits):
+                handle_frame(soft[off:off + nb_frame_bits])
+        if args.max_frames and nb_frames >= args.max_frames:
+            break
+
+    dt = time.time() - t_start
+    if args.benchmark:
+        msps = total_samples / dt / 1e6 if dt > 0 else 0
+        print(f"benchmark: frames={nb_frames} wall={dt:.2f}s "
+              f"ingest={msps:.2f} MSPS ({msps / 2.048:.2f}x realtime)",
+              file=sys.stderr)
+    if rx is not None:
+        summarize(rx)
+        if sd is not None:
+            print(f"demod: frames_read={int(sd.carry.total_frames)} "
+                  f"desync={int(sd.carry.total_desync)}", file=sys.stderr)
+    if scraper is not None:
+        scraper.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,114 @@
+"""Disk scraper: writes decoded channel output into a per-service directory
+tree.
+
+Parity surface: reference src/basic_scraper/ (basic_scraper.{h,cpp}):
+service_<sid>/component_<id>/ directories containing WAV audio (patched
+header on close), raw AAC (ADTS) / MP2 bitstreams, slideshow images, and MOT
+entities.
+"""
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from .audio import WavFileSink
+from ..dab.aac import adts_header
+
+
+class ChannelScraper:
+    def __init__(self, root: str, subchannel_id: int, kind: str):
+        self.dir = os.path.join(root, f"subchannel_{subchannel_id}")
+        os.makedirs(self.dir, exist_ok=True)
+        self.kind = kind
+        self._wav: Optional[WavFileSink] = None
+        self._wav_params = None
+        self._bitstream = None
+        self._slideshow_count = 0
+        self._mot_count = 0
+
+    # ---- audio ----
+
+    def on_pcm(self, pcm: np.ndarray, sample_rate: int, channels: int):
+        params = (sample_rate, channels)
+        if self._wav is None or self._wav_params != params:
+            if self._wav is not None:
+                self._wav.close()
+            idx = 0 if self._wav is None else 1
+            path = os.path.join(self.dir, f"audio_{sample_rate}hz.wav")
+            self._wav = WavFileSink(path, sample_rate, channels)
+            self._wav_params = params
+        self._wav.write_pcm16(pcm)
+
+    def on_access_unit(self, index, total, au, header):
+        if self._bitstream is None:
+            ext = "aac" if self.kind == "dab+" else "mp2"
+            self._bitstream = open(os.path.join(self.dir, f"stream.{ext}"), "wb")
+        if self.kind == "dab+":
+            self._bitstream.write(adts_header(header, len(au)))
+        self._bitstream.write(au)
+
+    def on_mp2_frame(self, frame: bytes):
+        if self._bitstream is None:
+            self._bitstream = open(os.path.join(self.dir, "stream.mp2"), "wb")
+        self._bitstream.write(frame)
+
+    # ---- data ----
+
+    def on_slideshow(self, slideshow):
+        name = slideshow.name or f"slide_{self._slideshow_count}"
+        name = name.replace("/", "_")
+        if not name.lower().endswith((".jpg", ".jpeg", ".png")):
+            name += "." + ("jpg" if slideshow.image_type == "jpeg" else "png")
+        with open(os.path.join(self.dir, name), "wb") as f:
+            f.write(slideshow.data)
+        self._slideshow_count += 1
+
+    def on_mot_entity(self, entity):
+        name = entity.header.content_name or f"mot_{self._mot_count}"
+        name = name.replace("/", "_")
+        with open(os.path.join(self.dir, name), "wb") as f:
+            f.write(entity.body)
+        self._mot_count += 1
+
+    def on_dynamic_label(self, label: str):
+        with open(os.path.join(self.dir, "labels.txt"), "a") as f:
+            f.write(label + "\n")
+
+    def close(self):
+        if self._wav is not None:
+            self._wav.close()
+        if self._bitstream is not None:
+            self._bitstream.close()
+
+
+class Scraper:
+    """Attach to a DabReceiver; creates per-channel scrapers as channels
+    appear (reference BasicScraper::attach_to_radio)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.channels: Dict[int, ChannelScraper] = {}
+
+    def attach(self, receiver):
+        receiver.on_audio_channel.append(self._on_channel)
+        receiver.on_data_channel.append(self._on_channel)
+
+    def _on_channel(self, sub_id: int, ch):
+        cs = ChannelScraper(self.root, sub_id, ch.kind)
+        self.channels[sub_id] = cs
+        if ch.kind == "dab+":
+            ch.events.on_access_unit.append(cs.on_access_unit)
+            ch.events.on_dynamic_label.append(cs.on_dynamic_label)
+            ch.slideshows.on_slideshow.append(cs.on_slideshow)
+        elif ch.kind == "dab":
+            ch.events.on_frame_data.append(cs.on_mp2_frame)
+            ch.events.on_dynamic_label.append(cs.on_dynamic_label)
+            ch.slideshows.on_slideshow.append(cs.on_slideshow)
+        elif ch.kind == "packet":
+            ch.processor.mot.on_entity.append(cs.on_mot_entity)
+
+    def close(self):
+        for cs in self.channels.values():
+            cs.close()

@@ -1,0 +1,219 @@
+// Host-side streaming kernels (C API for ctypes).
+//
+// TPU-native equivalents of the reference's host plumbing: the IQ byte-format
+// dequantizers (examples/app_helpers/app_iq_readers.h:19-159, 14 sample
+// formats with bias/scale), the soft<->hard bit converter
+// (examples/app_helpers/app_viterbi_convert_block.h), and a lock-based SPSC
+// ring buffer replacing ThreadedRingBuffer (app_io_buffers.h:189-245) for
+// feeding the device ingest pipeline without dropping samples.
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <vector>
+
+extern "C" {
+
+// ---------------- IQ dequantization ----------------
+// format codes: 0=u8 1=s8 2=u16le 3=s16le 4=u16be 5=s16be
+//               6=u32le 7=s32le 8=u32be 9=s32be 10=f32le 11=f32be
+//               12=f64le 13=f64be
+// Output: interleaved float32 I/Q normalised to roughly [-1, 1].
+
+static inline uint16_t bswap16(uint16_t v) { return __builtin_bswap16(v); }
+static inline uint32_t bswap32(uint32_t v) { return __builtin_bswap32(v); }
+static inline uint64_t bswap64(uint64_t v) { return __builtin_bswap64(v); }
+
+int64_t iq_convert(const uint8_t* in, int64_t nb_in_bytes, int format,
+                   float* out /* 2*nb_samples floats */) {
+    switch (format) {
+    case 0: {  // u8: (x - 127.5) / 127.5  (reference uses 128 bias /128 scale)
+        const int64_t n = nb_in_bytes;
+        for (int64_t i = 0; i < n; i++) out[i] = (float(in[i]) - 128.0f) / 128.0f;
+        return n / 2;
+    }
+    case 1: {
+        const auto* p = reinterpret_cast<const int8_t*>(in);
+        const int64_t n = nb_in_bytes;
+        for (int64_t i = 0; i < n; i++) out[i] = float(p[i]) / 128.0f;
+        return n / 2;
+    }
+    case 2: case 4: {
+        const auto* p = reinterpret_cast<const uint16_t*>(in);
+        const int64_t n = nb_in_bytes / 2;
+        const bool swap = (format == 4);
+        for (int64_t i = 0; i < n; i++) {
+            uint16_t v = swap ? bswap16(p[i]) : p[i];
+            out[i] = (float(v) - 32768.0f) / 32768.0f;
+        }
+        return n / 2;
+    }
+    case 3: case 5: {
+        const auto* p = reinterpret_cast<const uint16_t*>(in);
+        const int64_t n = nb_in_bytes / 2;
+        const bool swap = (format == 5);
+        for (int64_t i = 0; i < n; i++) {
+            uint16_t v = swap ? bswap16(p[i]) : p[i];
+            out[i] = float(int16_t(v)) / 32768.0f;
+        }
+        return n / 2;
+    }
+    case 6: case 8: {
+        const auto* p = reinterpret_cast<const uint32_t*>(in);
+        const int64_t n = nb_in_bytes / 4;
+        const bool swap = (format == 8);
+        for (int64_t i = 0; i < n; i++) {
+            uint32_t v = swap ? bswap32(p[i]) : p[i];
+            out[i] = (float(v) - 2147483648.0f) / 2147483648.0f;
+        }
+        return n / 2;
+    }
+    case 7: case 9: {
+        const auto* p = reinterpret_cast<const uint32_t*>(in);
+        const int64_t n = nb_in_bytes / 4;
+        const bool swap = (format == 9);
+        for (int64_t i = 0; i < n; i++) {
+            uint32_t v = swap ? bswap32(p[i]) : p[i];
+            out[i] = float(int32_t(v)) / 2147483648.0f;
+        }
+        return n / 2;
+    }
+    case 10: case 11: {
+        const auto* p = reinterpret_cast<const uint32_t*>(in);
+        const int64_t n = nb_in_bytes / 4;
+        const bool swap = (format == 11);
+        for (int64_t i = 0; i < n; i++) {
+            uint32_t v = swap ? bswap32(p[i]) : p[i];
+            float f;
+            std::memcpy(&f, &v, 4);
+            out[i] = f;
+        }
+        return n / 2;
+    }
+    case 12: case 13: {
+        const auto* p = reinterpret_cast<const uint64_t*>(in);
+        const int64_t n = nb_in_bytes / 8;
+        const bool swap = (format == 13);
+        for (int64_t i = 0; i < n; i++) {
+            uint64_t v = swap ? bswap64(p[i]) : p[i];
+            double d;
+            std::memcpy(&d, &v, 8);
+            out[i] = float(d);
+        }
+        return n / 2;
+    }
+    default:
+        return -1;
+    }
+}
+
+// inverse: quantize interleaved float IQ to u8 (for the transmitter apps)
+void iq_quantize_u8(const float* in, int64_t nb_floats, uint8_t* out) {
+    for (int64_t i = 0; i < nb_floats; i++) {
+        float v = in[i] * 128.0f + 128.0f;
+        if (v < 0.0f) v = 0.0f;
+        if (v > 255.0f) v = 255.0f;
+        out[i] = uint8_t(v);
+    }
+}
+
+// ---------------- soft <-> hard bits ----------------
+// soft: int8 where >0 means logical 1; hard: MSB-first packed bytes
+
+void soft_to_hard(const int8_t* soft, int64_t nb_bits, uint8_t* packed) {
+    const int64_t nb_bytes = nb_bits / 8;
+    for (int64_t i = 0; i < nb_bytes; i++) {
+        uint8_t b = 0;
+        for (int k = 0; k < 8; k++) {
+            b = uint8_t(b << 1) | uint8_t(soft[i * 8 + k] > 0);
+        }
+        packed[i] = b;
+    }
+}
+
+void hard_to_soft(const uint8_t* packed, int64_t nb_bits, int8_t soft_high,
+                  int8_t* soft) {
+    for (int64_t i = 0; i < nb_bits; i++) {
+        const int bit = (packed[i / 8] >> (7 - (i % 8))) & 1;
+        soft[i] = bit ? soft_high : int8_t(-soft_high);
+    }
+}
+
+// ---------------- blocking SPSC ring buffer ----------------
+
+struct RingBuffer {
+    std::vector<uint8_t> buf;
+    size_t head = 0, tail = 0, size = 0;
+    std::mutex m;
+    std::condition_variable cv_read, cv_write;
+    bool closed = false;
+};
+
+void* ring_create(int64_t capacity) {
+    auto* r = new RingBuffer();
+    r->buf.resize(size_t(capacity));
+    return r;
+}
+
+void ring_destroy(void* h) { delete static_cast<RingBuffer*>(h); }
+
+void ring_close(void* h) {
+    auto* r = static_cast<RingBuffer*>(h);
+    std::lock_guard<std::mutex> lk(r->m);
+    r->closed = true;
+    r->cv_read.notify_all();
+    r->cv_write.notify_all();
+}
+
+// blocking write; returns bytes written (< n only if closed)
+int64_t ring_write(void* h, const uint8_t* data, int64_t n) {
+    auto* r = static_cast<RingBuffer*>(h);
+    int64_t written = 0;
+    while (written < n) {
+        std::unique_lock<std::mutex> lk(r->m);
+        r->cv_write.wait(lk, [&] {
+            return r->closed || r->size < r->buf.size();
+        });
+        if (r->closed) break;
+        const size_t avail = r->buf.size() - r->size;
+        const size_t chunk = std::min<size_t>(avail, size_t(n - written));
+        for (size_t i = 0; i < chunk; i++) {
+            r->buf[r->tail] = data[written + int64_t(i)];
+            r->tail = (r->tail + 1) % r->buf.size();
+        }
+        r->size += chunk;
+        written += int64_t(chunk);
+        r->cv_read.notify_one();
+    }
+    return written;
+}
+
+// blocking read of exactly n bytes (less only when closed and drained)
+int64_t ring_read(void* h, uint8_t* data, int64_t n) {
+    auto* r = static_cast<RingBuffer*>(h);
+    int64_t got = 0;
+    while (got < n) {
+        std::unique_lock<std::mutex> lk(r->m);
+        r->cv_read.wait(lk, [&] { return r->closed || r->size > 0; });
+        if (r->size == 0 && r->closed) break;
+        const size_t chunk = std::min<size_t>(r->size, size_t(n - got));
+        for (size_t i = 0; i < chunk; i++) {
+            data[got + int64_t(i)] = r->buf[r->head];
+            r->head = (r->head + 1) % r->buf.size();
+        }
+        r->size -= chunk;
+        got += int64_t(chunk);
+        r->cv_write.notify_one();
+    }
+    return got;
+}
+
+int64_t ring_size(void* h) {
+    auto* r = static_cast<RingBuffer*>(h);
+    std::lock_guard<std::mutex> lk(r->m);
+    return int64_t(r->size);
+}
+
+}  // extern "C"
