@@ -29,6 +29,7 @@ from ..params import get_ofdm_params, get_prs_reference
 from ..params.mapper import get_carrier_mapper, get_carrier_to_fft_bin
 from ..ops import sync as sync_ops
 from ..ops.demod import demod_frame_body
+from ..utils.profiler import profile_scope
 
 
 @dataclass(frozen=True)
@@ -195,7 +196,8 @@ class StreamingDemodulator:
                 acq_len = d.window_len
                 if avail < acq_len:
                     break
-                block = jnp.asarray(self._buf[ptr:ptr + acq_len])
+                with profile_scope("demod/acquire"):
+                    block = jnp.asarray(self._buf[ptr:ptr + acq_len])
                 if self._l1 == 0.0:
                     self._l1 = float(sync_ops.l1_average(block))
                 found, end_idx = d._acquire(block, jnp.float32(self._l1))
@@ -212,8 +214,9 @@ class StreamingDemodulator:
             else:
                 if avail < d.window_len:
                     break
-                window = jnp.asarray(self._buf[ptr:ptr + d.window_len])
-                self.carry, out = d.frame_step(self.carry, window)
+                with profile_scope("demod/frame_step"):
+                    window = jnp.asarray(self._buf[ptr:ptr + d.window_len])
+                    self.carry, out = d.frame_step(self.carry, window)
                 if bool(out["sync_ok"]):
                     frames.append(np.asarray(out["bits"]))
                     ptr += int(out["offset"]) + d.frame_advance

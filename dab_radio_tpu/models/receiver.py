@@ -23,6 +23,7 @@ from ..dab.database import (
 )
 from ..dab.msc import MSCDecoder
 from ..dab.aac import SuperframeProcessor
+from ..utils.profiler import profile_scope
 
 
 @dataclass
@@ -169,10 +170,12 @@ class DabReceiver:
         fic = bits[: self.dab.nb_fic_bits]
         msc = bits[self.dab.nb_fic_bits:]
 
-        fibs, _ = self.fic.decode_fic(fic)
-        for fib in fibs:
-            for ev in self.parser.parse_fib(fib):
-                self.updater.apply(ev)
+        with profile_scope("radio/fic_decode"):
+            fibs, _ = self.fic.decode_fic(fic)
+        with profile_scope("radio/fig_parse"):
+            for fib in fibs:
+                for ev in self.parser.parse_fib(fib):
+                    self.updater.apply(ev)
 
         stats = self.updater.stats()
         if stats != self._last_stats:
@@ -180,9 +183,10 @@ class DabReceiver:
             self._update_channels()
 
         cifs = msc.reshape(self.dab.nb_cifs, self.dab.nb_cif_bits)
-        for ch in list(self.channels.values()):
-            for c in range(self.dab.nb_cifs):
-                ch.process_cif(cifs[c])
+        with profile_scope("radio/msc_channels"):
+            for ch in list(self.channels.values()):
+                for c in range(self.dab.nb_cifs):
+                    ch.process_cif(cifs[c])
         self.total_frames += 1
 
     # ---- dynamic channel instantiation (reference UpdateAfterProcessing) ----
