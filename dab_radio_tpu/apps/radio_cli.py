@@ -16,6 +16,7 @@ import time
 import numpy as np
 
 from ..host.native import iq_convert, IQ_FORMATS
+from ..host.io import IQReader
 from ..models.demodulator import OFDMDemodulator, StreamingDemodulator
 from ..models.receiver import DabReceiver
 from ..dab.database import STREAM_AUDIO
@@ -42,19 +43,23 @@ def summarize(rx: DabReceiver, file=sys.stderr):
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("-i", "--input", default="-", help="IQ file or - for stdin")
-    ap.add_argument("-F", "--format", default="u8", choices=sorted(IQ_FORMATS))
+    ap.add_argument("-F", "--format", default="u8",
+                    choices=sorted(IQ_FORMATS) + ["wav"])
     ap.add_argument("-M", "--transmission-mode", type=int, default=1)
     ap.add_argument("--configuration", default="dab+ofdm",
                     choices=["dab+ofdm", "ofdm", "dab"])
     ap.add_argument("-b", "--block-size", type=int, default=65536 * 4)
     ap.add_argument("--scraper-enable", action="store_true")
     ap.add_argument("--scraper-output", default="scraper_out")
+    ap.add_argument("--audio-decode", action="store_true",
+                    help="decode audio to PCM via libavcodec (WAV in scraper)")
     ap.add_argument("--benchmark", action="store_true",
                     help="decode all subchannels, print throughput")
     ap.add_argument("--max-frames", type=int, default=0)
     args = ap.parse_args(argv)
 
     fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    reader = IQReader(fin, args.format) if args.configuration != "dab" else None
     run_ofdm = args.configuration in ("dab+ofdm", "ofdm")
     run_dab = args.configuration in ("dab+ofdm", "dab")
 
@@ -68,12 +73,17 @@ def main(argv=None):
         from ..host.scraper import Scraper
         scraper = Scraper(args.scraper_output)
         scraper.attach(rx)
+    if args.audio_decode and rx is not None:
+        rx.on_audio_channel.append(
+            lambda _id, ch: ch.enable_audio_decode()
+            if hasattr(ch, "enable_audio_decode") else None)
 
     nb_frames = 0
     last_stats = None
     t_start = time.time()
     total_samples = 0
     nb_frame_bits = rx.dab.nb_frame_bits if rx else demod.params.nb_frame_bits
+    soft_residue = np.zeros(0, dtype=np.int8)
 
     def handle_frame(bits):
         nonlocal nb_frames, last_stats
@@ -92,15 +102,18 @@ def main(argv=None):
         if not raw:
             break
         if run_ofdm:
-            iq = iq_convert(raw, args.format)
+            iq = iq_convert(raw, reader.fmt)
             total_samples += iq.shape[0]
             for bits in sd.process(iq):
                 handle_frame(bits)
         else:
-            soft = np.frombuffer(raw, dtype=np.int8)
-            for off in range(0, soft.shape[0] - nb_frame_bits + 1,
-                             nb_frame_bits):
+            soft = np.concatenate([soft_residue,
+                                   np.frombuffer(raw, dtype=np.int8)])
+            off = 0
+            while off + nb_frame_bits <= soft.shape[0]:
                 handle_frame(soft[off:off + nb_frame_bits])
+                off += nb_frame_bits
+            soft_residue = soft[off:]
         if args.max_frames and nb_frames >= args.max_frames:
             break
 

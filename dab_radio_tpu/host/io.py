@@ -1,0 +1,76 @@
+"""Stream IO helpers: WAV-wrapped IQ reader and block iteration.
+
+Parity surface: reference examples/app_helpers/app_wav_reader.h +
+app_iq_readers.h: WAV files whose 2-channel PCM payload carries I/Q pairs;
+sample format inferred from the fmt chunk.
+"""
+
+import struct
+from typing import BinaryIO, Optional, Tuple
+
+import numpy as np
+
+from .native import iq_convert
+
+
+def parse_wav_header(f: BinaryIO) -> Optional[Tuple[str, int, int]]:
+    """Returns (iq_format, sample_rate, data_offset) for an IQ WAV, or None
+    if the stream is not a WAV (rewinds in that case is caller's job)."""
+    header = f.read(12)
+    if len(header) < 12 or header[:4] != b"RIFF" or header[8:12] != b"WAVE":
+        return None
+    fmt = None
+    offset = 12
+    while True:
+        chunk = f.read(8)
+        if len(chunk) < 8:
+            return None
+        cid, size = chunk[:4], struct.unpack("<I", chunk[4:])[0]
+        offset += 8
+        if cid == b"fmt ":
+            data = f.read(size)
+            offset += size
+            audio_fmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", data[:16])
+            if channels != 2:
+                return None
+            if audio_fmt == 1 and bits == 8:
+                fmt = "u8"
+            elif audio_fmt == 1 and bits == 16:
+                fmt = "s16le"
+            elif audio_fmt == 1 and bits == 32:
+                fmt = "s32le"
+            elif audio_fmt == 3 and bits == 32:
+                fmt = "f32le"
+            elif audio_fmt == 3 and bits == 64:
+                fmt = "f64le"
+            else:
+                return None
+            sample_rate = rate
+        elif cid == b"data":
+            if fmt is None:
+                return None
+            return fmt, sample_rate, offset
+        else:
+            f.read(size)
+            offset += size
+
+
+class IQReader:
+    """Unified IQ block reader over raw or WAV-wrapped streams."""
+
+    def __init__(self, f: BinaryIO, fmt: str = "u8"):
+        self.f = f
+        self.fmt = fmt
+        self.sample_rate = None
+        if fmt == "wav":
+            parsed = parse_wav_header(f)
+            if parsed is None:
+                raise ValueError("not a 2-channel IQ WAV stream")
+            self.fmt, self.sample_rate, _ = parsed
+
+    def read_block(self, nb_bytes: int) -> Optional[np.ndarray]:
+        raw = self.f.read(nb_bytes)
+        if not raw:
+            return None
+        return iq_convert(raw, self.fmt)

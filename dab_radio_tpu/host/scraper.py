@@ -101,10 +101,12 @@ class Scraper:
         if ch.kind == "dab+":
             ch.events.on_access_unit.append(cs.on_access_unit)
             ch.events.on_dynamic_label.append(cs.on_dynamic_label)
+            ch.events.on_audio_data.append(cs.on_pcm)
             ch.slideshows.on_slideshow.append(cs.on_slideshow)
         elif ch.kind == "dab":
             ch.events.on_frame_data.append(cs.on_mp2_frame)
             ch.events.on_dynamic_label.append(cs.on_dynamic_label)
+            ch.events.on_audio_data.append(cs.on_pcm)
             ch.slideshows.on_slideshow.append(cs.on_slideshow)
         elif ch.kind == "packet":
             ch.processor.mot.on_entity.append(cs.on_mot_entity)

@@ -57,6 +57,9 @@ class DabPlusChannel:
             self.slideshows.process_mot_entity)
         self.dynamic_label = ""
         self.aac_data.pad.on_label.append(self._set_label)
+        self._decode_audio = False
+        self._audio_decoder = None
+        self._decoder_header = None
 
     def _set_label(self, label: str):
         self.dynamic_label = label
@@ -70,6 +73,21 @@ class DabPlusChannel:
     @property
     def on_slideshow(self):
         return self.slideshows.on_slideshow
+
+    def enable_audio_decode(self) -> bool:
+        """Attach the libavcodec AAC decoder (host.codecs); PCM flows to
+        events.on_audio_data. Returns availability."""
+        self._decode_audio = True
+        return True
+
+    def _ensure_decoder(self, header):
+        from ..host.codecs import AACDecoder
+        if self._audio_decoder is None or self._decoder_header != header:
+            if self._audio_decoder is not None:
+                self._audio_decoder.close()
+            self._audio_decoder = AACDecoder(header)
+            self._decoder_header = header
+        return self._audio_decoder
 
     def process_cif(self, msc_soft_bits: np.ndarray):
         payload = self.msc.decode_cif(msc_soft_bits)
@@ -87,6 +105,14 @@ class DabPlusChannel:
             self.aac_data.process_access_unit(au)
             for cb in self.events.on_access_unit:
                 cb(i, len(aus), au, header)
+            if getattr(self, "_decode_audio", False):
+                dec = self._ensure_decoder(header)
+                if dec.is_available:
+                    out = dec.decode_au(au)
+                    if out is not None:
+                        pcm, rate, ch = out
+                        for cb in self.events.on_audio_data:
+                            cb(pcm, rate, ch)
 
 
 class DabChannel:
@@ -106,11 +132,17 @@ class DabChannel:
             self.slideshows.process_mot_entity)
         self.dynamic_label = ""
         self.pad_extractor.pad.on_label.append(self._set_label)
+        self._audio_decoder = None
 
     def _set_label(self, label: str):
         self.dynamic_label = label
         for cb in self.events.on_dynamic_label:
             cb(label)
+
+    def enable_audio_decode(self) -> bool:
+        from ..host.codecs import MP2Decoder
+        self._audio_decoder = MP2Decoder()
+        return self._audio_decoder.is_available
 
     def process_cif(self, msc_soft_bits: np.ndarray):
         payload = self.msc.decode_cif(msc_soft_bits)
@@ -119,6 +151,16 @@ class DabChannel:
         self.pad_extractor.process_frame(payload)
         for cb in self.events.on_frame_data:
             cb(payload)
+        if self._audio_decoder is not None and self._audio_decoder.is_available:
+            out = self._audio_decoder.decode(payload)
+            if out is not None:
+                pcm, rate, ch = out
+                if ch == 1:
+                    # reference duplicates mono to stereo for the pipeline
+                    pcm = np.repeat(pcm.reshape(-1, 1), 2, axis=1).reshape(-1)
+                    ch = 2
+                for cb in self.events.on_audio_data:
+                    cb(pcm, rate, ch)
 
 
 class DataPacketChannel:
