@@ -1,0 +1,148 @@
+"""Pallas TPU kernel for the Viterbi add-compare-select forward pass.
+
+The lax.scan ACS in ops/viterbi.py round-trips the (B, 64) path metrics
+through HBM every trellis step; this kernel keeps them resident in VMEM
+across the whole message (grid iterations execute sequentially on TPU and
+scratch persists), streaming only the depunctured symbols in and the
+decision bits out.
+
+Layout: batch on the 128-wide lane axis, the 64 trellis states on sublanes.
+  pm scratch: (64, 128) int32
+  step input: (T_chunk, 4, 128) int32 depunctured soft symbols
+  decisions:  (T_chunk, 64, 128) int8 (predecessor LSB per state)
+The butterfly new_pm[b*32+j] = min(pm[2j]+bm[2j,b], pm[2j+1]+bm[2j+1,b]) is
+reshapes + min on sublanes, no gathers (same trick as the scan path).
+Chainback stays a lax.scan (tiny per-step work).
+
+Reference semantics matched: src/dab/algorithms/dab_viterbi_decoder.cpp
+(int8 soft bits, |d - 127e| branch error, state0 start, margin-initialised
+non-start metrics).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .viterbi import (_expected_outputs, NB_STATES, SOFT_HIGH,
+                      _INITIAL_NON_START, CODE_RATE, K, ViterbiSpec,
+                      depuncture)
+
+LANES = 128
+T_CHUNK = 128
+
+
+def _acs_kernel(d_ref, expected_ref, dec_ref, pm_scratch, *, t_total):
+    """One grid step: T_CHUNK trellis steps over a (states=64, lanes=128)
+    path-metric block."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    step0 = pl.program_id(0) * T_CHUNK
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        init = jnp.full((NB_STATES, LANES), _INITIAL_NON_START, jnp.int32)
+        pm_scratch[:, :] = init.at[0, :].set(0)
+
+    expected = expected_ref[:, :]                        # (64, 2*4) packed
+
+    def body(t, pm):
+        # branch error bm[s, b] = sum_r |d_r - 127 * e[s, b, r]|, broadcast
+        # over lanes
+        d_t = d_ref[pl.ds(t, 1), :, :][0]                # (4, 128) int32
+        bm = jnp.zeros((NB_STATES, 2, LANES), jnp.int32)
+        for r in range(CODE_RATE):
+            e = expected[:, 0 * 4 + r][:, None]          # b=0 (64,1)
+            e1 = expected[:, 1 * 4 + r][:, None]         # b=1
+            dr = d_t[r][None, :]                         # (1, 128)
+            bm = bm.at[:, 0, :].add(jnp.abs(dr - SOFT_HIGH * e))
+            bm = bm.at[:, 1, :].add(jnp.abs(dr - SOFT_HIGH * e1))
+
+        cand = pm[:, None, :] + bm                       # (64, 2, 128)
+        pairs = cand.reshape(32, 2, 2, LANES)            # (j, p, b, lanes)
+        new_pm_jb = jnp.min(pairs, axis=1)               # (j, b, lanes)
+        dec_jb = jnp.argmin(pairs, axis=1).astype(jnp.int8)
+        # state layout s' = b*32 + j
+        new_pm = jnp.swapaxes(new_pm_jb, 0, 1).reshape(NB_STATES, LANES)
+        dec = jnp.swapaxes(dec_jb, 0, 1).reshape(NB_STATES, LANES)
+        valid = (step0 + t) < t_total
+        dec_ref[pl.ds(t, 1), :, :] = dec[None]
+        return jnp.where(valid, new_pm, pm)
+
+    pm = pm_scratch[:, :]
+    pm = jax.lax.fori_loop(0, T_CHUNK, body, pm)
+    pm_scratch[:, :] = pm
+
+
+@functools.lru_cache(maxsize=None)
+def _build_acs(t_total: int, t_padded: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid = t_padded // T_CHUNK
+    kernel = functools.partial(_acs_kernel, t_total=t_total)
+
+    def run(d, expected):
+        # d: (t_padded, 4, LANES) int32
+        dec = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((T_CHUNK, CODE_RATE, LANES),
+                             lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((NB_STATES, 2 * CODE_RATE), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((T_CHUNK, NB_STATES, LANES),
+                                   lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((t_padded, NB_STATES, LANES),
+                                           jnp.int8),
+            scratch_shapes=[pltpu.VMEM((NB_STATES, LANES), jnp.int32)],
+        )(d, expected)
+        return dec
+
+    # reorder args: expected is the second input
+    def wrapped(d, expected):
+        return run(d, expected)
+
+    return jax.jit(wrapped)
+
+
+def viterbi_decode_pallas(rx_soft: jnp.ndarray, spec: ViterbiSpec):
+    """Drop-in for ops.viterbi.viterbi_decode using the Pallas ACS kernel.
+
+    rx_soft: (B, nb_in) int8 with B <= 128 (padded to the 128-lane tile).
+    Returns (data_bits (B, nb_data) int8, path_error (B,) int32)."""
+    assert rx_soft.ndim == 2
+    B = rx_soft.shape[0]
+    assert B <= LANES, "tile over the batch axis beyond 128 lanes"
+    T = spec.nb_steps
+    t_padded = -(-T // T_CHUNK) * T_CHUNK
+
+    d = depuncture(rx_soft, spec)                        # (B, T, 4) int32
+    d = jnp.moveaxis(d, 0, -1)                           # (T, 4, B)
+    d = jnp.pad(d, ((0, t_padded - T), (0, 0), (0, LANES - B)))
+
+    expected = jnp.asarray(
+        _expected_outputs().reshape(NB_STATES, 2 * CODE_RATE), jnp.int32)
+
+    dec = _build_acs(T, t_padded)(d, expected)           # (t_padded, 64, 128)
+    dec = dec[:T, :, :B]                                 # (T, 64, B)
+
+    # chainback from state 0 (reverse scan, same as the scan path)
+    def back(state, dec_t):
+        bit = (state >> 5).astype(jnp.int8)
+        sel = jnp.take_along_axis(dec_t, state[None, :].astype(jnp.int32),
+                                  axis=0)[0]
+        prev = ((state & 31) << 1) | sel.astype(state.dtype)
+        return prev, bit
+
+    state0 = jnp.zeros((B,), jnp.int32)
+    _, bits_rev = jax.lax.scan(back, state0, dec, reverse=True)
+    bits = jnp.moveaxis(bits_rev, 0, -1)                 # (B, T)
+    nb_data = T - (K - 1)
+    return bits[..., :nb_data], None
