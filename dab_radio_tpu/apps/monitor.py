@@ -1,0 +1,139 @@
+"""Headless monitor: renders the reference GUI's OFDM diagnostic views to a
+PNG dashboard (examples/gui/ofdm/render_ofdm_demod.cpp analog).
+
+Panels: raw sampling buffer, fine-time PRS impulse response, coarse-frequency
+correlation response, DQPSK IQ constellation, soft-bit histogram, per-symbol
+spectrum — plus sync state and per-stage profiler table on stderr.
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+from ..host.io import IQReader
+from ..models.demodulator import OFDMDemodulator, StreamingDemodulator
+from ..ops import sync as sync_ops
+from ..ops.pll import apply_pll
+from ..utils.profiler import get_profiler
+
+
+def collect_diagnostics(demod: OFDMDemodulator, window: np.ndarray,
+                        carry) -> dict:
+    """Recompute the GUI-visible intermediates for one frame window."""
+    import jax.numpy as jnp
+    p = demod.params
+    freq = float(carry.freq_coarse) + float(carry.freq_fine)
+    prs = jnp.asarray(window[p.nb_null_period:p.nb_null_period + p.nb_fft])
+
+    _, _, impulse_db = sync_ops.fine_time_offset(
+        prs, jnp.asarray(demod.prs_fft_conj), freq, p.nb_fft,
+        p.nb_cyclic_prefix, p.nb_symbol_period)
+
+    spec = jnp.fft.fft(prs)
+    rel = jnp.conj(spec[:-1]) * spec[1:]
+    rel = jnp.concatenate([rel, jnp.zeros(1, rel.dtype)])
+    corr = jnp.fft.fft(jnp.fft.ifft(rel) * jnp.asarray(demod.prs_time_corr_ref))
+    freq_response_db = 20 * jnp.log10(
+        jnp.maximum(jnp.abs(jnp.fft.fftshift(corr)), 1e-9))
+
+    from ..ops.demod import demod_frame_body
+    body = jnp.asarray(window[p.nb_null_period:
+                              p.nb_null_period + demod.body_len])
+    bits, _, fft_frame = demod_frame_body(
+        body, freq, nb_fft=p.nb_fft, nb_symbol_period=p.nb_symbol_period,
+        nb_frame_symbols=p.nb_frame_symbols, nb_cyclic_prefix=p.nb_cyclic_prefix,
+        carrier_bins=jnp.asarray(demod.carrier_bins),
+        carrier_map=jnp.asarray(demod.carrier_map))
+    dq = jnp.conj(fft_frame[1:]) * fft_frame[:-1]
+    constellation = np.asarray(dq[:, jnp.asarray(demod.carrier_bins)][:8]).reshape(-1)
+    return {
+        "impulse_db": np.asarray(impulse_db),
+        "freq_response_db": np.asarray(freq_response_db),
+        "constellation": constellation,
+        "bits": np.asarray(bits),
+        "spectrum_db": 20 * np.log10(np.abs(np.fft.fftshift(
+            np.asarray(fft_frame[1]))) + 1e-9),
+        "window": window,
+    }
+
+
+def render_dashboard(diag: dict, carry, out_path: str):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(3, 2, figsize=(13, 10))
+    ax = axes[0, 0]
+    w = diag["window"][::16]
+    ax.plot(np.real(w), lw=0.3)
+    ax.plot(np.imag(w), lw=0.3)
+    ax.set_title("sampling buffer (decimated)")
+
+    ax = axes[0, 1]
+    ax.plot(diag["impulse_db"], lw=0.5)
+    ax.set_title("fine time: PRS impulse response (dB)")
+
+    ax = axes[1, 0]
+    ax.plot(diag["freq_response_db"], lw=0.5)
+    ax.set_title("coarse freq: correlation response (dB)")
+
+    ax = axes[1, 1]
+    c = diag["constellation"]
+    c = c / (np.abs(c).mean() + 1e-12)
+    ax.plot(np.real(c), np.imag(c), ".", ms=1, alpha=0.3)
+    ax.set_title("DQPSK constellation (first 8 symbols)")
+    ax.set_aspect("equal")
+
+    ax = axes[2, 0]
+    ax.hist(diag["bits"].astype(np.int32), bins=64)
+    ax.set_title("soft bit histogram")
+
+    ax = axes[2, 1]
+    ax.plot(diag["spectrum_db"], lw=0.5)
+    ax.set_title("data symbol spectrum (dB)")
+
+    fig.suptitle(
+        f"coarse={float(carry.freq_coarse) * 2.048e6:+.1f} Hz  "
+        f"fine={float(carry.freq_fine) * 2.048e6:+.1f} Hz  "
+        f"frames={int(carry.total_frames)}  desync={int(carry.total_desync)}")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    print(f"wrote {out_path}", file=sys.stderr)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-i", "--input", default="-")
+    ap.add_argument("-F", "--format", default="u8")
+    ap.add_argument("-M", "--transmission-mode", type=int, default=1)
+    ap.add_argument("-o", "--output", default="dab_monitor.png")
+    ap.add_argument("--frames", type=int, default=4,
+                    help="frames to lock before rendering")
+    args = ap.parse_args(argv)
+
+    get_profiler().enabled = True
+    fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    reader = IQReader(fin, args.format)
+    demod = OFDMDemodulator(args.transmission_mode)
+    sd = StreamingDemodulator(demod)
+
+    locked = 0
+    while locked < args.frames:
+        iq = reader.read_block(1 << 20)
+        if iq is None:
+            break
+        frames = sd.process(iq)
+        locked += len(frames)
+    last_window = sd.last_window
+    if last_window is None:
+        print("no signal captured", file=sys.stderr)
+        return 1
+    diag = collect_diagnostics(demod, last_window, sd.carry)
+    render_dashboard(diag, sd.carry, args.output)
+    print(get_profiler().report(), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

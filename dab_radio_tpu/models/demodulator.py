@@ -177,6 +177,7 @@ class StreamingDemodulator:
         self.state = self.ACQUIRE
         self._buf = np.zeros(0, dtype=np.complex64)
         self._l1 = 0.0
+        self.last_window = None  # most recent tracked frame window (debug)
 
     def reset(self):
         self.carry = DemodCarry.init()
@@ -215,8 +216,10 @@ class StreamingDemodulator:
                 if avail < d.window_len:
                     break
                 with profile_scope("demod/frame_step"):
-                    window = jnp.asarray(self._buf[ptr:ptr + d.window_len])
+                    raw_window = self._buf[ptr:ptr + d.window_len]
+                    window = jnp.asarray(raw_window)
                     self.carry, out = d.frame_step(self.carry, window)
+                self.last_window = raw_window  # diagnostics/GUI hook
                 if bool(out["sync_ok"]):
                     frames.append(np.asarray(out["bits"]))
                     ptr += int(out["offset"]) + d.frame_advance

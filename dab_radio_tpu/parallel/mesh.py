@@ -100,7 +100,7 @@ def make_timesharded_demod(demod: OFDMDemodulator, mesh: Mesh,
         local_demod, mesh=mesh,
         in_specs=(P("ens", "time"), P("ens", "time")),
         out_specs=(P("ens", "time"), P("ens", "time", None, None)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
