@@ -204,7 +204,12 @@ class StreamingDemodulator:
                 found, end_idx = d._acquire(block, jnp.float32(self._l1))
                 self._l1 = 0.7 * self._l1 + 0.3 * float(sync_ops.l1_average(block))
                 if bool(found):
-                    null_start = ptr + int(end_idx) - p.nb_null_period
+                    # rewind past the dip-search granularity so the timing
+                    # error is positive (the fine-time margin covers late
+                    # windows; an early window only has the cyclic prefix)
+                    rewind = 2 * self.demod.cfg.null_search_nb_samples
+                    null_start = (ptr + int(end_idx)
+                                  - p.nb_null_period - rewind)
                     ptr = max(null_start, ptr)
                     self.state = self.TRACK
                     self.carry = DemodCarry.init()

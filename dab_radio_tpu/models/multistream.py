@@ -1,0 +1,123 @@
+"""Batched multi-ensemble streaming demodulation.
+
+The north-star workload (BASELINE.md): many independent 2.048 MSPS IQ
+streams demodulated concurrently on one chip (or a mesh). Each stream keeps
+its own host read pointer and sync state, but every tracking round batches
+all locked streams' windows into ONE vmapped device step — the per-sample
+state machines of the reference become a dense (B, window) tensor program.
+
+Streams acquire independently (acquisition is rare); tracking dominates and
+is fully batched. Mis-locked streams fall back to acquisition without
+stalling the batch.
+"""
+
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .demodulator import OFDMDemodulator, DemodCarry, StreamingDemodulator
+from ..ops import sync as sync_ops
+
+
+class MultiStreamDemodulator:
+    """B concurrent streams over one OFDMDemodulator."""
+
+    def __init__(self, demod: OFDMDemodulator, nb_streams: int,
+                 sharding=None):
+        self.demod = demod
+        self.B = nb_streams
+        self.bufs: List[np.ndarray] = [np.zeros(0, np.complex64)
+                                       for _ in range(nb_streams)]
+        self.tracking = np.zeros(nb_streams, dtype=bool)
+        self.l1 = np.zeros(nb_streams, dtype=np.float32)
+        self.carry = DemodCarry.init((nb_streams,))
+        self.sharding = sharding
+        self.frames_emitted = 0
+
+    def push(self, stream_idx: int, iq: np.ndarray):
+        self.bufs[stream_idx] = np.concatenate(
+            [self.bufs[stream_idx], np.asarray(iq, np.complex64)])
+
+    def _acquire_stream(self, i: int) -> bool:
+        d = self.demod
+        buf = self.bufs[i]
+        while buf.shape[0] >= d.window_len:
+            block = jnp.asarray(buf[:d.window_len])
+            if self.l1[i] == 0.0:
+                self.l1[i] = float(sync_ops.l1_average(block))
+            found, end_idx = d._acquire(block, jnp.float32(self.l1[i]))
+            self.l1[i] = 0.7 * self.l1[i] + 0.3 * float(sync_ops.l1_average(block))
+            if bool(found):
+                rewind = 2 * d.cfg.null_search_nb_samples
+                start = max(int(end_idx) - d.params.nb_null_period - rewind, 0)
+                buf = buf[start:]
+                self.bufs[i] = buf
+                return True
+            buf = buf[d.window_len - d.params.nb_null_period:]
+            self.bufs[i] = buf
+        return False
+
+    def step(self):
+        """One round: acquire unlocked streams, batch-demod locked ones.
+        Returns list of (stream_idx, bits) for frames produced."""
+        d = self.demod
+        for i in range(self.B):
+            if not self.tracking[i]:
+                if self._acquire_stream(i):
+                    self.tracking[i] = True
+                    self.carry = jax.tree.map(
+                        lambda x: x.at[i].set(jnp.zeros((), x.dtype)),
+                        self.carry)
+                    self.carry = self.carry._replace(
+                        signal_l1_avg=self.carry.signal_l1_avg.at[i].set(
+                            self.l1[i]))
+
+        ready = [i for i in range(self.B)
+                 if self.tracking[i] and self.bufs[i].shape[0] >= d.window_len]
+        if not ready:
+            return []
+
+        # batch: ready streams contribute real windows; others get zeros
+        # (their carry is restored afterwards, so the wasted lanes only cost
+        # FLOPs — acquisition gaps are rare in steady state)
+        windows = np.zeros((self.B, d.window_len), np.complex64)
+        for i in ready:
+            windows[i] = self.bufs[i][:d.window_len]
+        wins = jnp.asarray(windows)
+        if self.sharding is not None:
+            wins = jax.device_put(wins, self.sharding)
+        old_carry = self.carry
+        new_carry, out = d.frame_step_batch(self.carry, wins)
+
+        ready_mask = np.zeros(self.B, dtype=bool)
+        ready_mask[ready] = True
+        mask_dev = jnp.asarray(ready_mask)
+        self.carry = jax.tree.map(
+            lambda new, old: jnp.where(
+                mask_dev.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
+            new_carry, old_carry)
+
+        sync_ok = np.asarray(out["sync_ok"])
+        offsets = np.asarray(out["offset"])
+        bits = out["bits"]
+        results = []
+        for i in ready:
+            if sync_ok[i]:
+                results.append((i, np.asarray(bits[i])))
+                adv = int(offsets[i]) + d.frame_advance
+                self.bufs[i] = self.bufs[i][adv:]
+            else:
+                self.tracking[i] = False
+                self.bufs[i] = self.bufs[i][d.params.nb_null_period:]
+        self.frames_emitted += len(results)
+        return results
+
+    def run_available(self, max_rounds: int = 1000):
+        """Drain all buffered samples; yields (stream_idx, bits)."""
+        for _ in range(max_rounds):
+            res = self.step()
+            if not res:
+                break
+            yield from res
