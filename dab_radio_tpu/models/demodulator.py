@@ -183,6 +183,24 @@ class StreamingDemodulator:
         self.carry = DemodCarry.init()
         self.state = self.ACQUIRE
 
+    # ---- checkpoint/resume (SURVEY.md §5.4: all decode state is explicit) ----
+
+    def snapshot(self) -> dict:
+        import numpy as _np
+        return {
+            "carry": [_np.asarray(x) for x in self.carry],
+            "state": self.state,
+            "buf": self._buf.copy(),
+            "l1": self._l1,
+        }
+
+    def restore(self, snap: dict):
+        import jax.numpy as _jnp
+        self.carry = DemodCarry(*[_jnp.asarray(x) for x in snap["carry"]])
+        self.state = snap["state"]
+        self._buf = snap["buf"].copy()
+        self._l1 = snap["l1"]
+
     def process(self, iq: np.ndarray):
         """Consume an arbitrary-size chunk of complex64 IQ; yields soft-bit
         frames (np.int8 arrays) as they lock."""

@@ -142,3 +142,36 @@ def test_batched_frame_step():
     assert bool(out["sync_ok"].all())
     hard = (np.asarray(out["bits"]) > 0).astype(np.uint8)
     np.testing.assert_array_equal(hard, bits.reshape(B, -1))
+
+
+def test_mode4_roundtrip():
+    mod = OFDMModulator(4)
+    demod = OFDMDemodulator(4)
+    bits = _random_frames(mod, 3, seed=44)
+    sd = StreamingDemodulator(demod)
+    frames = sd.process(_stream(mod, bits))
+    assert len(frames) >= 2
+    assert _ber(frames, bits[:len(frames)]) == 0.0
+
+
+def test_snapshot_resume():
+    """Demodulation resumes bit-exactly from a snapshot (checkpoint/resume)."""
+    mod = OFDMModulator(1)
+    demod = OFDMDemodulator(1)
+    bits = _random_frames(mod, 4, seed=55)
+    iq = _stream(mod, bits)
+    split = iq.shape[0] // 2
+
+    sd = StreamingDemodulator(demod)
+    first = sd.process(iq[:split])
+    snap = sd.snapshot()
+    rest_a = sd.process(iq[split:])
+
+    sd2 = StreamingDemodulator(demod)
+    sd2.restore(snap)
+    rest_b = sd2.process(iq[split:])
+
+    assert len(rest_a) == len(rest_b)
+    for a, b in zip(rest_a, rest_b):
+        np.testing.assert_array_equal(a, b)
+    assert _ber(first + rest_a, bits[:len(first + rest_a)]) == 0.0
