@@ -67,3 +67,25 @@ def test_tx_rx_pipeline(tmp_path):
     # scraper wrote the channel dir (superframes may not complete in 8 frames,
     # but the tree is created when the channel appears)
     assert (scrape_dir / "subchannel_3").is_dir()
+
+
+@pytest.mark.slow
+def test_radio_app_and_monitor(tmp_path):
+    tx = _run(["dab_radio_tpu.apps.simulate_transmitter",
+               "--payload", "ensemble", "-n", "6", "-F", "u8"])
+    iq_path = tmp_path / "e.iq"
+    iq_path.write_bytes(tx.stdout + b"\x80" * 400000)
+
+    wav = tmp_path / "out.wav"
+    r = _run(["dab_radio_tpu.apps.radio_app", "--device", "file",
+              "-i", str(iq_path), "--seconds", "20",
+              "--audio-out", str(wav)], timeout=400)
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    assert "TPU Ensemble" in r.stderr.decode()
+    assert wav.exists() and wav.stat().st_size > 44
+
+    png = tmp_path / "mon.png"
+    r2 = _run(["dab_radio_tpu.apps.monitor", "-i", str(iq_path),
+               "-o", str(png), "--frames", "2"], timeout=400)
+    assert r2.returncode == 0, r2.stderr.decode()[-500:]
+    assert png.exists() and png.stat().st_size > 10000
