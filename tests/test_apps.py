@@ -89,3 +89,24 @@ def test_radio_app_and_monitor(tmp_path):
                "-o", str(png), "--frames", "2"], timeout=400)
     assert r2.returncode == 0, r2.stderr.decode()[-500:]
     assert png.exists() and png.stat().st_size > 10000
+
+
+@pytest.mark.slow
+def test_split_pipeline_ofdm_then_dab(tmp_path):
+    """'ofdm' config soft bits piped into 'dab' config (reference topology)."""
+    tx = _run(["dab_radio_tpu.apps.simulate_transmitter",
+               "--payload", "ensemble", "-n", "6", "-F", "u8"])
+    iq_path = tmp_path / "e.iq"
+    iq_path.write_bytes(tx.stdout + b"\x80" * 400000)
+
+    r1 = _run(["dab_radio_tpu.apps.radio_cli", "-i", str(iq_path),
+               "--configuration", "ofdm"], timeout=400)
+    assert r1.returncode == 0
+    nb_frame_bits = 230400
+    assert len(r1.stdout) >= 5 * nb_frame_bits
+
+    r2 = _run(["dab_radio_tpu.apps.radio_cli", "--configuration", "dab"],
+              stdin=r1.stdout, timeout=400)
+    err = r2.stderr.decode()
+    assert r2.returncode == 0, err
+    assert "TPU Ensemble" in err and "Radio TPU" in err
