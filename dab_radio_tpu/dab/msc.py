@@ -31,12 +31,25 @@ class MSCDecoder:
         self.history = jnp.zeros((DEPTH, self.nb_bits), jnp.int8)
         self.nb_pushed = 0
         self._step = jax.jit(self._step_impl)
+        self._frame = jax.jit(self._frame_impl)
 
     def _step_impl(self, history, cif_soft):
         new_hist, deint = deinterleave_push(history, cif_soft,
                                             jnp.asarray(self.gather_idx))
         bits, err = vit.viterbi_decode(deint[..., :self.spec.nb_in], self.spec)
         return new_hist, bits, err
+
+    def _frame_impl(self, history, cifs_soft):
+        """All CIFs of a frame in one dispatch: the deinterleaver push is a
+        sequential carry, so scan over the CIF axis inside jit."""
+        def step(hist, cif):
+            new_hist, deint = deinterleave_push(
+                hist, cif, jnp.asarray(self.gather_idx))
+            return new_hist, deint[..., :self.spec.nb_in]
+
+        history, deints = jax.lax.scan(step, history, cifs_soft)
+        bits, err = vit.viterbi_decode(deints, self.spec)   # batched over CIFs
+        return history, bits, err
 
     def decode_cif(self, msc_soft_bits: np.ndarray):
         """msc_soft_bits: one CIF of soft bits (nb_cif_bits of the whole MSC).
@@ -50,6 +63,24 @@ class MSCDecoder:
             return None
         by = np.packbits(np.asarray(bits, np.uint8))
         return bytes(by ^ prbs_bytes(by.shape[0]))
+
+    def decode_frame(self, msc_cifs: np.ndarray):
+        """All CIFs of one frame: (nb_cifs, nb_msc_cif_bits) -> list of
+        decoded byte payloads (None entries while the deinterleaver fills)."""
+        nb_cifs = msc_cifs.shape[0]
+        start = self.cfg.start_address * CU_BITS
+        sub = np.asarray(msc_cifs)[:, start:start + self.nb_bits]
+        self.history, bits, err = self._frame(self.history, jnp.asarray(sub))
+        bits = np.asarray(bits, np.uint8)
+        out = []
+        for c in range(nb_cifs):
+            self.nb_pushed += 1
+            if self.nb_pushed < DEPTH:
+                out.append(None)
+                continue
+            by = np.packbits(bits[c])
+            out.append(bytes(by ^ prbs_bytes(by.shape[0])))
+        return out
 
 
 class MSCEncoder:

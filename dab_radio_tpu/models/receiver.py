@@ -89,10 +89,19 @@ class DabPlusChannel:
             self._decoder_header = header
         return self._audio_decoder
 
+    def process_frame_cifs(self, msc_cifs: np.ndarray):
+        """All CIFs of one frame in a single device dispatch."""
+        for payload in self.msc.decode_frame(msc_cifs):
+            if payload is not None:
+                self._handle_payload(payload)
+
     def process_cif(self, msc_soft_bits: np.ndarray):
         payload = self.msc.decode_cif(msc_soft_bits)
         if payload is None:
             return
+        self._handle_payload(payload)
+
+    def _handle_payload(self, payload: bytes):
         res = self.superframe.process_frame(payload)
         if res is None:
             return
@@ -144,10 +153,18 @@ class DabChannel:
         self._audio_decoder = MP2Decoder()
         return self._audio_decoder.is_available
 
+    def process_frame_cifs(self, msc_cifs: np.ndarray):
+        for payload in self.msc.decode_frame(msc_cifs):
+            if payload is not None:
+                self._handle_payload(payload)
+
     def process_cif(self, msc_soft_bits: np.ndarray):
         payload = self.msc.decode_cif(msc_soft_bits)
         if payload is None:
             return
+        self._handle_payload(payload)
+
+    def _handle_payload(self, payload: bytes):
         self.pad_extractor.process_frame(payload)
         for cb in self.events.on_frame_data:
             cb(payload)
@@ -177,10 +194,18 @@ class DataPacketChannel:
         self.processor = PacketProcessor(packet_address,
                                          use_fec=(fec_scheme == 1))
 
+    def process_frame_cifs(self, msc_cifs: np.ndarray):
+        for payload in self.msc.decode_frame(msc_cifs):
+            if payload is not None:
+                self._handle_payload(payload)
+
     def process_cif(self, msc_soft_bits: np.ndarray):
         payload = self.msc.decode_cif(msc_soft_bits)
         if payload is None:
             return
+        self._handle_payload(payload)
+
+    def _handle_payload(self, payload: bytes):
         self.processor.process(payload)
         for cb in self.events.on_frame_data:
             cb(payload)
@@ -227,8 +252,7 @@ class DabReceiver:
         cifs = msc.reshape(self.dab.nb_cifs, self.dab.nb_cif_bits)
         with profile_scope("radio/msc_channels"):
             for ch in list(self.channels.values()):
-                for c in range(self.dab.nb_cifs):
-                    ch.process_cif(cifs[c])
+                ch.process_frame_cifs(cifs)
         self.total_frames += 1
 
     # ---- dynamic channel instantiation (reference UpdateAfterProcessing) ----
