@@ -275,3 +275,67 @@ class RSPacketFEC:
         self.ring_bytes = 0
         for p in out:
             self.emit(p, True)
+
+
+# ---------------- TX side (tests / ensemble transmitter) ----------------
+
+def build_packet(piece: bytes, address: int, continuity: int, location: int) -> bytes:
+    """One network-level packet (first/intermediate/last/single)."""
+    plen = next(L for L in PACKET_LENGTH if L - 5 >= len(piece))
+    lid = PACKET_LENGTH.index(plen)
+    p = bytearray(plen)
+    p[0] = (lid << 6) | ((continuity & 0b11) << 4) | ((location & 0b11) << 2) \
+        | ((address >> 8) & 0b11)
+    p[1] = address & 0xFF
+    p[2] = len(piece)
+    p[3:3 + len(piece)] = piece
+    c = crc16(bytes(p[:-2]))
+    p[-2], p[-1] = c >> 8, c & 0xFF
+    return bytes(p)
+
+
+def idle_packet(address: int = 0x3FF) -> bytes:
+    """24-byte single packet with no useful data (capacity filler)."""
+    return build_packet(b"", address, 0, 0b11)
+
+
+def packetize_data_group(data_group: bytes, address: int, start_ci: int = 0):
+    """Split one data group into packets; returns (packets, next_ci)."""
+    pieces = [data_group[i:i + 91] for i in range(0, len(data_group), 91)] or [b""]
+    out = []
+    ci = start_ci
+    for k, piece in enumerate(pieces):
+        if len(pieces) == 1:
+            loc = 0b11
+        elif k == 0:
+            loc = 0b10
+        elif k == len(pieces) - 1:
+            loc = 0b01
+        else:
+            loc = 0b00
+        out.append(build_packet(piece, address, ci, loc))
+        ci = (ci + 1) % 4
+    return out, ci
+
+
+class PacketStreamEncoder:
+    """Queues data groups and emits fixed-size packet-stream chunks padded
+    with idle packets (for the ensemble transmitter's packet services)."""
+
+    def __init__(self, address: int):
+        self.address = address
+        self._ci = 0
+        self._bytes = bytearray()
+
+    def push_data_group(self, group: bytes):
+        pkts, self._ci = packetize_data_group(group, self.address, self._ci)
+        for p in pkts:
+            self._bytes.extend(p)
+
+    def emit(self, nb_bytes: int) -> bytes:
+        assert nb_bytes % 24 == 0, "chunk must hold whole packets"
+        while len(self._bytes) < nb_bytes:
+            self._bytes.extend(idle_packet())
+        out = bytes(self._bytes[:nb_bytes])
+        del self._bytes[:nb_bytes]
+        return out

@@ -54,6 +54,25 @@ def fig0_2_stream_audio(service_id: int, subchannel_id: int, ascty: int,
                           (subchannel_id << 2) | (int(primary) << 1)]))
 
 
+def fig0_2_packet_ref(service_id: int, scid: int, primary: bool = True) -> bytes:
+    b0 = (0b11 << 6) | ((scid >> 6) & 0b111111)
+    b1 = ((scid & 0b111111) << 2) | (int(primary) << 1)
+    return fig0(2, bytes([service_id >> 8, service_id & 0xFF, 0x01, b0, b1]))
+
+
+def fig0_3_packet_component(scid: int, subchannel_id: int, dscty: int,
+                            packet_address: int, dg_flag: int = 1) -> bytes:
+    return fig0(3, bytes([
+        (scid >> 4) & 0xFF, ((scid & 0xF) << 4) | 0,
+        (dg_flag << 7) | (dscty & 0b111111),
+        (subchannel_id << 2) | ((packet_address >> 8) & 0b11),
+        packet_address & 0xFF]))
+
+
+def fig0_14_fec(subchannel_id: int, fec_scheme: int) -> bytes:
+    return fig0(14, bytes([(subchannel_id << 2) | (fec_scheme & 0b11)]))
+
+
 def fig1_label(ext: int, id_bytes: bytes, label: str, charset: int = 0) -> bytes:
     lab = label.encode("ascii", errors="replace").ljust(16)[:16]
     # flag the first 8 characters for the short label
@@ -63,13 +82,19 @@ def fig1_label(ext: int, id_bytes: bytes, label: str, charset: int = 0) -> bytes
 
 @dataclass
 class ServiceSpec:
-    """One DAB+ audio service in the synthetic ensemble."""
+    """One service in the synthetic ensemble.
+
+    kind: 'dab+' (AAC superframes), 'dab' (MP2 frames), or 'packet'
+    (MOT data groups over packet mode)."""
     service_id: int
     subchannel_id: int
     label: str
     cfg: SubchannelConfig
+    kind: str = "dab+"
     superframe_header: SuperFrameHeader = field(
         default_factory=lambda: SuperFrameHeader(48000, True, True, False, 0))
+    scid: int = 0
+    packet_address: int = 2
 
 
 class EnsembleTransmitter:
@@ -91,12 +116,24 @@ class EnsembleTransmitter:
         self.sf_pending: Dict[int, List[bytes]] = {}
         self._au_source = {}
         self._cif_counter = 0
+        self.packet_encoders: Dict[int, object] = {}
+        self._kinds: Dict[int, str] = {}
+        self._mp2_rng = np.random.default_rng(1234)
         for s in self.services:
             enc = MSCEncoder(s.cfg)
             self.msc_encoders[s.subchannel_id] = enc
-            sf = SuperframeEncoder(enc.nb_data_bytes, s.superframe_header)
-            self.sf_encoders[s.subchannel_id] = sf
-            self.sf_pending[s.subchannel_id] = []
+            self._kinds[s.subchannel_id] = s.kind
+            if s.kind == "dab+":
+                sf = SuperframeEncoder(enc.nb_data_bytes, s.superframe_header)
+                self.sf_encoders[s.subchannel_id] = sf
+                self.sf_pending[s.subchannel_id] = []
+            elif s.kind == "packet":
+                from ..dab.packets import PacketStreamEncoder
+                if enc.nb_data_bytes % 24:
+                    raise ValueError(
+                        "packet subchannel frame size must hold whole packets")
+                self.packet_encoders[s.subchannel_id] = \
+                    PacketStreamEncoder(s.packet_address)
 
     # ---- FIC content ----
 
@@ -105,9 +142,19 @@ class EnsembleTransmitter:
                                 (self._cif_counter // 250) % 20,
                                 self._cif_counter % 250)]
         for s in self.services:
-            figs.append(fig0_1_subchannel(s.cfg, s.subchannel_id)
-                        + fig0_2_stream_audio(s.service_id, s.subchannel_id,
-                                              ascty=63))
+            fig = fig0_1_subchannel(s.cfg, s.subchannel_id)
+            if s.kind == "dab+":
+                fig += fig0_2_stream_audio(s.service_id, s.subchannel_id, 63)
+            elif s.kind == "dab":
+                fig += fig0_2_stream_audio(s.service_id, s.subchannel_id, 0)
+            else:
+                fig += fig0_2_packet_ref(s.service_id, s.scid)
+                figs.append(
+                    fig0_3_packet_component(s.scid, s.subchannel_id, 60,
+                                            s.packet_address)
+                    + fig0_14_fec(s.subchannel_id, 0))
+            figs.append(fig)
+            continue
         figs.append(fig1_label(0, self.ensemble_id.to_bytes(2, "big"),
                                self.ensemble_label))
         for s in self.services:
@@ -122,7 +169,34 @@ class EnsembleTransmitter:
         self._au_source[subchannel_id] = make_aus
         self._sf_index = 0
 
+    def push_packet_data_group(self, subchannel_id: int, group: bytes):
+        """Queue an MSC data group onto a packet service's carousel."""
+        self.packet_encoders[subchannel_id].push_data_group(group)
+
+    def _next_mp2_frame(self, nb_bytes: int) -> bytes:
+        """A frame-header-valid MP2-shaped payload (content is random; the
+        receiver's PAD extractor only parses the header and frame tail)."""
+        # MPEG-1 Layer II, 48 kHz; pick the bitrate index matching nb_bytes
+        from ..dab.mp2 import _BITRATES_V1_L2
+        target_kbps = nb_bytes * 8 // 24
+        idx = _BITRATES_V1_L2.index(target_kbps) \
+            if target_kbps in _BITRATES_V1_L2 else 8
+        frame = bytearray(
+            self._mp2_rng.integers(0, 256, nb_bytes).astype(np.uint8).tobytes())
+        frame[0] = 0xFF
+        frame[1] = 0xFC                      # MPEG-1, Layer II, no CRC
+        frame[2] = (idx << 4) | (1 << 2)     # 48 kHz, no padding
+        frame[3] = 0x00                      # stereo
+        frame[-1] = frame[-2] = 0            # F-PAD: none
+        return bytes(frame)
+
     def _next_subchannel_frame(self, sub_id: int) -> bytes:
+        kind = self._kinds.get(sub_id, "dab+")
+        enc = self.msc_encoders[sub_id]
+        if kind == "dab":
+            return self._next_mp2_frame(enc.nb_data_bytes)
+        if kind == "packet":
+            return self.packet_encoders[sub_id].emit(enc.nb_data_bytes)
         pend = self.sf_pending[sub_id]
         if not pend:
             sf = self.sf_encoders[sub_id]
