@@ -35,6 +35,8 @@ def worker(batch: int, iters: int) -> None:
     import jax
     import jax.numpy as jnp
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from dab_radio_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     from dab_radio_tpu.models.demodulator import OFDMDemodulator, DemodCarry
 
     class Timeout(Exception):

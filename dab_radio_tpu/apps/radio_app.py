@@ -29,6 +29,8 @@ def main(argv=None):
                     help="WAV sink path ('' for null sink)")
     ap.add_argument("--seconds", type=float, default=30.0)
     args = ap.parse_args(argv)
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     if args.device == "rtlsdr":
         dev = RTLSDRDevice()

@@ -57,6 +57,8 @@ def main(argv=None):
                     help="decode all subchannels, print throughput")
     ap.add_argument("--max-frames", type=int, default=0)
     args = ap.parse_args(argv)
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
     reader = IQReader(fin, args.format) if args.configuration != "dab" else None

@@ -7,6 +7,8 @@ runs on device; an encoder inverse (interleave + encode) supports closed-loop
 tests and the ensemble transmitter.
 """
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -20,36 +22,43 @@ from ..params.puncture import build_puncture_mask
 CU_BITS = 64
 
 
+@functools.lru_cache(maxsize=None)
+def _decoder_fns(cfg: SubchannelConfig):
+    """Jitted per-CIF and per-frame decode steps, shared across all
+    MSCDecoder instances with the same subchannel configuration (channels
+    are recreated per run/ensemble; recompiling per instance would dominate
+    startup at many-ensemble scale)."""
+    spec = vit.ViterbiSpec.from_schedule(msc_puncture_schedule(cfg))
+    gather_idx = jnp.asarray(make_gather_index(cfg.nb_cif_bits))
+
+    @jax.jit
+    def step(history, cif_soft):
+        new_hist, deint = deinterleave_push(history, cif_soft, gather_idx)
+        bits, err = vit.viterbi_decode(deint[..., :spec.nb_in], spec)
+        return new_hist, bits, err
+
+    @jax.jit
+    def frame(history, cifs_soft):
+        def body(hist, cif):
+            new_hist, deint = deinterleave_push(hist, cif, gather_idx)
+            return new_hist, deint[..., :spec.nb_in]
+
+        history, deints = jax.lax.scan(body, history, cifs_soft)
+        bits, err = vit.viterbi_decode(deints, spec)
+        return history, bits, err
+
+    return spec, step, frame
+
+
 class MSCDecoder:
     """Streaming decoder for one subchannel (per-CIF)."""
 
     def __init__(self, cfg: SubchannelConfig):
         self.cfg = cfg
         self.nb_bits = cfg.nb_cif_bits
-        self.spec = vit.ViterbiSpec.from_schedule(msc_puncture_schedule(cfg))
-        self.gather_idx = make_gather_index(self.nb_bits)
+        self.spec, self._step, self._frame = _decoder_fns(cfg)
         self.history = jnp.zeros((DEPTH, self.nb_bits), jnp.int8)
         self.nb_pushed = 0
-        self._step = jax.jit(self._step_impl)
-        self._frame = jax.jit(self._frame_impl)
-
-    def _step_impl(self, history, cif_soft):
-        new_hist, deint = deinterleave_push(history, cif_soft,
-                                            jnp.asarray(self.gather_idx))
-        bits, err = vit.viterbi_decode(deint[..., :self.spec.nb_in], self.spec)
-        return new_hist, bits, err
-
-    def _frame_impl(self, history, cifs_soft):
-        """All CIFs of a frame in one dispatch: the deinterleaver push is a
-        sequential carry, so scan over the CIF axis inside jit."""
-        def step(hist, cif):
-            new_hist, deint = deinterleave_push(
-                hist, cif, jnp.asarray(self.gather_idx))
-            return new_hist, deint[..., :self.spec.nb_in]
-
-        history, deints = jax.lax.scan(step, history, cifs_soft)
-        bits, err = vit.viterbi_decode(deints, self.spec)   # batched over CIFs
-        return history, bits, err
 
     def decode_cif(self, msc_soft_bits: np.ndarray):
         """msc_soft_bits: one CIF of soft bits (nb_cif_bits of the whole MSC).
