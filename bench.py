@@ -108,8 +108,12 @@ def main():
         return
 
     results = []
+    deadline = time.time() + 1200          # cap total bench time at 20 min
     for batch, iters in ((64, 50), (32, 50), (16, 50), (128, 30), (8, 50),
                          (1, 50)):
+        if time.time() > deadline:
+            print("# bench deadline reached", file=sys.stderr)
+            break
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker",
