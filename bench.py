@@ -55,10 +55,21 @@ def worker(batch: int, iters: int) -> None:
     wins = jax.device_put(jnp.asarray(win))
     carry = DemodCarry.init((batch,))
 
-    signal.alarm(300)
-    c, out = demod.frame_step_batch(carry, wins)
-    jax.block_until_ready(out["bits"])
-    signal.alarm(0)
+    # the relay intermittently rejects compiles; retry a few times
+    last_err = None
+    for attempt in range(4):
+        try:
+            signal.alarm(240)
+            c, out = demod.frame_step_batch(carry, wins)
+            jax.block_until_ready(out["bits"])
+            signal.alarm(0)
+            break
+        except Exception as e:
+            signal.alarm(0)
+            last_err = e
+            time.sleep(3)
+    else:
+        raise last_err
 
     def fetch_sync(x, timeout=120):
         """Force completion by fetching a value data-dependent on x."""
@@ -70,12 +81,15 @@ def worker(batch: int, iters: int) -> None:
         finally:
             signal.alarm(0)
 
-    # verify synchronisation works before timing
-    sync_ok = True
-    try:
-        fetch_sync(out["bits"][:, :64])
-    except Exception:
-        sync_ok = False
+    # verify synchronisation works before timing (retry: per-call flakiness)
+    sync_ok = False
+    for _ in range(3):
+        try:
+            fetch_sync(out["bits"][:, :64])
+            sync_ok = True
+            break
+        except Exception:
+            time.sleep(2)
 
     t0 = time.time()
     c2 = c
@@ -84,11 +98,13 @@ def worker(batch: int, iters: int) -> None:
     enqueue_s = time.time() - t0
     verified = False
     if sync_ok:
-        try:
-            fetch_sync(c2.freq_fine)
-            verified = True
-        except Exception:
-            verified = False
+        for _ in range(3):
+            try:
+                fetch_sync(c2.freq_fine)
+                verified = True
+                break
+            except Exception:
+                time.sleep(2)
     if not verified:
         jax.block_until_ready(o["bits"])
     dt = time.time() - t0
@@ -120,12 +136,18 @@ def main():
                  str(batch), str(iters)],
                 capture_output=True, timeout=WORKER_TIMEOUT_S,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
+            got = False
             for line in r.stdout.decode().splitlines():
                 line = line.strip()
                 if line.startswith("{"):
                     res = json.loads(line)
                     results.append(res)
+                    got = True
                     print(f"# {res}", file=sys.stderr)
+            if not got:
+                tail = r.stderr.decode()[-300:].replace("\n", " | ")
+                print(f"# batch={batch} no result (rc={r.returncode}): {tail}",
+                      file=sys.stderr)
         except subprocess.TimeoutExpired:
             print(f"# batch={batch} timed out", file=sys.stderr)
         except Exception as e:

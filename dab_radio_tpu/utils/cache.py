@@ -9,6 +9,12 @@ import os
 
 def enable_compile_cache(path: str | None = None):
     import jax
+    # the axon relay backend does not implement executable serialization:
+    # enabling the persistent cache there makes every compile fail with
+    # UNIMPLEMENTED. Only enable it for standard platforms.
+    platforms = str(getattr(jax.config, "jax_platforms", "") or "")
+    if "axon" in platforms or "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        return
     path = path or os.environ.get("DAB_TPU_JIT_CACHE",
                                   os.path.expanduser("~/.cache/dab_tpu_jit"))
     os.makedirs(path, exist_ok=True)
