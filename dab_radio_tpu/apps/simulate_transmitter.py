@@ -43,6 +43,8 @@ def main(argv=None):
                     help="0 = stream forever")
     ap.add_argument("--scale", type=float, default=0.5,
                     help="amplitude headroom before quantization")
+    ap.add_argument("--services", type=int, default=1,
+                    help="(ensemble payload) number of DAB+ services")
     args = ap.parse_args(argv)
 
     out = sys.stdout.buffer
@@ -52,9 +54,10 @@ def main(argv=None):
         from ..models.transmitter import EnsembleTransmitter, ServiceSpec
         from ..params import SubchannelConfig
         tx = EnsembleTransmitter(args.transmission_mode, services=[
-            ServiceSpec(0xF123, 3, "Radio TPU",
-                        SubchannelConfig(0, 48, False, eep_type="A",
-                                         eep_prot_level=2))])
+            ServiceSpec(0xF123 + i, 3 + i, f"Radio TPU {i + 1}",
+                        SubchannelConfig(48 * i, 48, False, eep_type="A",
+                                         eep_prot_level=2))
+            for i in range(args.services)])
         gen = tx.next_frame_iq
     else:
         mod = OFDMModulator(args.transmission_mode)

@@ -7,6 +7,7 @@ runs on device; an encoder inverse (interleave + encode) supports closed-loop
 tests and the ensemble transmitter.
 """
 
+import dataclasses
 import functools
 
 import numpy as np
@@ -48,6 +49,65 @@ def _decoder_fns(cfg: SubchannelConfig):
         return history, bits, err
 
     return spec, step, frame
+
+
+@functools.lru_cache(maxsize=None)
+def _group_frame_fn(norm_cfg: SubchannelConfig):
+    """Jitted frame decode batched over N same-protection subchannels:
+    histories (N, DEPTH, nb_bits) + cifs (N, nb_cifs, nb_bits) in one
+    dispatch. The reference fans a thread-pool task per subchannel
+    (basic_radio.cpp:55-60); here same-shaped subchannels share one
+    batched Viterbi so the trellis scan runs at N*nb_cifs lanes."""
+    spec = vit.ViterbiSpec.from_schedule(msc_puncture_schedule(norm_cfg))
+    gather_idx = jnp.asarray(make_gather_index(norm_cfg.nb_cif_bits))
+
+    @jax.jit
+    def frame_batch(histories, cifs_soft):
+        def per_sub(hist, cifs):
+            def body(h, cif):
+                nh, deint = deinterleave_push(h, cif, gather_idx)
+                return nh, deint[..., :spec.nb_in]
+            return jax.lax.scan(body, hist, cifs)
+
+        histories, deints = jax.vmap(per_sub)(histories, cifs_soft)
+        n, c, length = deints.shape
+        bits, err = vit.viterbi_decode(deints.reshape(n * c, length), spec)
+        return histories, bits.reshape(n, c, -1), err
+
+    return frame_batch
+
+
+def group_key(cfg: SubchannelConfig) -> SubchannelConfig:
+    """Subchannels that differ only in start address share decode shapes."""
+    return dataclasses.replace(cfg, start_address=0)
+
+
+def decode_frame_group(decoders: list, msc_cifs: np.ndarray) -> list:
+    """Decode one frame of several same-protection subchannels in a single
+    device dispatch. Returns per-decoder lists matching
+    MSCDecoder.decode_frame."""
+    frame_batch = _group_frame_fn(group_key(decoders[0].cfg))
+    msc = np.asarray(msc_cifs)
+    subs = np.stack([
+        msc[:, d.cfg.start_address * CU_BITS:
+            d.cfg.start_address * CU_BITS + d.nb_bits]
+        for d in decoders])
+    hist = jnp.stack([d.history for d in decoders])
+    hist, bits, _err = frame_batch(hist, jnp.asarray(subs))
+    bits = np.asarray(bits, np.uint8)
+    results = []
+    for i, d in enumerate(decoders):
+        d.history = hist[i]
+        out = []
+        for c in range(bits.shape[1]):
+            d.nb_pushed += 1
+            if d.nb_pushed < DEPTH:
+                out.append(None)
+                continue
+            by = np.packbits(bits[i, c])
+            out.append(bytes(by ^ prbs_bytes(by.shape[0])))
+        results.append(out)
+    return results
 
 
 class MSCDecoder:

@@ -21,7 +21,7 @@ from ..dab.database import (
     DatabaseUpdater, STREAM_AUDIO, STREAM_DATA, PACKET_DATA,
     AUDIO_DAB, AUDIO_DAB_PLUS, Subchannel,
 )
-from ..dab.msc import MSCDecoder
+from ..dab.msc import MSCDecoder, decode_frame_group, group_key
 from ..dab.aac import SuperframeProcessor
 from ..utils.profiler import profile_scope
 
@@ -251,8 +251,21 @@ class DabReceiver:
 
         cifs = msc.reshape(self.dab.nb_cifs, self.dab.nb_cif_bits)
         with profile_scope("radio/msc_channels"):
+            # group same-protection subchannels into one device dispatch
+            # (reference: one thread-pool task per subchannel,
+            # basic_radio.cpp:55-60)
+            groups: Dict[object, list] = {}
             for ch in list(self.channels.values()):
-                ch.process_frame_cifs(cifs)
+                groups.setdefault(group_key(ch.msc.cfg), []).append(ch)
+            for chans in groups.values():
+                if len(chans) == 1:
+                    chans[0].process_frame_cifs(cifs)
+                    continue
+                results = decode_frame_group([c.msc for c in chans], cifs)
+                for ch, payloads in zip(chans, results):
+                    for p in payloads:
+                        if p is not None:
+                            ch._handle_payload(p)
         self.total_frames += 1
 
     # ---- dynamic channel instantiation (reference UpdateAfterProcessing) ----

@@ -43,30 +43,34 @@ def _acs_kernel(d_ref, expected_ref, dec_ref, pm_scratch, *, t_total):
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        init = jnp.full((NB_STATES, LANES), _INITIAL_NON_START, jnp.int32)
-        pm_scratch[:, :] = init.at[0, :].set(0)
+        # scatter-free init: rows != 0 get the non-start margin
+        row = jax.lax.broadcasted_iota(jnp.int32, (NB_STATES, LANES), 0)
+        pm_scratch[:, :] = jnp.where(row == 0, 0, _INITIAL_NON_START)
 
     expected = expected_ref[:, :]                        # (64, 2*4) packed
 
     def body(t, pm):
-        # branch error bm[s, b] = sum_r |d_r - 127 * e[s, b, r]|, broadcast
-        # over lanes
+        # branch error bm_b[s, lane] = sum_r |d_r - 127 * e[s, b, r]|,
+        # built additively per rate bit (no scatter — Mosaic can't lower it)
         d_t = d_ref[pl.ds(t, 1), :, :][0]                # (4, 128) int32
-        bm = jnp.zeros((NB_STATES, 2, LANES), jnp.int32)
+        bm0 = jnp.zeros((NB_STATES, LANES), jnp.int32)
+        bm1 = jnp.zeros((NB_STATES, LANES), jnp.int32)
         for r in range(CODE_RATE):
-            e = expected[:, 0 * 4 + r][:, None]          # b=0 (64,1)
-            e1 = expected[:, 1 * 4 + r][:, None]         # b=1
-            dr = d_t[r][None, :]                         # (1, 128)
-            bm = bm.at[:, 0, :].add(jnp.abs(dr - SOFT_HIGH * e))
-            bm = bm.at[:, 1, :].add(jnp.abs(dr - SOFT_HIGH * e1))
+            e0 = expected[:, 0 * CODE_RATE + r][:, None]  # b=0 (64,1)
+            e1 = expected[:, 1 * CODE_RATE + r][:, None]  # b=1
+            dr = d_t[r][None, :]                          # (1, 128)
+            bm0 = bm0 + jnp.abs(dr - SOFT_HIGH * e0)
+            bm1 = bm1 + jnp.abs(dr - SOFT_HIGH * e1)
 
-        cand = pm[:, None, :] + bm                       # (64, 2, 128)
-        pairs = cand.reshape(32, 2, 2, LANES)            # (j, p, b, lanes)
-        new_pm_jb = jnp.min(pairs, axis=1)               # (j, b, lanes)
-        dec_jb = jnp.argmin(pairs, axis=1).astype(jnp.int8)
-        # state layout s' = b*32 + j
-        new_pm = jnp.swapaxes(new_pm_jb, 0, 1).reshape(NB_STATES, LANES)
-        dec = jnp.swapaxes(dec_jb, 0, 1).reshape(NB_STATES, LANES)
+        # butterfly: new_pm[b*32 + j] = min over p of pm[2j+p] + bm_b[2j+p]
+        c0 = (pm + bm0).reshape(32, 2, LANES)            # (j, p, lanes)
+        c1 = (pm + bm1).reshape(32, 2, LANES)
+        m0 = jnp.min(c0, axis=1)                         # (32, lanes)
+        m1 = jnp.min(c1, axis=1)
+        s0 = (c0[:, 1, :] < c0[:, 0, :]).astype(jnp.int8)  # argmin tie→0
+        s1 = (c1[:, 1, :] < c1[:, 0, :]).astype(jnp.int8)
+        new_pm = jnp.concatenate([m0, m1], axis=0)       # state s' = b*32+j
+        dec = jnp.concatenate([s0, s1], axis=0)
         valid = (step0 + t) < t_total
         dec_ref[pl.ds(t, 1), :, :] = dec[None]
         return jnp.where(valid, new_pm, pm)

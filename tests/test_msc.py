@@ -102,3 +102,33 @@ def test_msc_subchannel_roundtrip(cfg):
     assert len(decoded) == 5
     for k, out in enumerate(decoded):
         assert out == payloads[k], f"frame {k} mismatch"
+
+
+def test_msc_group_decode_matches_individual():
+    """decode_frame_group (one batched dispatch over same-protection
+    subchannels) must produce exactly what per-decoder decode_frame does."""
+    from dab_radio_tpu.dab.msc import decode_frame_group, group_key
+    cfgs = [
+        SubchannelConfig(0, 48, False, eep_type="A", eep_prot_level=2),
+        SubchannelConfig(48, 48, False, eep_type="A", eep_prot_level=2),
+        SubchannelConfig(100, 48, False, eep_type="A", eep_prot_level=2),
+    ]
+    assert len({group_key(c) for c in cfgs}) == 1
+    encs = [MSCEncoder(c) for c in cfgs]
+    dec_ref = [MSCDecoder(c) for c in cfgs]
+    dec_grp = [MSCDecoder(c) for c in cfgs]
+    rng = np.random.default_rng(3)
+    nb_cifs = 4
+    total_cif_bits = 160 * 64
+
+    for frame in range(6):
+        cifs = np.zeros((nb_cifs, total_cif_bits), dtype=np.int8)
+        for enc, cfg in zip(encs, cfgs):
+            for c in range(nb_cifs):
+                payload = rng.integers(0, 256, enc.nb_data_bytes
+                                       ).astype(np.uint8).tobytes()
+                s = cfg.start_address * 64
+                cifs[c, s:s + cfg.nb_cif_bits] = enc.encode_cif(payload)
+        ref_out = [d.decode_frame(cifs) for d in dec_ref]
+        grp_out = decode_frame_group(dec_grp, cifs)
+        assert ref_out == grp_out
