@@ -8,6 +8,7 @@ import numpy as np
 
 from ..host.native import iq_convert, iq_quantize_u8
 from ..params.ofdm import SAMPLE_RATE_HZ
+from ..utils.backend import add_backend_flag, apply_backend
 
 
 def main(argv=None):
@@ -16,7 +17,9 @@ def main(argv=None):
                     help="shift in Hz")
     ap.add_argument("-s", "--sample-rate", type=float, default=SAMPLE_RATE_HZ)
     ap.add_argument("-b", "--block-size", type=int, default=65536)
+    add_backend_flag(ap)
     args = ap.parse_args(argv)
+    apply_backend(args)
 
     freq_norm = args.frequency / args.sample_rate
     fin, fout = sys.stdin.buffer, sys.stdout.buffer

@@ -55,6 +55,7 @@ def run_point(mode: int, snr_db: float, cfo_hz: float, nb_frames: int,
         "raw_ber": errs / total if total else 1.0,
         "desync": int(sd.carry.total_desync),
     }
+from ..utils.backend import add_backend_flag, apply_backend
 
 
 def main(argv=None):
@@ -64,7 +65,9 @@ def main(argv=None):
                     help="comma-separated SNR points (dB)")
     ap.add_argument("--cfo", type=float, default=0.0, help="CFO in Hz")
     ap.add_argument("-n", "--nb-frames", type=int, default=4)
+    add_backend_flag(ap)
     args = ap.parse_args(argv)
+    apply_backend(args)
 
     print("snr_db,locked_frames,raw_ber,desync")
     for snr in [float(s) for s in args.snr.split(",")]:

@@ -7,6 +7,7 @@ import sys
 import numpy as np
 
 from ..host.native import soft_to_hard, hard_to_soft
+from ..utils.backend import add_backend_flag, apply_backend
 
 
 def main(argv=None):
@@ -14,7 +15,9 @@ def main(argv=None):
     ap.add_argument("-d", "--decompress", action="store_true",
                     help="hard packed bytes -> int8 soft bits")
     ap.add_argument("-b", "--block-size", type=int, default=65536)
+    add_backend_flag(ap)
     args = ap.parse_args(argv)
+    apply_backend(args)
 
     fin, fout = sys.stdin.buffer, sys.stdout.buffer
     while True:

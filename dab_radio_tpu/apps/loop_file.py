@@ -23,6 +23,7 @@ def _wav_data_offset(f) -> int:
             return off
         f.seek(size, 1)
         off += size
+from ..utils.backend import add_backend_flag, apply_backend
 
 
 def main(argv=None):
@@ -32,7 +33,9 @@ def main(argv=None):
     ap.add_argument("-r", "--rate", type=float, default=0.0,
                     help="bytes/s pacing; 0 = as fast as possible")
     ap.add_argument("-n", "--loops", type=int, default=0, help="0 = forever")
+    add_backend_flag(ap)
     args = ap.parse_args(argv)
+    apply_backend(args)
 
     out = sys.stdout.buffer
     loops = 0

@@ -100,6 +100,7 @@ def render_dashboard(diag: dict, carry, out_path: str):
     fig.tight_layout()
     fig.savefig(out_path, dpi=110)
     print(f"wrote {out_path}", file=sys.stderr)
+from ..utils.backend import add_backend_flag, apply_backend
 
 
 def main(argv=None):
@@ -110,7 +111,9 @@ def main(argv=None):
     ap.add_argument("-o", "--output", default="dab_monitor.png")
     ap.add_argument("--frames", type=int, default=4,
                     help="frames to lock before rendering")
+    add_backend_flag(ap)
     args = ap.parse_args(argv)
+    apply_backend(args)
 
     get_profiler().enabled = True
     fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")

@@ -15,6 +15,7 @@ from ..host.audio import AudioPipeline, WavFileSink, NullSink
 from ..models.demodulator import OFDMDemodulator, StreamingDemodulator
 from ..models.receiver import DabReceiver
 from .radio_cli import summarize
+from ..utils.backend import add_backend_flag, apply_backend
 
 
 def main(argv=None):
@@ -28,7 +29,9 @@ def main(argv=None):
     ap.add_argument("--audio-out", default="radio_out.wav",
                     help="WAV sink path ('' for null sink)")
     ap.add_argument("--seconds", type=float, default=30.0)
+    add_backend_flag(ap)
     args = ap.parse_args(argv)
+    apply_backend(args)
     from ..utils.cache import enable_compile_cache
     enable_compile_cache()
 

@@ -38,6 +38,7 @@ def summarize(rx: DabReceiver, file=sys.stderr):
                 else f"EEP-{(sub.eep_prot_level or 0) + 1}{sub.eep_type}")
         print(f"  subchannel {sub_id}: start={sub.start_address} "
               f"len={sub.length}CU {prot} type={kind}", file=file)
+from ..utils.backend import add_backend_flag, apply_backend
 
 
 def main(argv=None):
@@ -56,7 +57,9 @@ def main(argv=None):
     ap.add_argument("--benchmark", action="store_true",
                     help="decode all subchannels, print throughput")
     ap.add_argument("--max-frames", type=int, default=0)
+    add_backend_flag(ap)
     args = ap.parse_args(argv)
+    apply_backend(args)
     from ..utils.cache import enable_compile_cache
     enable_compile_cache()
 

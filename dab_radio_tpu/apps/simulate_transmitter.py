@@ -31,6 +31,7 @@ def _dvb_scrambler_bytes(n: int) -> np.ndarray:
             reg = ((reg << 1) | v) & 0x7FFF
         out[i] = b
     return out
+from ..utils.backend import add_backend_flag, apply_backend
 
 
 def main(argv=None):
@@ -45,7 +46,9 @@ def main(argv=None):
                     help="amplitude headroom before quantization")
     ap.add_argument("--services", type=int, default=1,
                     help="(ensemble payload) number of DAB+ services")
+    add_backend_flag(ap)
     args = ap.parse_args(argv)
+    apply_backend(args)
 
     out = sys.stdout.buffer
     p = get_ofdm_params(args.transmission_mode)
