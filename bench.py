@@ -49,9 +49,8 @@ def worker(batch: int, iters: int) -> None:
 
     demod = OFDMDemodulator(1)
     rng = np.random.default_rng(0)
-    win = (rng.normal(0, 0.5, (batch, demod.window_len))
-           + 1j * rng.normal(0, 0.5, (batch, demod.window_len))
-           ).astype(np.complex64)
+    # f32 IQ pairs: complex64 transfers are UNIMPLEMENTED on the axon relay
+    win = rng.normal(0, 0.5, (batch, demod.window_len, 2)).astype(np.float32)
     wins = jax.device_put(jnp.asarray(win))
     carry = DemodCarry.init((batch,))
 

@@ -26,14 +26,17 @@ def collect_diagnostics(demod: OFDMDemodulator, window: np.ndarray,
     freq = float(carry.freq_coarse) + float(carry.freq_fine)
     prs = jnp.asarray(window[p.nb_null_period:p.nb_null_period + p.nb_fft])
 
+    from ..ops.iq import pairs_to_complex_np
     _, _, impulse_db = sync_ops.fine_time_offset(
-        prs, jnp.asarray(demod.prs_fft_conj), freq, p.nb_fft,
-        p.nb_cyclic_prefix, p.nb_symbol_period)
+        prs, jnp.asarray(pairs_to_complex_np(demod.prs_fft_conj)), freq,
+        p.nb_fft, p.nb_cyclic_prefix, p.nb_symbol_period)
 
     spec = jnp.fft.fft(prs)
     rel = jnp.conj(spec[:-1]) * spec[1:]
     rel = jnp.concatenate([rel, jnp.zeros(1, rel.dtype)])
-    corr = jnp.fft.fft(jnp.fft.ifft(rel) * jnp.asarray(demod.prs_time_corr_ref))
+    corr = jnp.fft.fft(
+        jnp.fft.ifft(rel)
+        * jnp.asarray(pairs_to_complex_np(demod.prs_time_corr_ref)))
     freq_response_db = 20 * jnp.log10(
         jnp.maximum(jnp.abs(jnp.fft.fftshift(corr)), 1e-9))
 

@@ -11,6 +11,8 @@ ensemble transmitter): FIGs -> FIBs + CRC -> scramble -> convolutional encode
 -> puncture -> ideal soft bits.
 """
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -25,6 +27,15 @@ FIB_BYTES = 32
 FIB_DATA_BYTES = 30
 
 
+@functools.lru_cache(maxsize=None)
+def _fic_decode_fn():
+    """Shared jitted FIC Viterbi (the schedule is mode-independent for the
+    2304-bit FIB groups of modes I/II/IV); one compile serves every
+    FICDecoder instance and fleet-level batches."""
+    spec = vit.ViterbiSpec.from_schedule(fic_puncture_schedule())
+    return spec, jax.jit(lambda soft: vit.viterbi_decode(soft, spec))
+
+
 class FICDecoder:
     """Soft FIC bits of one frame -> list of CRC-valid 30-byte FIB payloads."""
 
@@ -33,9 +44,8 @@ class FICDecoder:
         if self.dab.nb_fib_cif_bits != 2304:
             raise NotImplementedError(
                 "puncture schedule known for 2304-bit FIB groups (modes I/II/IV)")
-        self.spec = vit.ViterbiSpec.from_schedule(fic_puncture_schedule())
+        self.spec, self._decode = _fic_decode_fn()
         self.nb_groups = self.dab.nb_cifs
-        self._decode = jax.jit(lambda soft: vit.viterbi_decode(soft, self.spec))
 
     def decode_fic(self, fic_soft_bits: np.ndarray):
         """fic_soft_bits: (nb_fic_bits,) int8. Returns (fibs, errors) where
@@ -43,13 +53,19 @@ class FICDecoder:
         groups = np.asarray(fic_soft_bits).reshape(self.nb_groups, -1)
         assert groups.shape[1] == self.spec.nb_in
         bits, path_err = self._decode(jnp.asarray(groups))
-        bits = np.asarray(bits, dtype=np.uint8)          # (G, 768)
+        return self.postprocess(np.asarray(bits, dtype=np.uint8),
+                                np.asarray(path_err))
+
+    def postprocess(self, bits: np.ndarray, path_err=None):
+        """Host half of decode_fic: decoded group bits (G, 768) ->
+        (fibs, errors). Split out so a fleet can batch the device half
+        across receivers."""
         data = np.packbits(bits, axis=-1)                # (G, 96)
         prbs = prbs_bytes(data.shape[1])
-        data ^= prbs[None, :]
+        data = data ^ prbs[None, :]
 
         fibs, crc_errors = [], 0
-        for g in range(self.nb_groups):
+        for g in range(bits.shape[0]):
             group = data[g]
             for k in range(self.dab.nb_fibs_per_cif):
                 fib = group[k * FIB_BYTES:(k + 1) * FIB_BYTES]
@@ -57,8 +73,7 @@ class FICDecoder:
                     fibs.append(bytes(fib[:FIB_DATA_BYTES]))
                 else:
                     crc_errors += 1
-        return fibs, {"crc_errors": crc_errors,
-                      "viterbi_error": np.asarray(path_err)}
+        return fibs, {"crc_errors": crc_errors, "viterbi_error": path_err}
 
 
 class FICEncoder:

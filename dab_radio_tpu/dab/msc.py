@@ -82,16 +82,21 @@ def group_key(cfg: SubchannelConfig) -> SubchannelConfig:
     return dataclasses.replace(cfg, start_address=0)
 
 
-def decode_frame_group(decoders: list, msc_cifs: np.ndarray) -> list:
+def decode_frame_group(decoders: list, msc_cifs) -> list:
     """Decode one frame of several same-protection subchannels in a single
-    device dispatch. Returns per-decoder lists matching
-    MSCDecoder.decode_frame."""
+    device dispatch. msc_cifs is one (nb_cifs, nb_msc_cif_bits) array shared
+    by every decoder (subchannels of one ensemble) or a sequence of such
+    arrays, one per decoder (subchannels drawn from different ensembles in a
+    fleet). Returns per-decoder lists matching MSCDecoder.decode_frame."""
     frame_batch = _group_frame_fn(group_key(decoders[0].cfg))
-    msc = np.asarray(msc_cifs)
+    if isinstance(msc_cifs, (list, tuple)):
+        cifs_list = [np.asarray(c) for c in msc_cifs]
+    else:
+        cifs_list = [np.asarray(msc_cifs)] * len(decoders)
     subs = np.stack([
-        msc[:, d.cfg.start_address * CU_BITS:
-            d.cfg.start_address * CU_BITS + d.nb_bits]
-        for d in decoders])
+        c[:, d.cfg.start_address * CU_BITS:
+           d.cfg.start_address * CU_BITS + d.nb_bits]
+        for d, c in zip(decoders, cifs_list)])
     hist = jnp.stack([d.history for d in decoders])
     hist, bits, _err = frame_batch(hist, jnp.asarray(subs))
     bits = np.asarray(bits, np.uint8)

@@ -29,6 +29,7 @@ from ..params import get_ofdm_params, get_prs_reference
 from ..params.mapper import get_carrier_mapper, get_carrier_to_fft_bin
 from ..ops import sync as sync_ops
 from ..ops.demod import demod_frame_body
+from ..ops.iq import iq_pairs, pairs_to_complex
 from ..utils.profiler import profile_scope
 
 
@@ -73,8 +74,12 @@ class OFDMDemodulator:
         self.params = p = get_ofdm_params(transmission_mode)
 
         prs = get_prs_reference(transmission_mode, p.nb_fft)
-        self.prs_fft_conj = np.conj(prs)
-        self.prs_time_corr_ref = sync_ops.make_prs_time_correlation_ref(prs)
+        # complex constants are stored as f32 pairs and rebuilt inside jit:
+        # complex buffers must never cross the host<->device boundary
+        # (ops/iq.py)
+        self.prs_fft_conj = iq_pairs(np.conj(prs))
+        self.prs_time_corr_ref = iq_pairs(
+            np.asarray(sync_ops.make_prs_time_correlation_ref(prs)))
         self.carrier_map = get_carrier_mapper(p.nb_fft, p.nb_data_carriers)
         self.carrier_bins = get_carrier_to_fft_bin(p.nb_fft, p.nb_data_carriers)
 
@@ -86,10 +91,13 @@ class OFDMDemodulator:
         self._frame_step = jax.jit(self._frame_step_impl)
         self._frame_step_batch = jax.jit(jax.vmap(self._frame_step_impl))
         self._acquire = jax.jit(self._acquire_impl)
+        self._l1 = jax.jit(
+            lambda pr: sync_ops.l1_average(pairs_to_complex(pr)))
 
     # ---------------- device ops ----------------
 
     def _frame_step_impl(self, carry: DemodCarry, window: jnp.ndarray):
+        window = pairs_to_complex(window)      # (window_len, 2) f32 in
         p, cfg = self.params, self.cfg
         nfft, cp = p.nb_fft, p.nb_cyclic_prefix
 
@@ -106,8 +114,8 @@ class OFDMDemodulator:
         # 2. coarse integral CFO
         if cfg.enable_coarse_freq:
             pred = sync_ops.coarse_freq_estimate(
-                prs_rx, jnp.asarray(self.prs_time_corr_ref), nfft,
-                cfg.max_coarse_freq_norm)
+                prs_rx, pairs_to_complex(jnp.asarray(self.prs_time_corr_ref)),
+                nfft, cfg.max_coarse_freq_norm)
             coarse, delta_c = sync_ops.coarse_freq_update(
                 pred, carry.freq_coarse, carry.is_coarse_found, nfft,
                 cfg.coarse_slow_beta)
@@ -118,7 +126,8 @@ class OFDMDemodulator:
 
         # 3. fine time sync on the CFO-corrected PRS
         offset, sync_ok, _ = sync_ops.fine_time_offset(
-            prs_rx, jnp.asarray(self.prs_fft_conj), coarse + fine,
+            prs_rx, pairs_to_complex(jnp.asarray(self.prs_fft_conj)),
+            coarse + fine,
             nfft, cp, p.nb_symbol_period,
             cfg.impulse_peak_threshold_db, cfg.impulse_peak_distance_prob)
         offset = jnp.clip(offset, -cp, self.margin)
@@ -148,18 +157,21 @@ class OFDMDemodulator:
         return new_carry, {"bits": bits, "sync_ok": sync_ok, "offset": offset}
 
     def _acquire_impl(self, block: jnp.ndarray, l1_avg: jnp.ndarray):
+        block = pairs_to_complex(block)
         cfg = self.cfg
         return sync_ops.find_null_dip(
             block, l1_avg, nb_block=cfg.null_search_nb_samples,
             thresh_start=cfg.thresh_null_start, thresh_end=cfg.thresh_null_end)
 
     def frame_step(self, carry: DemodCarry, window: jnp.ndarray):
-        """Jitted single-stream step; window shape (window_len,)."""
-        return self._frame_step(carry, window)
+        """Jitted single-stream step; window shape (window_len,) complex or
+        (window_len, 2) float32 IQ pairs (the device wire format)."""
+        return self._frame_step(carry, iq_pairs(window))
 
     def frame_step_batch(self, carry: DemodCarry, windows: jnp.ndarray):
-        """Jitted vmapped step; windows shape (B, window_len)."""
-        return self._frame_step_batch(carry, windows)
+        """Jitted vmapped step; windows shape (B, window_len) complex or
+        (B, window_len, 2) float32 IQ pairs."""
+        return self._frame_step_batch(carry, iq_pairs(windows))
 
 
 class StreamingDemodulator:
@@ -216,11 +228,11 @@ class StreamingDemodulator:
                 if avail < acq_len:
                     break
                 with profile_scope("demod/acquire"):
-                    block = jnp.asarray(self._buf[ptr:ptr + acq_len])
+                    block = jnp.asarray(iq_pairs(self._buf[ptr:ptr + acq_len]))
                 if self._l1 == 0.0:
-                    self._l1 = float(sync_ops.l1_average(block))
+                    self._l1 = float(d._l1(block))
                 found, end_idx = d._acquire(block, jnp.float32(self._l1))
-                self._l1 = 0.7 * self._l1 + 0.3 * float(sync_ops.l1_average(block))
+                self._l1 = 0.7 * self._l1 + 0.3 * float(d._l1(block))
                 if bool(found):
                     # rewind past the dip-search granularity so the timing
                     # error is positive (the fine-time margin covers late
@@ -240,7 +252,7 @@ class StreamingDemodulator:
                     break
                 with profile_scope("demod/frame_step"):
                     raw_window = self._buf[ptr:ptr + d.window_len]
-                    window = jnp.asarray(raw_window)
+                    window = jnp.asarray(iq_pairs(raw_window))
                     self.carry, out = d.frame_step(self.carry, window)
                 self.last_window = raw_window  # diagnostics/GUI hook
                 if bool(out["sync_ok"]):

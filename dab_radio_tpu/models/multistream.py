@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from .demodulator import OFDMDemodulator, DemodCarry, StreamingDemodulator
 from ..ops import sync as sync_ops
+from ..ops.iq import iq_pairs
 
 
 class MultiStreamDemodulator:
@@ -44,11 +45,11 @@ class MultiStreamDemodulator:
         d = self.demod
         buf = self.bufs[i]
         while buf.shape[0] >= d.window_len:
-            block = jnp.asarray(buf[:d.window_len])
+            block = jnp.asarray(iq_pairs(buf[:d.window_len]))
             if self.l1[i] == 0.0:
-                self.l1[i] = float(sync_ops.l1_average(block))
+                self.l1[i] = float(d._l1(block))
             found, end_idx = d._acquire(block, jnp.float32(self.l1[i]))
-            self.l1[i] = 0.7 * self.l1[i] + 0.3 * float(sync_ops.l1_average(block))
+            self.l1[i] = 0.7 * self.l1[i] + 0.3 * float(d._l1(block))
             if bool(found):
                 rewind = 2 * d.cfg.null_search_nb_samples
                 start = max(int(end_idx) - d.params.nb_null_period - rewind, 0)
@@ -85,7 +86,7 @@ class MultiStreamDemodulator:
         windows = np.zeros((self.B, d.window_len), np.complex64)
         for i in ready:
             windows[i] = self.bufs[i][:d.window_len]
-        wins = jnp.asarray(windows)
+        wins = jnp.asarray(iq_pairs(windows))
         if self.sharding is not None:
             wins = jax.device_put(wins, self.sharding)
         old_carry = self.carry

@@ -230,15 +230,19 @@ class DabReceiver:
     def db(self):
         return self.updater.db
 
-    def process_frame(self, frame_soft_bits: np.ndarray):
-        """One OFDM frame of soft bits (nb_frame_bits int8)."""
+    def split_frame(self, frame_soft_bits: np.ndarray):
+        """(nb_frame_bits,) int8 -> (fic bits, msc cifs (nb_cifs, nb_cif_bits))."""
         bits = np.asarray(frame_soft_bits).reshape(-1)
         assert bits.shape[0] == self.dab.nb_frame_bits
         fic = bits[: self.dab.nb_fic_bits]
-        msc = bits[self.dab.nb_fic_bits:]
+        cifs = bits[self.dab.nb_fic_bits:].reshape(
+            self.dab.nb_cifs, self.dab.nb_cif_bits)
+        return fic, cifs
 
-        with profile_scope("radio/fic_decode"):
-            fibs, _ = self.fic.decode_fic(fic)
+    def ingest_fibs(self, fibs):
+        """Host half of the FIC path: FIG parse -> database -> channel
+        creation. Exposed so a fleet can batch the FIC Viterbi across
+        receivers and feed each receiver its decoded FIBs."""
         with profile_scope("radio/fig_parse"):
             for fib in fibs:
                 for ev in self.parser.parse_fib(fib):
@@ -249,7 +253,13 @@ class DabReceiver:
             self._last_stats = stats
             self._update_channels()
 
-        cifs = msc.reshape(self.dab.nb_cifs, self.dab.nb_cif_bits)
+    def process_frame(self, frame_soft_bits: np.ndarray):
+        """One OFDM frame of soft bits (nb_frame_bits int8)."""
+        fic, cifs = self.split_frame(frame_soft_bits)
+
+        with profile_scope("radio/fic_decode"):
+            fibs, _ = self.fic.decode_fic(fic)
+        self.ingest_fibs(fibs)
         with profile_scope("radio/msc_channels"):
             # group same-protection subchannels into one device dispatch
             # (reference: one thread-pool task per subchannel,

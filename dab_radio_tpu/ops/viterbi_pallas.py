@@ -17,6 +17,15 @@ Chainback stays a lax.scan (tiny per-step work).
 Reference semantics matched: src/dab/algorithms/dab_viterbi_decoder.cpp
 (int8 soft bits, |d - 127e| branch error, state0 start, margin-initialised
 non-start metrics).
+
+Hardware verdict (TPU v5e, 2026-08-16): this kernel lowers and decodes
+correctly, but at B=128 x 1536 data bits it measured 2.9 Mbit/s vs
+33.5 Mbit/s for the jitted lax.scan path in ops/viterbi.py — the per-step
+(64,128)->(32,2,128) sublane reshuffle dominates. The scan path is the
+production decoder; this kernel is kept as the Pallas escape hatch and a
+lowering test for sequential-DP kernels. If it's ever worth resurrecting:
+move states to lanes (64 of 128) and pack two trellis steps per iteration,
+or keep decisions packed as bits to cut the VMEM store traffic.
 """
 
 import functools

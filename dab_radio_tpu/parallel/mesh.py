@@ -75,7 +75,8 @@ def make_timesharded_demod(demod: OFDMDemodulator, mesh: Mesh,
     f_loc = frames_per_shard
 
     def local_demod(carry, iq_local):
-        # iq_local: (B_loc, f_loc*fs) after shard_map splits 'time'
+        # iq_local: (B_loc, f_loc*fs, 2) f32 pairs after shard_map splits
+        # 'time' (complex never crosses the host<->device boundary, ops/iq.py)
         axis = "time"
         right = [(i, (i - 1) % n_time) for i in range(n_time)]
         halo_samples = jax.lax.ppermute(iq_local[:, :halo], axis, right)
@@ -83,10 +84,10 @@ def make_timesharded_demod(demod: OFDMDemodulator, mesh: Mesh,
         # last shard has no right neighbor: zero halo
         halo_samples = jnp.where(idx == n_time - 1,
                                  jnp.zeros_like(halo_samples), halo_samples)
-        ext = jnp.concatenate([iq_local, halo_samples], axis=-1)
+        ext = jnp.concatenate([iq_local, halo_samples], axis=1)
 
         def step(c, f):
-            win = jax.lax.dynamic_slice_in_dim(ext, f * fs, demod.window_len, -1)
+            win = jax.lax.dynamic_slice_in_dim(ext, f * fs, demod.window_len, 1)
             c, out = jax.vmap(demod._frame_step_impl)(c, win)
             return c, out["bits"]
 
@@ -150,7 +151,8 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
     fs = demod.params.nb_frame_samples
     T = n_time * frames_per_shard * fs
     iq = jax.device_put(
-        jnp.zeros((B, T), jnp.complex64), NamedSharding(mesh, P("ens", "time")))
+        jnp.zeros((B, T, 2), jnp.float32),
+        NamedSharding(mesh, P("ens", "time")))
     carry = DemodCarry.init((B, n_time))
     carry = jax.device_put(carry, NamedSharding(mesh, P("ens", "time")))
     fic_soft = jax.device_put(

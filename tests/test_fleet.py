@@ -1,0 +1,108 @@
+"""Fleet orchestration: cross-ensemble batched decode must be bit-identical
+to standalone per-ensemble receivers."""
+
+import numpy as np
+import pytest
+
+from dab_radio_tpu.params import SubchannelConfig
+from dab_radio_tpu.models.transmitter import EnsembleTransmitter, ServiceSpec
+from dab_radio_tpu.models.receiver import DabReceiver
+from dab_radio_tpu.models.fleet import ReceiverFleet
+
+NB_FRAMES = 22
+
+
+def _make_ensembles():
+    """Three ensembles; EEP-3A appears in two of them so the fleet forms a
+    cross-receiver decode group, plus a distinct EEP-1A shape."""
+    specs = [
+        [ServiceSpec(0xA101, 1, "Ens0 Svc A",
+                     SubchannelConfig(0, 48, False, eep_type="A",
+                                      eep_prot_level=2)),
+         ServiceSpec(0xA102, 2, "Ens0 Svc B",
+                     SubchannelConfig(48, 48, False, eep_type="A",
+                                      eep_prot_level=2))],
+        [ServiceSpec(0xB201, 1, "Ens1 Svc A",
+                     SubchannelConfig(0, 48, False, eep_type="A",
+                                      eep_prot_level=2))],
+        [ServiceSpec(0xC301, 1, "Ens2 Svc A",
+                     SubchannelConfig(0, 48, False, eep_type="A",
+                                      eep_prot_level=0))],
+    ]
+    txs = [EnsembleTransmitter(1, ensemble_id=0xE000 + k, services=s)
+           for k, s in enumerate(specs)]
+    frames = [[tx.next_frame_bits() for _ in range(NB_FRAMES)] for tx in txs]
+    return frames
+
+
+def _attach(rx, sink):
+    def on_channel(sub_id, ch):
+        sink.setdefault(sub_id, [])
+        ch.events.on_access_unit.append(
+            lambda i, n, au, hdr, _s=sink[sub_id]: _s.append(bytes(au)))
+    rx.on_audio_channel.append(on_channel)
+
+
+@pytest.fixture(scope="module")
+def ensembles():
+    return _make_ensembles()
+
+
+def test_fleet_matches_standalone(ensembles):
+    frames = ensembles
+
+    # standalone receivers
+    ref_aus = []
+    ref_rx = []
+    for k in range(3):
+        rx = DabReceiver(1)
+        sink = {}
+        _attach(rx, sink)
+        for f in frames[k]:
+            rx.process_frame(f)
+        ref_aus.append(sink)
+        ref_rx.append(rx)
+
+    # fleet
+    fleet = ReceiverFleet(3)
+    fleet_aus = [dict() for _ in range(3)]
+    for k in range(3):
+        _attach(fleet.receivers[k], fleet_aus[k])
+    for t in range(NB_FRAMES):
+        fleet.process_frames([(k, frames[k][t]) for k in range(3)])
+
+    for k in range(3):
+        # database parity
+        ref_db, fl_db = ref_rx[k].db, fleet.receivers[k].db
+        assert {s.label for s in ref_db.services.values()} \
+            == {s.label for s in fl_db.services.values()}
+        assert set(ref_rx[k].channels) == set(fleet.receivers[k].channels)
+        # decoded access units byte-identical
+        assert ref_aus[k].keys() == fleet_aus[k].keys()
+        for sub in ref_aus[k]:
+            assert len(ref_aus[k][sub]) > 0
+            assert ref_aus[k][sub] == fleet_aus[k][sub], (k, sub)
+
+    s = fleet.summary()
+    assert s["receivers"] == 3
+    assert s["ensembles_discovered"] == 3
+    assert s["channels"] == 4
+
+
+def test_fleet_partial_rounds(ensembles):
+    """Receivers can miss rounds (stream not yet locked) without corrupting
+    the others' decode state."""
+    frames = ensembles
+    fleet = ReceiverFleet(2)
+    sinks = [dict(), dict()]
+    for k in range(2):
+        _attach(fleet.receivers[k], sinks[k])
+    # receiver 1 joins 4 rounds late
+    for t in range(NB_FRAMES):
+        batch = [(0, frames[0][t])]
+        if t >= 4:
+            batch.append((1, frames[1][t - 4]))
+        fleet.process_frames(batch)
+    assert sinks[0] and sinks[1]
+    for sub, aus in sinks[0].items():
+        assert len(aus) > 0

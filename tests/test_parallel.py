@@ -8,6 +8,7 @@ import jax.numpy as jnp
 import pytest
 
 from dab_radio_tpu.models import OFDMModulator, OFDMDemodulator, DemodCarry
+from dab_radio_tpu.ops.iq import iq_pairs
 from dab_radio_tpu.parallel.mesh import (
     make_receiver_mesh, make_timesharded_demod, multichip_receiver_step,
     shard_demod_batch,
@@ -47,7 +48,7 @@ def test_timesharded_demod_matches_sequential():
     carry = DemodCarry.init((B, n_time))
     carry = carry._replace(
         signal_l1_avg=jnp.full((B, n_time), 0.5, jnp.float32))
-    iq_sharded = jax.device_put(jnp.asarray(iq_padded),
+    iq_sharded = jax.device_put(jnp.asarray(iq_pairs(iq_padded)),
                                 NamedSharding(mesh, P("ens", "time")))
     carry2, bits = fn(carry, iq_sharded)
     bits = np.asarray(bits).reshape(B, F, -1)
@@ -66,9 +67,8 @@ def test_shard_demod_batch_runs():
     B = 8
     rng = np.random.default_rng(1)
     wins = jax.device_put(
-        jnp.asarray((rng.normal(0, 1, (B, demod.window_len))
-                     + 1j * rng.normal(0, 1, (B, demod.window_len))
-                     ).astype(np.complex64)), win_sh)
+        jnp.asarray(rng.normal(0, 1, (B, demod.window_len, 2))
+                    .astype(np.float32)), win_sh)
     carry = jax.device_put(DemodCarry.init((B,)), carry_sh)
     carry, out = step(carry, wins)
     assert out["bits"].shape == (B, demod.params.nb_frame_bits)

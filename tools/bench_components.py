@@ -28,8 +28,8 @@ def bench_demod(batch=32, iters=20):
     from dab_radio_tpu.models.demodulator import OFDMDemodulator, DemodCarry
     demod = OFDMDemodulator(1)
     rng = np.random.default_rng(0)
-    win = (rng.normal(0, .5, (batch, demod.window_len))
-           + 1j * rng.normal(0, .5, (batch, demod.window_len))).astype(np.complex64)
+    # f32 IQ pairs (complex64 transfers are UNIMPLEMENTED on the axon relay)
+    win = rng.normal(0, .5, (batch, demod.window_len, 2)).astype(np.float32)
     wins = jax.device_put(jnp.asarray(win))
     c, out = demod.frame_step_batch(DemodCarry.init((batch,)), wins)
     sync_fetch(out["bits"][:, :8])
