@@ -164,13 +164,80 @@ def viterbi_decode_soft(depunctured: jnp.ndarray, start_state: int = 0,
     return bits, error
 
 
+def viterbi_decode_soft_radix4(depunctured: jnp.ndarray, start_state: int = 0,
+                               end_state: int = 0):
+    """Radix-4 decode: two trellis steps fused per scan iteration, halving
+    the sequential depth (the latency bottleneck on TPU, where per-step
+    tensors are tiny). Bit-exact vs viterbi_decode_soft including argmin
+    tie-breaking: candidates are ordered by p = s0 & 3 = (p_step2 << 1) |
+    p_step1, and first-minimum-wins over that order reproduces the
+    sequential even-predecessor-first preference at both steps.
+
+    Requires an even number of trellis steps (always true for DAB: byte
+    payloads + 6 tail bits)."""
+    expected = jnp.asarray(_expected_outputs())               # (64, 2, 4)
+    T = depunctured.shape[-2]
+    assert T % 2 == 0, "radix-4 needs an even trellis length"
+    batch_shape = depunctured.shape[:-2]
+
+    pm0 = jnp.full((*batch_shape, NB_STATES), _INITIAL_NON_START,
+                   dtype=jnp.int32)
+    pm0 = pm0.at[..., start_state].set(0)
+
+    xs = jnp.moveaxis(depunctured, -2, 0)                     # (T, ..., 4)
+    xs = xs.reshape(T // 2, 2, *batch_shape, CODE_RATE)
+
+    def branch_err(d_t):
+        err = jnp.abs(d_t[..., None, None, :] - SOFT_HIGH * expected)
+        return jnp.sum(err, axis=-1)                          # (..., 64, 2)
+
+    def step(pm, d2):
+        bm_a = branch_err(d2[0])                              # (..., s0, b1)
+        bm_b = branch_err(d2[1])                              # (..., s1, b2)
+        # remap bm_b onto (s0, b1, b2): s1 = (b1 << 5) | (s0 >> 1), so for
+        # each b1-half of the state axis, consecutive s0 pairs share one s1
+        bmb = bm_b.reshape(*batch_shape, 2, 32, 1, 2)         # (b1, s1lo, ., b2)
+        bmb = jnp.broadcast_to(bmb, (*batch_shape, 2, 32, 2, 2))
+        bmb = bmb.reshape(*batch_shape, 2, NB_STATES, 2)      # (b1, s0, b2)
+        bmb = jnp.swapaxes(bmb, -3, -2)                       # (s0, b1, b2)
+
+        cand = (pm[..., :, None, None] + bm_a[..., :, :, None] + bmb)
+        quads = cand.reshape(*batch_shape, 16, 4, 2, 2)       # (j, p, b1, b2)
+        new_pm = jnp.min(quads, axis=-3)                      # (j, b1, b2)
+        dec = jnp.argmin(quads, axis=-3).astype(jnp.uint8)
+        # s2 = (b2 << 5) | (b1 << 4) | j  ->  reorder (j, b1, b2) -> (b2, b1, j)
+        new_pm = jnp.swapaxes(new_pm, -3, -1).reshape(*batch_shape, NB_STATES)
+        dec = jnp.swapaxes(dec, -3, -1).reshape(*batch_shape, NB_STATES)
+        return new_pm, dec
+
+    pm_final, decisions = jax.lax.scan(step, pm0, xs)         # (T/2, ..., 64)
+
+    def back(state, dec_t):
+        b2 = (state >> 5).astype(jnp.int8)
+        b1 = ((state >> 4) & 1).astype(jnp.int8)
+        p = jnp.take_along_axis(dec_t, state[..., None].astype(jnp.int32),
+                                axis=-1)[..., 0]
+        prev = ((state & 15) << 2) | p.astype(state.dtype)
+        return prev, jnp.stack([b1, b2])                      # time order
+
+    state0 = jnp.full(batch_shape, end_state, dtype=jnp.int32)
+    _, bits_rev = jax.lax.scan(back, state0, decisions, reverse=True)
+    # bits_rev: (T/2, 2, ...) in forward time order along both axes
+    bits = jnp.moveaxis(bits_rev.reshape(T, *batch_shape), 0, -1)
+    error = pm_final[..., end_state]
+    return bits, error
+
+
 def viterbi_decode(rx_soft: jnp.ndarray, spec: ViterbiSpec):
     """End-to-end: depuncture + decode + drop tail bits.
 
     rx_soft: (..., nb_in) int8 soft symbols. Returns (data_bits (..., nb_data)
     int8, path_error (...,) int32)."""
     d = depuncture(rx_soft, spec)
-    bits, err = viterbi_decode_soft(d)
+    if spec.nb_steps % 2 == 0:
+        bits, err = viterbi_decode_soft_radix4(d)
+    else:
+        bits, err = viterbi_decode_soft(d)
     nb_data = spec.nb_steps - (K - 1)
     return bits[..., :nb_data], err
 

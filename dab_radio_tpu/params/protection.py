@@ -182,6 +182,11 @@ def msc_puncture_schedule(cfg: SubchannelConfig):
             sched.append((get_puncture_vector(pix), 128 * lx))
     else:
         prof = get_eep_profile(cfg.eep_type, cfg.eep_prot_level, cfg.length)
+        if cfg.length % prof.capacity_unit_multiple or cfg.length <= 0:
+            raise ValueError(
+                f"EEP {cfg.eep_prot_level + 1}-{cfg.eep_type} subchannel size "
+                f"must be a positive multiple of "
+                f"{prof.capacity_unit_multiple} CU, got {cfg.length}")
         n = cfg.length // prof.capacity_unit_multiple
         for (m, b), pix in zip((prof.L1_eq, prof.L2_eq), prof.PIx):
             lx = m * n + b

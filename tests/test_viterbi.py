@@ -128,3 +128,35 @@ def test_crc16_known_vector():
 def test_firecode_nonzero():
     assert firecode_crc16(b"\x00" * 9) == 0
     assert firecode_crc16(b"\x01" + b"\x00" * 8) != 0
+
+
+def test_radix4_matches_radix2_exactly():
+    """The fused two-step decode must be bit-identical to the sequential
+    scan, including argmin tie-breaking, on heavily corrupted input."""
+    from dab_radio_tpu.params import msc_puncture_schedule, SubchannelConfig
+    from dab_radio_tpu.params.puncture import build_puncture_mask
+    rng = np.random.default_rng(11)
+    cfgs = [
+        SubchannelConfig(0, 12, False, eep_type="A", eep_prot_level=2),
+        SubchannelConfig(0, 42, False, eep_type="B", eep_prot_level=1),
+        SubchannelConfig(0, 84, True, uep_table_index=33),
+    ]
+    for cfg in cfgs:
+        spec = vit.ViterbiSpec.from_schedule(msc_puncture_schedule(cfg))
+        assert spec.nb_steps % 2 == 0
+        mask = build_puncture_mask(msc_puncture_schedule(cfg))
+        B = 6
+        bits = rng.integers(0, 2, size=(B, spec.nb_data_bits)).astype(np.uint8)
+        soft = np.stack([
+            vit.bits_to_soft(vit.puncture(vit.conv_encode(b), mask))
+            for b in bits]).astype(np.int32)
+        # strong noise + saturated ties to stress tie-breaking
+        noise = rng.integers(-120, 121, size=soft.shape)
+        soft = np.clip(soft + noise, -127, 127).astype(np.int8)
+        soft[rng.random(soft.shape) < 0.05] = 0
+
+        d = vit.depuncture(jnp.asarray(soft), spec)
+        b2, e2 = vit.viterbi_decode_soft(d)
+        b4, e4 = vit.viterbi_decode_soft_radix4(d)
+        np.testing.assert_array_equal(np.asarray(b4), np.asarray(b2))
+        np.testing.assert_array_equal(np.asarray(e4), np.asarray(e2))
