@@ -1,0 +1,219 @@
+"""Live terminal dashboard — the GUI analog (reference examples/gui/:
+RenderOFDMDemodulator + RenderBasicRadio + RenderProfiler, ImGui/ImPlot).
+
+Renders, refreshed as frames decode:
+  * demod state: frames/desyncs, coarse+fine CFO (Hz), signal level
+  * ensemble database: services, subchannels, protection, bitrate
+  * per-channel: type, dynamic label, access-unit/slideshow counters
+  * an ASCII DQPSK constellation of the last frame (GUI constellation plot)
+  * profiler per-stage table (RenderProfiler analog)
+
+Runs under curses when stdout is a TTY; --plain prints a dashboard snapshot
+every refresh interval instead (pipe-friendly, used by tests).
+
+Usage: python -m dab_radio_tpu.apps.tui -i capture.bin -F u8 [--plain]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ..host.native import iq_convert, IQ_FORMATS
+from ..host.io import IQReader
+from ..models.demodulator import OFDMDemodulator, StreamingDemodulator
+from ..models.receiver import DabReceiver
+from ..dab.database import STREAM_AUDIO
+from ..utils.backend import add_backend_flag, apply_backend
+from ..utils.profiler import get_profiler
+
+SAMPLE_RATE = 2_048_000.0
+
+
+class ChannelStats:
+    def __init__(self, ch):
+        self.ch = ch
+        self.access_units = 0
+        self.frames = 0
+        if hasattr(ch, "events"):
+            ch.events.on_access_unit.append(self._on_au)
+            ch.events.on_frame_data.append(self._on_frame)
+
+    def _on_au(self, i, n, au, hdr):
+        self.access_units += 1
+
+    def _on_frame(self, payload):
+        self.frames += 1
+
+
+def constellation_ascii(demod, sd, width=48, height=12):
+    """DQPSK constellation of the PRS->symbol-1 transition of the last
+    window (cheap, no full re-demod)."""
+    if sd.last_window is None:
+        return ["(no frame yet)"]
+    p = demod.params
+    w = sd.last_window
+    if w.shape[0] < p.nb_null_period + 2 * p.nb_symbol_period:
+        return ["(window too short)"]
+    f0 = np.fft.fft(w[p.nb_null_period + p.nb_cyclic_prefix:
+                      p.nb_null_period + p.nb_cyclic_prefix + p.nb_fft])
+    s1 = p.nb_null_period + p.nb_symbol_period
+    f1 = np.fft.fft(w[s1 + p.nb_cyclic_prefix:
+                      s1 + p.nb_cyclic_prefix + p.nb_fft])
+    d = f1 * np.conj(f0)
+    bins = np.concatenate([np.arange(1, p.nb_data_carriers // 2 + 1),
+                           np.arange(p.nb_fft - p.nb_data_carriers // 2,
+                                     p.nb_fft)])
+    pts = d[bins]
+    m = np.abs(pts).max() or 1.0
+    pts = pts / m
+    grid = [[" "] * width for _ in range(height)]
+    for z in pts[:: max(1, pts.shape[0] // 512)]:
+        x = int((z.real * 0.45 + 0.5) * (width - 1))
+        y = int((-z.imag * 0.45 + 0.5) * (height - 1))
+        if 0 <= x < width and 0 <= y < height:
+            grid[y][x] = "."
+    grid[height // 2][width // 2] = "+"
+    return ["".join(row) for row in grid]
+
+
+def render_lines(demod, sd, rx, stats, nb_frames, t0, show_constellation=True):
+    lines = []
+    c = sd.carry
+    freq = (float(c.freq_coarse) + float(c.freq_fine)) * SAMPLE_RATE \
+        if np.ndim(c.freq_coarse) == 0 else 0.0
+    lines.append(
+        f"DAB-Radio TPU   mode I   {nb_frames} frames   "
+        f"{time.time() - t0:6.1f}s   state={'TRACK' if sd.state else 'ACQUIRE'}")
+    lines.append(
+        f"demod: read={int(c.total_frames)} desync={int(c.total_desync)} "
+        f"cfo={freq:+8.1f} Hz  signal_l1={float(c.signal_l1_avg):.4f}")
+    db = rx.db
+    lines.append(
+        f"ensemble {db.ensemble.id:04X} '{db.ensemble.label}'  "
+        f"services={len(db.services)} subchannels={len(db.subchannels)}")
+    for sid, svc in sorted(db.services.items()):
+        comp = next((x for x in db.service_components
+                     if x.service_id == sid), None)
+        sub = db.subchannels.get(comp.subchannel_id) if comp else None
+        prot = ""
+        kind = "?"
+        if sub is not None:
+            prot = (f"UEP#{sub.uep_table_index}" if sub.is_uep
+                    else f"EEP-{(sub.eep_prot_level or 0) + 1}{sub.eep_type}")
+        if comp is not None and comp.transport_mode == STREAM_AUDIO:
+            kind = "DAB+" if comp.audio_service_type == 63 else "DAB"
+        st = stats.get(comp.subchannel_id) if comp else None
+        extra = ""
+        if st is not None:
+            label = getattr(st.ch, "dynamic_label", "")
+            mgr = getattr(st.ch, "slideshows", None)
+            n_ss = len(mgr.slideshows) if mgr is not None else 0
+            extra = (f" aus={st.access_units} frames={st.frames}"
+                     f" ss={n_ss} label='{label[:32]}'")
+        lines.append(f"  {sid:04X} '{svc.label:<16s}' {kind:5s} {prot:8s}"
+                     f"{extra}")
+    if show_constellation:
+        lines.append("constellation (sym1 x PRS, DQPSK):")
+        lines.extend("  " + r for r in constellation_ascii(demod, sd))
+    table = get_profiler().table()
+    if table:
+        lines.append("profiler (per stage):")
+        rows = sorted(table.items(), key=lambda kv: -kv[1]["total_us"])
+        for name, d in rows[:8]:
+            lines.append(f"  {name:<24s} n={int(d['count']):6d} "
+                         f"mean={d['mean_us'] / 1e3:8.2f}ms "
+                         f"max={d['max_us'] / 1e3:8.2f}ms")
+    return lines
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-i", "--input", default="-", help="IQ file or - for stdin")
+    ap.add_argument("-F", "--format", default="u8",
+                    choices=sorted(IQ_FORMATS) + ["wav"])
+    ap.add_argument("-M", "--transmission-mode", type=int, default=1)
+    ap.add_argument("-b", "--block-size", type=int, default=65536 * 4)
+    ap.add_argument("--plain", action="store_true",
+                    help="print dashboard snapshots instead of curses")
+    ap.add_argument("--refresh", type=float, default=0.25)
+    ap.add_argument("--max-frames", type=int, default=0)
+    add_backend_flag(ap)
+    args = ap.parse_args(argv)
+    apply_backend(args)
+
+    fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    reader = IQReader(fin, args.format)
+    demod = OFDMDemodulator(args.transmission_mode)
+    sd = StreamingDemodulator(demod)
+    rx = DabReceiver(args.transmission_mode, benchmark_all=True)
+    stats = {}
+    rx.on_audio_channel.append(
+        lambda sub_id, ch: stats.__setitem__(sub_id, ChannelStats(ch)))
+    rx.on_data_channel.append(
+        lambda sub_id, ch: stats.__setitem__(sub_id, ChannelStats(ch)))
+
+    nb_frames = 0
+    t0 = time.time()
+
+    def pump():
+        nonlocal nb_frames
+        raw = fin.read(args.block_size)
+        if not raw:
+            return False
+        iq = iq_convert(raw, reader.fmt)
+        for bits in sd.process(iq):
+            rx.process_frame(bits)
+            nb_frames += 1
+        return True
+
+    if args.plain or not sys.stdout.isatty():
+        last = time.time()
+        alive = True
+        while alive and (not args.max_frames or nb_frames < args.max_frames):
+            alive = pump()
+            if time.time() - last >= args.refresh:
+                last = time.time()
+                print("\n".join(render_lines(demod, sd, rx, stats, nb_frames,
+                                             t0)))
+                print("-" * 72)
+                sys.stdout.flush()
+        print("\n".join(render_lines(demod, sd, rx, stats, nb_frames, t0)))
+        sys.stdout.flush()
+        return 0
+
+    import curses
+
+    def run(scr):
+        nonlocal nb_frames
+        curses.curs_set(0)
+        scr.nodelay(True)
+        last = 0.0
+        alive = True
+        while alive and (not args.max_frames or nb_frames < args.max_frames):
+            alive = pump()
+            if scr.getch() in (ord("q"), 27):
+                break
+            now = time.time()
+            if now - last < args.refresh and alive:
+                continue
+            last = now
+            scr.erase()
+            maxy, maxx = scr.getmaxyx()
+            for y, line in enumerate(render_lines(demod, sd, rx, stats,
+                                                  nb_frames, t0)):
+                if y >= maxy - 1:
+                    break
+                scr.addnstr(y, 0, line, maxx - 1)
+            scr.refresh()
+        scr.nodelay(False)
+        scr.addnstr(0, 0, "stream ended - press any key", 40)
+        scr.getch()
+
+    curses.wrapper(run)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

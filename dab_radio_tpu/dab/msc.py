@@ -82,37 +82,78 @@ def group_key(cfg: SubchannelConfig) -> SubchannelConfig:
     return dataclasses.replace(cfg, start_address=0)
 
 
-def decode_frame_group(decoders: list, msc_cifs) -> list:
-    """Decode one frame of several same-protection subchannels in a single
-    device dispatch. msc_cifs is one (nb_cifs, nb_msc_cif_bits) array shared
-    by every decoder (subchannels of one ensemble) or a sequence of such
-    arrays, one per decoder (subchannels drawn from different ensembles in a
-    fleet). Returns per-decoder lists matching MSCDecoder.decode_frame."""
-    frame_batch = _group_frame_fn(group_key(decoders[0].cfg))
+class MSCDecodeGroup:
+    """Persistent same-protection decode group: the stacked deinterleaver
+    history lives on device across rounds (one jit call per round, no
+    per-channel eager slicing — each eager op is a full round trip on a
+    tunneled accelerator). Use sync_back() before using the individual
+    MSCDecoder objects again."""
+
+    def __init__(self, decoders: list):
+        self.decoders = list(decoders)
+        self.key = group_key(decoders[0].cfg)
+        self._frame_batch = _group_frame_fn(self.key)
+        self.hist = jnp.stack([d.history for d in self.decoders])
+
+    def dispatch(self, cifs_list):
+        subs = np.stack([
+            np.asarray(c)[:, d.cfg.start_address * CU_BITS:
+                          d.cfg.start_address * CU_BITS + d.nb_bits]
+            for d, c in zip(self.decoders, cifs_list)])
+        self.hist, bits, _err = self._frame_batch(self.hist, jnp.asarray(subs))
+        pushed0 = []
+        nb_cifs = subs.shape[1]
+        for d in self.decoders:
+            pushed0.append(d.nb_pushed)
+            d.nb_pushed += nb_cifs
+        return self.decoders, bits, pushed0, nb_cifs
+
+    def sync_back(self):
+        for i, d in enumerate(self.decoders):
+            d.history = self.hist[i]
+
+
+def dispatch_frame_group(decoders: list, msc_cifs):
+    """Device half of decode_frame_group: one batched dispatch over N
+    same-protection subchannels. Updates each decoder's deinterleaver
+    history (device array, no host fetch) and returns a handle for
+    finalize_frame_group — the host fetch can be deferred to overlap later
+    dispatches (double-buffered host<->device pipelining, SURVEY §2.6.2)."""
     if isinstance(msc_cifs, (list, tuple)):
-        cifs_list = [np.asarray(c) for c in msc_cifs]
+        cifs_list = list(msc_cifs)
     else:
-        cifs_list = [np.asarray(msc_cifs)] * len(decoders)
-    subs = np.stack([
-        c[:, d.cfg.start_address * CU_BITS:
-           d.cfg.start_address * CU_BITS + d.nb_bits]
-        for d, c in zip(decoders, cifs_list)])
-    hist = jnp.stack([d.history for d in decoders])
-    hist, bits, _err = frame_batch(hist, jnp.asarray(subs))
+        cifs_list = [msc_cifs] * len(decoders)
+    g = MSCDecodeGroup(decoders)
+    handle = g.dispatch(cifs_list)
+    g.sync_back()
+    return handle
+
+
+def finalize_frame_group(handle) -> list:
+    """Host half: fetch decoded bits, descramble, emit per-decoder payload
+    lists matching MSCDecoder.decode_frame."""
+    decoders, bits, pushed0, nb_cifs = handle
     bits = np.asarray(bits, np.uint8)
     results = []
     for i, d in enumerate(decoders):
-        d.history = hist[i]
         out = []
-        for c in range(bits.shape[1]):
-            d.nb_pushed += 1
-            if d.nb_pushed < DEPTH:
+        for c in range(nb_cifs):
+            if pushed0[i] + c + 1 < DEPTH:
                 out.append(None)
                 continue
             by = np.packbits(bits[i, c])
             out.append(bytes(by ^ prbs_bytes(by.shape[0])))
         results.append(out)
     return results
+
+
+def decode_frame_group(decoders: list, msc_cifs) -> list:
+    """Decode one frame of several same-protection subchannels in a single
+    device dispatch. msc_cifs is one (nb_cifs, nb_msc_cif_bits) array shared
+    by every decoder (subchannels of one ensemble) or a sequence of such
+    arrays, one per decoder (subchannels drawn from different ensembles in a
+    fleet). Returns per-decoder lists matching MSCDecoder.decode_frame."""
+    return finalize_frame_group(dispatch_frame_group(decoders, msc_cifs))
 
 
 class MSCDecoder:

@@ -31,6 +31,16 @@ class OFDMModulator:
         self.carrier_bins = get_carrier_to_fft_bin(p.nb_fft, p.nb_data_carriers)
         # PRS spectrum restricted to the data-carrier slots (phase seed)
         self.prs_slots = self.prs_fft[self.carrier_bins]
+        # relay-safe entry: complex64 must not cross the host<->device
+        # boundary (ops/iq.py), so this jit emits f32 (..., 2) pairs
+        from ..ops.iq import iq_pairs as _iq_pairs
+        self._frame_pairs_fn = jax.jit(
+            lambda b: _iq_pairs(self.modulate_frame(b)))
+
+    def modulate_frame_pairs(self, bits: jnp.ndarray) -> jnp.ndarray:
+        """modulate_frame, but returns float32 (..., nb_frame_samples, 2) IQ
+        pairs — the only layout that can be fetched from every backend."""
+        return self._frame_pairs_fn(bits)
 
     def modulate_frame(self, bits: jnp.ndarray) -> jnp.ndarray:
         """bits: (..., S-1, 2*ncarriers) or (..., (S-1)*2*ncarriers) 0/1.

@@ -36,6 +36,17 @@ class MultiStreamDemodulator:
         self.carry = DemodCarry.init((nb_streams,))
         self.sharding = sharding
         self.frames_emitted = 0
+        # one jit call per round: vmapped step + ready-mask carry merge
+        # fused on device (eager per-field merges cost a round trip each on
+        # a tunneled accelerator)
+        def _masked(carry, wins, mask):
+            new_c, out = jax.vmap(demod._frame_step_impl)(carry, wins)
+            merged = jax.tree.map(
+                lambda n, o: jnp.where(
+                    mask.reshape((-1,) + (1,) * (n.ndim - 1)), n, o),
+                new_c, carry)
+            return merged, out
+        self._masked_step = jax.jit(_masked)
 
     def push(self, stream_idx: int, iq: np.ndarray):
         self.bufs[stream_idx] = np.concatenate(
@@ -89,24 +100,19 @@ class MultiStreamDemodulator:
         wins = jnp.asarray(iq_pairs(windows))
         if self.sharding is not None:
             wins = jax.device_put(wins, self.sharding)
-        old_carry = self.carry
-        new_carry, out = d.frame_step_batch(self.carry, wins)
-
         ready_mask = np.zeros(self.B, dtype=bool)
         ready_mask[ready] = True
-        mask_dev = jnp.asarray(ready_mask)
-        self.carry = jax.tree.map(
-            lambda new, old: jnp.where(
-                mask_dev.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
-            new_carry, old_carry)
+        self.carry, out = self._masked_step(self.carry, wins,
+                                            jnp.asarray(ready_mask))
 
-        sync_ok = np.asarray(out["sync_ok"])
-        offsets = np.asarray(out["offset"])
-        bits = out["bits"]
+        # single bulk fetch of the round's outputs (per-stream fetches are
+        # one round trip each)
+        sync_ok, offsets, bits = jax.device_get(
+            (out["sync_ok"], out["offset"], out["bits"]))
         results = []
         for i in ready:
             if sync_ok[i]:
-                results.append((i, np.asarray(bits[i])))
+                results.append((i, bits[i]))
                 adv = int(offsets[i]) + d.frame_advance
                 self.bufs[i] = self.bufs[i][adv:]
             else:

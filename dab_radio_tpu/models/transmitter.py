@@ -235,11 +235,14 @@ class EnsembleTransmitter:
 
     def next_frame_iq(self) -> np.ndarray:
         """One transmission frame of complex64 IQ samples."""
+        from ..ops.iq import pairs_to_complex_np
         soft = self.next_frame_bits()
         bits = (soft > 0).astype(np.uint8)
         p = self.ofdm
         bits = bits.reshape(p.nb_data_symbols, 2 * p.nb_data_carriers)
-        return np.asarray(self.modulator.modulate_frame(jnp.asarray(bits[None]))[0])
+        pairs = np.asarray(
+            self.modulator.modulate_frame_pairs(jnp.asarray(bits[None]))[0])
+        return pairs_to_complex_np(pairs)
 
     def generate(self, nb_frames: int) -> np.ndarray:
         return np.concatenate([self.next_frame_iq() for _ in range(nb_frames)])

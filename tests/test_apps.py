@@ -110,3 +110,24 @@ def test_split_pipeline_ofdm_then_dab(tmp_path):
     err = r2.stderr.decode()
     assert r2.returncode == 0, err
     assert "TPU Ensemble" in err and "Radio TPU" in err
+
+
+@pytest.mark.slow
+def test_tui_plain_dashboard(tmp_path):
+    """TUI dashboard (GUI analog) decodes a capture and renders services,
+    channel stats, and the constellation in --plain mode."""
+    iq_path = tmp_path / "iq.bin"
+    r = _run(["dab_radio_tpu.apps.simulate_transmitter", "--payload",
+              "ensemble", "--services", "2", "-n", "14", "-F", "u8"],
+             timeout=400)
+    assert r.returncode == 0
+    iq_path.write_bytes(r.stdout)
+    r2 = _run(["dab_radio_tpu.apps.tui", "-i", str(iq_path), "-F", "u8",
+               "--plain", "--max-frames", "12", "--refresh", "30"],
+              timeout=400)
+    assert r2.returncode == 0, r2.stderr.decode()[-500:]
+    out = r2.stdout.decode()
+    assert "state=TRACK" in out
+    assert "Radio TPU 1" in out and "Radio TPU 2" in out
+    assert "aus=" in out
+    assert "constellation" in out

@@ -106,3 +106,32 @@ def test_fleet_partial_rounds(ensembles):
     assert sinks[0] and sinks[1]
     for sub, aus in sinks[0].items():
         assert len(aus) > 0
+
+
+def test_fleet_pipelined_decode(ensembles):
+    """pipeline_depth>0 defers host fetches; the decoded AU stream for each
+    channel must be a contiguous run of the synchronous fleet's stream
+    (channel discovery lags `depth` frames, so it may start later)."""
+    frames = ensembles
+
+    def run(depth):
+        fleet = ReceiverFleet(3, pipeline_depth=depth)
+        sinks = [dict() for _ in range(3)]
+        for k in range(3):
+            _attach(fleet.receivers[k], sinks[k])
+        for t in range(NB_FRAMES):
+            fleet.process_frames([(k, frames[k][t]) for k in range(3)])
+        fleet.flush()
+        return sinks
+
+    ref = run(0)
+    pipe = run(2)
+    for k in range(3):
+        assert ref[k].keys() == pipe[k].keys()
+        for sub in ref[k]:
+            a, b = ref[k][sub], pipe[k][sub]
+            assert len(b) > 0
+            # b must appear as a contiguous run inside a
+            joined_a = b"\x00sep\x00".join(a)
+            joined_b = b"\x00sep\x00".join(b)
+            assert joined_b in joined_a, (k, sub, len(a), len(b))
