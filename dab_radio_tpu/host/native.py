@@ -180,3 +180,19 @@ class NativeRingBuffer:
             self._lib.ring_destroy(self._h)
         except Exception:
             pass
+
+
+@functools.lru_cache(maxsize=1)
+def fig_lib():
+    """Native FIG parser (native/fig_parser.cpp); None if unavailable."""
+    path = os.path.join(_BUILD_DIR, "libdabfig.so")
+    if not os.path.exists(path) and not _build("build/libdabfig.so"):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    lib.fig_parse.restype = ctypes.c_int64
+    lib.fig_parse.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                              ctypes.c_void_p, ctypes.c_int64]
+    return lib

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..params import get_dab_params, SubchannelConfig
 from ..dab.fic import FICDecoder
-from ..dab.fig import FIGParser
+from ..dab.fig_native import NativeFIGParser
 from ..dab.database import (
     DatabaseUpdater, STREAM_AUDIO, STREAM_DATA, PACKET_DATA,
     AUDIO_DAB, AUDIO_DAB_PLUS, Subchannel,
@@ -217,7 +217,9 @@ class DabReceiver:
     def __init__(self, transmission_mode: int = 1, benchmark_all: bool = False):
         self.dab = get_dab_params(transmission_mode)
         self.fic = FICDecoder(transmission_mode)
-        self.parser = FIGParser()
+        # C++ parser when native/libdabfig.so is available (differential-
+        # fuzzed equal to dab.fig.FIGParser); falls back to Python
+        self.parser = NativeFIGParser()
         self.updater = DatabaseUpdater()
         self.channels: Dict[int, object] = {}
         self.on_audio_channel: List[Callable] = []
