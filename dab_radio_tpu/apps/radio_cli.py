@@ -57,9 +57,14 @@ def main(argv=None):
     ap.add_argument("--benchmark", action="store_true",
                     help="decode all subchannels, print throughput")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--viterbi", default="exact", choices=["exact", "tiled"],
+                    help="MSC Viterbi mode (tiled = overlap-save, lower latency)")
     add_backend_flag(ap)
     args = ap.parse_args(argv)
     apply_backend(args)
+    if args.viterbi != "exact":
+        from ..dab.msc import set_decode_mode
+        set_decode_mode(args.viterbi)
     from ..utils.cache import enable_compile_cache
     enable_compile_cache()
 

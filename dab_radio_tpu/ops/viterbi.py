@@ -228,6 +228,82 @@ def viterbi_decode_soft_radix4(depunctured: jnp.ndarray, start_state: int = 0,
     return bits, error
 
 
+def viterbi_decode_soft_tiled(depunctured: jnp.ndarray,
+                              chunk: int = 128, overlap: int = 96):
+    """Overlap-save tiled decode: the T trellis steps split into chunks that
+    decode in parallel, each with `overlap` warmup steps (ACS from uniform
+    metrics converges to the survivor paths within ~5-10 constraint lengths)
+    and `overlap` cooldown steps before its traceback anchor.
+
+    Sequential depth drops from T to chunk + 2*overlap at ~(1 + 2*overlap/
+    chunk)x the FLOPs — the standard high-throughput Viterbi structure
+    (the reference decodes each message serially: dab_viterbi_decoder.cpp).
+    Not guaranteed bit-exact under extreme noise (the per-layer CRCs gate
+    such frames anyway); exact on clean input and equal to the full decode
+    at operating SNR (tests/test_viterbi.py).
+
+    depunctured: (B, T, 4) int32. Returns (bits (B, T) int8, None)."""
+    assert depunctured.ndim == 3, "tiled path expects one batch dim"
+    B, T, _ = depunctured.shape
+    assert chunk % 2 == 0 and overlap % 2 == 0
+    nb_chunks = -(-T // chunk)
+    Tp = nb_chunks * chunk
+    L = chunk + 2 * overlap                       # extended chunk length
+
+    # neutral (zero) branch symbols outside [0, T)
+    d_pad = jnp.pad(depunctured, ((0, 0), (overlap, Tp - T + overlap), (0, 0)))
+    starts = jnp.arange(nb_chunks) * chunk        # into d_pad
+    idx = starts[:, None] + jnp.arange(L)[None, :]
+    chunks = d_pad[:, idx]                        # (B, C, L, 4)
+    x = chunks.reshape(B * nb_chunks, L, CODE_RATE)
+
+    expected = jnp.asarray(_expected_outputs())
+    # chunk 0 starts from the true state-0 init; others from uniform metrics
+    pm0_first = jnp.full((NB_STATES,), _INITIAL_NON_START, jnp.int32
+                         ).at[0].set(0)
+    pm0_rest = jnp.zeros((NB_STATES,), jnp.int32)
+    pm0 = jnp.where(jnp.arange(nb_chunks)[:, None] == 0, pm0_first, pm0_rest)
+    pm0 = jnp.broadcast_to(pm0[None], (B, nb_chunks, NB_STATES)
+                           ).reshape(B * nb_chunks, NB_STATES)
+
+    xs = jnp.moveaxis(x, -2, 0).reshape(L // 2, 2, B * nb_chunks, CODE_RATE)
+
+    def branch_err(d_t):
+        err = jnp.abs(d_t[..., None, None, :] - SOFT_HIGH * expected)
+        return jnp.sum(err, axis=-1)
+
+    def step(pm, d2):
+        bm_a = branch_err(d2[0])
+        bm_b = branch_err(d2[1])
+        bmb = bm_b.reshape(-1, 2, 32, 1, 2)
+        bmb = jnp.broadcast_to(bmb, (bmb.shape[0], 2, 32, 2, 2))
+        bmb = bmb.reshape(-1, 2, NB_STATES, 2)
+        bmb = jnp.swapaxes(bmb, -3, -2)
+        cand = pm[..., :, None, None] + bm_a[..., :, :, None] + bmb
+        quads = cand.reshape(-1, 16, 4, 2, 2)
+        new_pm = jnp.min(quads, axis=-3)
+        dec = jnp.argmin(quads, axis=-3).astype(jnp.uint8)
+        new_pm = jnp.swapaxes(new_pm, -3, -1).reshape(-1, NB_STATES)
+        dec = jnp.swapaxes(dec, -3, -1).reshape(-1, NB_STATES)
+        return new_pm, dec
+
+    pm_final, decisions = jax.lax.scan(step, pm0, xs)   # (L/2, BC, 64)
+
+    def back(state, dec_t):
+        b2 = (state >> 5).astype(jnp.int8)
+        b1 = ((state >> 4) & 1).astype(jnp.int8)
+        p = jnp.take_along_axis(dec_t, state[..., None].astype(jnp.int32),
+                                axis=-1)[..., 0]
+        prev = ((state & 15) << 2) | p.astype(state.dtype)
+        return prev, jnp.stack([b1, b2])
+
+    state0 = jnp.argmin(pm_final, axis=-1).astype(jnp.int32)
+    _, bits_rev = jax.lax.scan(back, state0, decisions, reverse=True)
+    bits = jnp.moveaxis(bits_rev.reshape(L, B * nb_chunks), 0, -1)
+    bits = bits.reshape(B, nb_chunks, L)[:, :, overlap:overlap + chunk]
+    return bits.reshape(B, Tp)[:, :T], None
+
+
 def viterbi_decode(rx_soft: jnp.ndarray, spec: ViterbiSpec):
     """End-to-end: depuncture + decode + drop tail bits.
 
@@ -240,6 +316,20 @@ def viterbi_decode(rx_soft: jnp.ndarray, spec: ViterbiSpec):
         bits, err = viterbi_decode_soft(d)
     nb_data = spec.nb_steps - (K - 1)
     return bits[..., :nb_data], err
+
+
+def viterbi_decode_tiled(rx_soft: jnp.ndarray, spec: ViterbiSpec,
+                         chunk: int = 128, overlap: int = 96):
+    """Tiled variant of viterbi_decode (latency-optimised; see
+    viterbi_decode_soft_tiled for the accuracy contract)."""
+    d = depuncture(rx_soft, spec)
+    squeeze = d.ndim == 2
+    if squeeze:
+        d = d[None]
+    bits, _ = viterbi_decode_soft_tiled(d, chunk=chunk, overlap=overlap)
+    nb_data = spec.nb_steps - (K - 1)
+    bits = bits[..., :nb_data]
+    return (bits[0] if squeeze else bits), None
 
 
 def pack_bits_msb(bits: np.ndarray) -> np.ndarray:

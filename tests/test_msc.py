@@ -132,3 +132,28 @@ def test_msc_group_decode_matches_individual():
         ref_out = [d.decode_frame(cifs) for d in dec_ref]
         grp_out = decode_frame_group(dec_grp, cifs)
         assert ref_out == grp_out
+
+
+def test_msc_roundtrip_tiled_mode():
+    """The tiled Viterbi mode decodes the subchannel stream identically on
+    clean input (set_decode_mode is process-global; restore after)."""
+    from dab_radio_tpu.dab.msc import set_decode_mode
+    cfg = SubchannelConfig(0, 48, False, eep_type="A", eep_prot_level=2)
+    set_decode_mode("tiled")
+    try:
+        enc = MSCEncoder(cfg)
+        dec = MSCDecoder(cfg)
+        rng = np.random.default_rng(5)
+        payloads = [rng.integers(0, 256, enc.nb_data_bytes
+                                 ).astype(np.uint8).tobytes()
+                    for _ in range(20)]
+        decoded = []
+        for t in range(20):
+            cif = np.zeros(cfg.nb_cif_bits, dtype=np.int8)
+            cif[:] = enc.encode_cif(payloads[t])
+            out = dec.decode_cif(cif)
+            if out is not None:
+                decoded.append(out)
+        assert decoded == payloads[:len(decoded)] and len(decoded) == 5
+    finally:
+        set_decode_mode("exact")

@@ -160,3 +160,41 @@ def test_radix4_matches_radix2_exactly():
         b4, e4 = vit.viterbi_decode_soft_radix4(d)
         np.testing.assert_array_equal(np.asarray(b4), np.asarray(b2))
         np.testing.assert_array_equal(np.asarray(e4), np.asarray(e2))
+
+
+def test_tiled_matches_full_decode():
+    """Tiled (overlap-save) decode equals the full decode on clean input and
+    at operating SNR; BER stays close under heavy noise."""
+    from dab_radio_tpu.params import msc_puncture_schedule, SubchannelConfig
+    from dab_radio_tpu.params.puncture import build_puncture_mask
+    rng = np.random.default_rng(21)
+    cfg = SubchannelConfig(0, 48, False, eep_type="A", eep_prot_level=2)
+    spec = vit.ViterbiSpec.from_schedule(msc_puncture_schedule(cfg))
+    mask = build_puncture_mask(msc_puncture_schedule(cfg))
+    B = 16
+    bits = rng.integers(0, 2, size=(B, spec.nb_data_bits)).astype(np.uint8)
+    clean = np.stack([
+        vit.bits_to_soft(vit.puncture(vit.conv_encode(b), mask))
+        for b in bits]).astype(np.int32)
+
+    # clean: exact
+    t_bits, _ = vit.viterbi_decode_tiled(jnp.asarray(clean.astype(np.int8)),
+                                         spec)
+    np.testing.assert_array_equal(np.asarray(t_bits), bits)
+
+    # operating SNR (full decode recovers everything): tiled must agree
+    noisy = np.clip(clean + rng.normal(0, 35, clean.shape), -127, 127
+                    ).astype(np.int8)
+    f_bits, _ = vit.viterbi_decode(jnp.asarray(noisy), spec)
+    assert (np.asarray(f_bits) == bits).all(), "full decode failed; raise SNR"
+    t_bits, _ = vit.viterbi_decode_tiled(jnp.asarray(noisy), spec)
+    np.testing.assert_array_equal(np.asarray(t_bits), np.asarray(f_bits))
+
+    # heavy noise: BER within 1% absolute of the full decode
+    heavy = np.clip(clean + rng.normal(0, 110, clean.shape), -127, 127
+                    ).astype(np.int8)
+    f_bits, _ = vit.viterbi_decode(jnp.asarray(heavy), spec)
+    t_bits, _ = vit.viterbi_decode_tiled(jnp.asarray(heavy), spec)
+    ber_f = float((np.asarray(f_bits) != bits).mean())
+    ber_t = float((np.asarray(t_bits) != bits).mean())
+    assert abs(ber_t - ber_f) < 0.01, (ber_f, ber_t)

@@ -34,6 +34,7 @@ def main(argv=None):
                     choices=["default", "cpu", "tpu"])
     ap.add_argument("--pipeline-depth", type=int, default=2,
                     help="rounds of deferred host fetch (hides device latency)")
+    ap.add_argument("--viterbi", default="exact", choices=["exact", "tiled"])
     args = ap.parse_args(argv)
     if args.backend != "default":
         import jax
@@ -41,6 +42,9 @@ def main(argv=None):
 
     import numpy as np
     import jax
+    if args.viterbi != "exact":
+        from dab_radio_tpu.dab.msc import set_decode_mode
+        set_decode_mode(args.viterbi)
     from dab_radio_tpu.models.demodulator import OFDMDemodulator
     from dab_radio_tpu.models.multistream import MultiStreamDemodulator
     from dab_radio_tpu.models.fleet import ReceiverFleet
