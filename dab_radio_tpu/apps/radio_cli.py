@@ -59,6 +59,10 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--viterbi", default="exact", choices=["exact", "tiled"],
                     help="MSC Viterbi mode (tiled = overlap-save, lower latency)")
+    ap.add_argument("--snapshot-out", default=None,
+                    help="write full decode state (demod sync + radio) here at exit")
+    ap.add_argument("--resume", default=None,
+                    help="resume from a --snapshot-out checkpoint")
     add_backend_flag(ap)
     args = ap.parse_args(argv)
     apply_backend(args)
@@ -77,6 +81,17 @@ def main(argv=None):
     sd = StreamingDemodulator(demod) if run_ofdm else None
     rx = DabReceiver(args.transmission_mode,
                      benchmark_all=args.benchmark) if run_dab else None
+    if args.resume:
+        import pickle
+        with open(args.resume, "rb") as f:
+            snap = pickle.load(f)
+        if sd is not None and snap.get("demod") is not None:
+            sd.restore(snap["demod"])
+        if rx is not None and snap.get("radio") is not None:
+            rx2 = DabReceiver.from_snapshot(snap["radio"])
+            rx2.benchmark_all = args.benchmark
+            rx = rx2
+        print(f"# resumed from {args.resume}", file=sys.stderr)
 
     scraper = None
     if args.scraper_enable and rx is not None:
@@ -84,9 +99,12 @@ def main(argv=None):
         scraper = Scraper(args.scraper_output)
         scraper.attach(rx)
     if args.audio_decode and rx is not None:
-        rx.on_audio_channel.append(
-            lambda _id, ch: ch.enable_audio_decode()
-            if hasattr(ch, "enable_audio_decode") else None)
+        def _enable_audio(_id, ch):
+            if hasattr(ch, "enable_audio_decode"):
+                ch.enable_audio_decode()
+        rx.on_audio_channel.append(_enable_audio)
+        for sub_id, ch in rx.channels.items():   # restored channels
+            _enable_audio(sub_id, ch)
 
     nb_frames = 0
     last_stats = None
@@ -140,6 +158,13 @@ def main(argv=None):
                   f"desync={int(sd.carry.total_desync)}", file=sys.stderr)
     if scraper is not None:
         scraper.close()
+    if args.snapshot_out:
+        import pickle
+        with open(args.snapshot_out, "wb") as f:
+            pickle.dump({"demod": sd.snapshot() if sd is not None else None,
+                         "radio": rx.snapshot() if rx is not None else None},
+                        f)
+        print(f"# snapshot written to {args.snapshot_out}", file=sys.stderr)
     return 0
 
 

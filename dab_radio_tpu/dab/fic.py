@@ -47,6 +47,14 @@ class FICDecoder:
         self.spec, self._decode = _fic_decode_fn()
         self.nb_groups = self.dab.nb_cifs
 
+    def __getstate__(self):
+        return {"dab": self.dab, "nb_groups": self.nb_groups}
+
+    def __setstate__(self, state):
+        self.dab = state["dab"]
+        self.nb_groups = state["nb_groups"]
+        self.spec, self._decode = _fic_decode_fn()
+
     def decode_fic(self, fic_soft_bits: np.ndarray):
         """fic_soft_bits: (nb_fic_bits,) int8. Returns (fibs, errors) where
         fibs is a list of CRC-valid FIB data payloads (bytes, 30 each)."""

@@ -42,6 +42,13 @@ class NativeFIGParser:
     def is_native(self) -> bool:
         return self._lib is not None
 
+    # ctypes handles and the memo cache don't checkpoint; rebuild on load
+    def __getstate__(self):
+        return {"cache_size": self._cache_size}
+
+    def __setstate__(self, state):
+        self.__init__(cache_size=state.get("cache_size", 4096))
+
     def parse_fib(self, fib: bytes) -> list:
         key = bytes(fib)
         hit = self._cache.get(key)

@@ -81,6 +81,11 @@ class _LRU(OrderedDict):
         super().__init__()
         self.max_size = max_size
 
+    def __reduce__(self):
+        # OrderedDict's default reduce calls __init__() argless; checkpoints
+        # need the max_size + items round trip
+        return (_LRU, (self.max_size,), None, None, iter(self.items()))
+
     def put(self, key, value):
         if key in self:
             self.move_to_end(key)

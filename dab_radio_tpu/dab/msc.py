@@ -188,6 +188,19 @@ class MSCDecoder:
         self.history = jnp.zeros((DEPTH, self.nb_bits), jnp.int8)
         self.nb_pushed = 0
 
+    # checkpoint/resume (SURVEY §5.4): the carry is the deinterleaver
+    # history + fill counter; jitted fns rebuild from the config
+    def __getstate__(self):
+        return {"cfg": self.cfg, "nb_pushed": self.nb_pushed,
+                "history": np.asarray(self.history)}
+
+    def __setstate__(self, state):
+        self.cfg = state["cfg"]
+        self.nb_bits = self.cfg.nb_cif_bits
+        self.spec, self._step, self._frame = _decoder_fns(self.cfg)
+        self.history = jnp.asarray(state["history"])
+        self.nb_pushed = state["nb_pushed"]
+
     def decode_cif(self, msc_soft_bits: np.ndarray):
         """msc_soft_bits: one CIF of soft bits (nb_cif_bits of the whole MSC).
         Returns decoded bytes (descrambled) or None while the deinterleaver

@@ -56,6 +56,12 @@ class SlideshowManager:
         self.slideshows = deque(maxlen=max_slideshows)
         self.on_slideshow: List[Callable[[Slideshow], None]] = []
 
+    # external observers don't checkpoint (re-attach after restore)
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["on_slideshow"] = []
+        return d
+
     def process_mot_entity(self, entity: MOTEntity) -> Optional[Slideshow]:
         if entity.header.content_type != CONTENT_IMAGE:
             return None

@@ -94,6 +94,9 @@ class Scraper:
     def attach(self, receiver):
         receiver.on_audio_channel.append(self._on_channel)
         receiver.on_data_channel.append(self._on_channel)
+        # channels may already exist (snapshot restore): hook them now
+        for sub_id, ch in receiver.channels.items():
+            self._on_channel(sub_id, ch)
 
     def _on_channel(self, sub_id: int, ch):
         cs = ChannelScraper(self.root, sub_id, ch.kind)

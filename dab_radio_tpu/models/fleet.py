@@ -175,6 +175,29 @@ class ReceiverFleet:
         for g, _ in self._groups.values():
             g.sync_back()
 
+    # ---- checkpoint/resume ----
+
+    def snapshot(self) -> bytes:
+        """Serialize every receiver's decode state (in-flight rounds are
+        finalized first). Observers/codecs re-attach after restore."""
+        import pickle
+        self.flush()
+        return pickle.dumps({
+            "mode": self.dab.mode,
+            "receivers": self.receivers,
+            "total_frames": self.total_frames,
+            "pipeline_depth": self.pipeline_depth,
+        })
+
+    @classmethod
+    def from_snapshot(cls, blob: bytes) -> "ReceiverFleet":
+        import pickle
+        d = pickle.loads(blob)
+        fleet = cls(0, d["mode"], pipeline_depth=d["pipeline_depth"])
+        fleet.receivers = d["receivers"]
+        fleet.total_frames = d["total_frames"]
+        return fleet
+
     def summary(self) -> dict:
         return {
             "receivers": len(self.receivers),

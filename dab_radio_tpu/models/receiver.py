@@ -37,7 +37,28 @@ class ChannelEvents:
     on_dynamic_label: List[Callable] = field(default_factory=list)
 
 
-class DabPlusChannel:
+class ChannelCheckpointMixin:
+    """Checkpoint/resume for channels (SURVEY §5.4): all decode state
+    (deinterleaver history, superframe buffers, PAD/MOT assemblers) pickles;
+    external observers (events, slideshow hooks) and host codec handles do
+    not — re-attach sinks and re-enable audio after restore."""
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["events"] = None
+        d.pop("_audio_decoder", None)
+        d.pop("_decoder_header", None)
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        self.events = ChannelEvents()
+        self._audio_decoder = None
+        if self.kind == "dab+":
+            self._decoder_header = None
+
+
+class DabPlusChannel(ChannelCheckpointMixin):
     """MSC subchannel -> DAB+ superframe -> access units + PAD (dynamic
     labels, MOT slideshows); PCM audio decode attaches via host.codecs."""
 
@@ -124,7 +145,7 @@ class DabPlusChannel:
                             cb(pcm, rate, ch)
 
 
-class DabChannel:
+class DabChannel(ChannelCheckpointMixin):
     """MSC subchannel -> MP2 logical frames + PAD (classic DAB audio)."""
 
     kind = "dab"
@@ -180,7 +201,7 @@ class DabChannel:
                     cb(pcm, rate, ch)
 
 
-class DataPacketChannel:
+class DataPacketChannel(ChannelCheckpointMixin):
     """MSC subchannel -> packet mode (optional RS FEC) -> data groups/MOT."""
 
     kind = "packet"
@@ -231,6 +252,29 @@ class DabReceiver:
     @property
     def db(self):
         return self.updater.db
+
+    # ---- checkpoint/resume (SURVEY §5.4) ----
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["on_audio_channel"] = []
+        d["on_data_channel"] = []
+        return d
+
+    def snapshot(self) -> bytes:
+        """Serialize the full receiver decode state: database, every
+        channel's deinterleaver/superframe/PAD/MOT state. External observers
+        (on_audio_channel etc., channel events) and codec handles are NOT
+        captured — re-attach sinks and re-enable audio after restore."""
+        import pickle
+        return pickle.dumps(self)
+
+    @classmethod
+    def from_snapshot(cls, blob: bytes) -> "DabReceiver":
+        import pickle
+        rx = pickle.loads(blob)
+        assert isinstance(rx, cls)
+        return rx
 
     def split_frame(self, frame_soft_bits: np.ndarray):
         """(nb_frame_bits,) int8 -> (fic bits, msc cifs (nb_cifs, nb_cif_bits))."""

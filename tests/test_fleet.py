@@ -135,3 +135,65 @@ def test_fleet_pipelined_decode(ensembles):
             joined_a = b"\x00sep\x00".join(a)
             joined_b = b"\x00sep\x00".join(b)
             assert joined_b in joined_a, (k, sub, len(a), len(b))
+
+
+def test_receiver_snapshot_resume(ensembles):
+    """A receiver restored from a snapshot continues the decode exactly:
+    same AU stream, same database, across the superframe/deinterleaver
+    carry boundary."""
+    from dab_radio_tpu.models.receiver import DabReceiver
+    frames = ensembles[0]
+    split = 13   # mid-stream: deinterleaver full, superframes in flight
+
+    rx = DabReceiver(1)
+    sink_a = {}
+    _attach(rx, sink_a)
+    for f in frames[:split]:
+        rx.process_frame(f)
+    blob = rx.snapshot()
+
+    # continue the original
+    for f in frames[split:]:
+        rx.process_frame(f)
+
+    # restore + re-attach sinks, then continue identically
+    rx2 = DabReceiver.from_snapshot(blob)
+    sink_b = {}
+    # channels already exist in the snapshot: hook them directly
+    for sub_id, ch in rx2.channels.items():
+        sink_b.setdefault(sub_id, [])
+        ch.events.on_access_unit.append(
+            lambda i, n, au, hdr, _s=sink_b[sub_id]: _s.append(bytes(au)))
+    _attach(rx2, sink_b)   # and any channels created later
+    for f in frames[split:]:
+        rx2.process_frame(f)
+
+    assert {s.label for s in rx.db.services.values()} \
+        == {s.label for s in rx2.db.services.values()}
+    # AUs decoded after the split must match exactly
+    for sub in sink_b:
+        n_after = len(sink_b[sub])
+        assert n_after > 0
+        assert sink_a[sub][-n_after:] == sink_b[sub]
+
+
+def test_fleet_snapshot_resume(ensembles):
+    from dab_radio_tpu.models.fleet import ReceiverFleet
+    frames = ensembles
+    fleet = ReceiverFleet(3, pipeline_depth=2)
+    for t in range(12):
+        fleet.process_frames([(k, frames[k][t]) for k in range(3)])
+    blob = fleet.snapshot()
+
+    fleet2 = ReceiverFleet.from_snapshot(blob)
+    sinks = [dict() for _ in range(3)]
+    for k in range(3):
+        for sub_id, ch in fleet2.receivers[k].channels.items():
+            sinks[k].setdefault(sub_id, [])
+            ch.events.on_access_unit.append(
+                lambda i, n, au, hdr, _s=sinks[k][sub_id]: _s.append(bytes(au)))
+    for t in range(12, NB_FRAMES):
+        fleet2.process_frames([(k, frames[k][t]) for k in range(3)])
+    fleet2.flush()
+    assert fleet2.summary()["receivers"] == 3
+    assert any(aus for s in sinks for aus in s.values())
