@@ -59,6 +59,8 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--viterbi", default="exact", choices=["exact", "tiled"],
                     help="MSC Viterbi mode (tiled = overlap-save, lower latency)")
+    ap.add_argument("--frames-per-step", type=int, default=1,
+                    help="fuse K tracking steps into one device dispatch")
     ap.add_argument("--snapshot-out", default=None,
                     help="write full decode state (demod sync + radio) here at exit")
     ap.add_argument("--resume", default=None,
@@ -78,7 +80,8 @@ def main(argv=None):
     run_dab = args.configuration in ("dab+ofdm", "dab")
 
     demod = OFDMDemodulator(args.transmission_mode) if run_ofdm else None
-    sd = StreamingDemodulator(demod) if run_ofdm else None
+    sd = StreamingDemodulator(
+        demod, frames_per_step=args.frames_per_step) if run_ofdm else None
     rx = DabReceiver(args.transmission_mode,
                      benchmark_all=args.benchmark) if run_dab else None
     if args.resume:

@@ -18,6 +18,7 @@ Per frame the step performs, exactly mirroring the reference's tracking loop:
 """
 
 from dataclasses import dataclass
+import functools
 from functools import partial
 from typing import NamedTuple
 
@@ -163,6 +164,45 @@ class OFDMDemodulator:
             block, l1_avg, nb_block=cfg.null_search_nb_samples,
             thresh_start=cfg.thresh_null_start, thresh_end=cfg.thresh_null_end)
 
+    def _frame_scan_impl(self, nb_frames: int, carry: DemodCarry,
+                         buf: jnp.ndarray):
+        """nb_frames sequential frame steps in ONE device program.
+
+        buf: (nb_frames * frame_advance + window_len, 2) f32 pairs. The scan
+        carries the read position: each frame's timing-drift offset advances
+        the next frame's window (the host driver's pointer arithmetic moves
+        on-device; clamped to the buffer so every slice is in bounds). On
+        desync the remaining frames are masked invalid rather than
+        re-acquired (the host falls back to acquisition as usual)."""
+        max_pos = nb_frames * self.frame_advance
+
+        def step(state, _):
+            c, pos, alive = state
+            window = jax.lax.dynamic_slice_in_dim(buf, pos, self.window_len, 0)
+            new_c, out = self._frame_step_impl(c, window)
+            ok = jnp.logical_and(out["sync_ok"], alive)
+            c2 = jax.tree.map(lambda n, o: jnp.where(alive, n, o), new_c, c)
+            pos2 = jnp.where(ok, pos + out["offset"] + self.frame_advance,
+                             pos)
+            pos2 = jnp.clip(pos2, 0, max_pos)
+            return (c2, pos2, ok), {"bits": out["bits"], "valid": ok}
+
+        (carry, pos, _), outs = jax.lax.scan(
+            step, (carry, jnp.asarray(0, jnp.int32), jnp.asarray(True)), None,
+            length=nb_frames)
+        return carry, pos, outs
+
+    @functools.lru_cache(maxsize=8)
+    def _frame_scan(self, nb_frames: int):
+        return jax.jit(partial(self._frame_scan_impl, nb_frames))
+
+    def frame_scan(self, nb_frames: int, carry: DemodCarry, buf):
+        """Demodulate up to nb_frames consecutive frames in one dispatch.
+        buf: (nb_frames*frame_advance + window_len,) complex or (..., 2) f32
+        pairs. Returns (carry, consumed_samples, {bits (F, nb_bits),
+        valid (F,)}) — valid goes False at the first desync."""
+        return self._frame_scan(nb_frames)(carry, iq_pairs(buf))
+
     def frame_step(self, carry: DemodCarry, window: jnp.ndarray):
         """Jitted single-stream step; window shape (window_len,) complex or
         (window_len, 2) float32 IQ pairs (the device wire format)."""
@@ -183,13 +223,17 @@ class StreamingDemodulator:
 
     ACQUIRE, TRACK = 0, 1
 
-    def __init__(self, demod: OFDMDemodulator):
+    def __init__(self, demod: OFDMDemodulator, frames_per_step: int = 1):
         self.demod = demod
         self.carry = DemodCarry.init()
         self.state = self.ACQUIRE
         self._buf = np.zeros(0, dtype=np.complex64)
         self._l1 = 0.0
         self.last_window = None  # most recent tracked frame window (debug)
+        # frames_per_step > 1 fuses K tracking steps into one device program
+        # (lax.scan threads the timing-drift pointer on-device), amortizing
+        # dispatch overhead K-fold
+        self.frames_per_step = max(1, frames_per_step)
 
     def reset(self):
         self.carry = DemodCarry.init()
@@ -248,6 +292,25 @@ class StreamingDemodulator:
                 else:
                     ptr += acq_len - p.nb_null_period
             else:
+                K = self.frames_per_step
+                scan_len = K * d.frame_advance + d.window_len
+                if K > 1 and avail >= scan_len:
+                    with profile_scope("demod/frame_scan"):
+                        raw = self._buf[ptr:ptr + scan_len]
+                        carry, consumed, outs = d.frame_scan(
+                            K, self.carry, jnp.asarray(iq_pairs(raw)))
+                        valid, bits = jax.device_get(
+                            (outs["valid"], outs["bits"]))
+                    self.carry = carry
+                    nb_ok = int(valid.sum())
+                    for k in range(nb_ok):
+                        frames.append(bits[k])
+                    self.last_window = raw[:d.window_len]
+                    ptr += int(consumed)
+                    if nb_ok < K:
+                        self.state = self.ACQUIRE
+                        ptr += p.nb_null_period
+                    continue
                 if avail < d.window_len:
                     break
                 with profile_scope("demod/frame_step"):

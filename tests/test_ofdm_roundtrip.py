@@ -179,3 +179,24 @@ def test_snapshot_resume():
         np.testing.assert_array_equal(a > 0, b > 0)
         assert int(np.abs(a.astype(np.int16) - b.astype(np.int16)).max()) <= 1
     assert _ber(first + rest_a, bits[:len(first + rest_a)]) == 0.0
+
+
+def test_frame_scan_matches_sequential():
+    """K fused tracking steps (frame_scan) must demodulate the same hard
+    bits as K sequential frame_steps, including timing-drift advancement."""
+    mod = OFDMModulator(1)
+    demod = OFDMDemodulator(1)
+    bits = _random_frames(mod, 6, seed=77)
+    iq = _stream(mod, bits)
+
+    seq = StreamingDemodulator(demod)
+    frames_seq = seq.process(iq)
+    fused = StreamingDemodulator(demod, frames_per_step=3)
+    frames_fused = fused.process(iq)
+
+    assert len(frames_fused) >= len(frames_seq) - 3
+    n = min(len(frames_seq), len(frames_fused))
+    assert n >= 3
+    for a, b in zip(frames_seq[:n], frames_fused[:n]):
+        np.testing.assert_array_equal(a > 0, b > 0)
+    assert _ber(frames_fused, bits[:len(frames_fused)]) == 0.0
