@@ -26,7 +26,7 @@ class MultiStreamDemodulator:
     """B concurrent streams over one OFDMDemodulator."""
 
     def __init__(self, demod: OFDMDemodulator, nb_streams: int,
-                 sharding=None):
+                 sharding=None, frames_per_step: int = 1):
         self.demod = demod
         self.B = nb_streams
         self.bufs: List[np.ndarray] = [np.zeros(0, np.complex64)
@@ -47,6 +47,20 @@ class MultiStreamDemodulator:
                 new_c, carry)
             return merged, out
         self._masked_step = jax.jit(_masked)
+        # K-frame fused rounds: B streams x K tracking steps per dispatch
+        self.frames_per_step = max(1, frames_per_step)
+        K = self.frames_per_step
+
+        def _masked_scan(carry, bufs, mask):
+            new_c, consumed, outs = jax.vmap(
+                lambda c, b: demod._frame_scan_impl(K, c, b))(carry, bufs)
+            merged = jax.tree.map(
+                lambda n, o: jnp.where(
+                    mask.reshape((-1,) + (1,) * (n.ndim - 1)), n, o),
+                new_c, carry)
+            valid = jnp.logical_and(outs["valid"], mask[:, None])
+            return merged, consumed, valid, outs["bits"]
+        self._masked_scan = jax.jit(_masked_scan) if K > 1 else None
 
     def push(self, stream_idx: int, iq: np.ndarray):
         self.bufs[stream_idx] = np.concatenate(
@@ -85,6 +99,36 @@ class MultiStreamDemodulator:
                     self.carry = self.carry._replace(
                         signal_l1_avg=self.carry.signal_l1_avg.at[i].set(
                             self.l1[i]))
+
+        K = self.frames_per_step
+        scan_len = K * d.frame_advance + d.window_len
+        if K > 1:
+            ready = [i for i in range(self.B)
+                     if self.tracking[i]
+                     and self.bufs[i].shape[0] >= scan_len]
+            if not ready:
+                return []
+            bufs = np.zeros((self.B, scan_len), np.complex64)
+            for i in ready:
+                bufs[i] = self.bufs[i][:scan_len]
+            mask = np.zeros(self.B, dtype=bool)
+            mask[ready] = True
+            self.carry, consumed, valid, bits = self._masked_scan(
+                self.carry, jnp.asarray(iq_pairs(bufs)), jnp.asarray(mask))
+            consumed, valid, bits = jax.device_get((consumed, valid, bits))
+            results = []
+            for k in range(K):
+                for i in ready:
+                    if valid[i, k]:
+                        results.append((i, bits[i, k]))
+            for i in ready:
+                nb_ok = int(valid[i].sum())
+                self.bufs[i] = self.bufs[i][int(consumed[i]):]
+                if nb_ok < K:
+                    self.tracking[i] = False
+                    self.bufs[i] = self.bufs[i][d.params.nb_null_period:]
+            self.frames_emitted += len(results)
+            return results
 
         ready = [i for i in range(self.B)
                  if self.tracking[i] and self.bufs[i].shape[0] >= d.window_len]

@@ -39,3 +39,42 @@ def test_multistream_locks_and_decodes():
             hard = (frame > 0).astype(np.uint8)
             np.testing.assert_array_equal(
                 hard, bits[i, k].reshape(-1), err_msg=f"stream {i} frame {k}")
+
+
+def test_multistream_fused_frames():
+    """frames_per_step>1 (vmapped frame_scan) emits the same frames as the
+    single-step multistream."""
+    from dab_radio_tpu.models.multistream import MultiStreamDemodulator
+    from dab_radio_tpu.models import OFDMModulator, OFDMDemodulator
+    import jax.numpy as jnp
+
+    mod = OFDMModulator(1)
+    demod = OFDMDemodulator(1)
+    rng = np.random.default_rng(9)
+    p = mod.params
+    F = 7
+    bits = rng.integers(0, 2, size=(F, p.nb_data_symbols,
+                                    2 * p.nb_data_carriers)).astype(np.uint8)
+    iq = np.asarray(mod.modulate_stream(jnp.asarray(bits)))
+    iq = np.concatenate([iq, np.zeros(2 * p.nb_frame_samples, np.complex64)])
+
+    def run(K):
+        ms = MultiStreamDemodulator(demod, 2, frames_per_step=K)
+        for i in range(2):
+            ms.push(i, iq)
+        got = {0: [], 1: []}
+        for _ in range(30):
+            res = ms.step()
+            if not res and not any(
+                    b.shape[0] >= demod.window_len for b in ms.bufs):
+                break
+            for i, fbits in res:
+                got[i].append(np.asarray(fbits))
+        return got
+
+    a, b = run(1), run(3)
+    for i in range(2):
+        n = min(len(a[i]), len(b[i]))
+        assert n >= 4
+        for x, y in zip(a[i][:n], b[i][:n]):
+            np.testing.assert_array_equal(x > 0, y > 0)

@@ -35,6 +35,8 @@ def main(argv=None):
     ap.add_argument("--pipeline-depth", type=int, default=2,
                     help="rounds of deferred host fetch (hides device latency)")
     ap.add_argument("--viterbi", default="exact", choices=["exact", "tiled"])
+    ap.add_argument("--frames-per-step", type=int, default=1,
+                    help="fuse K demod tracking steps per device dispatch")
     args = ap.parse_args(argv)
     if args.backend != "default":
         import jax
@@ -76,7 +78,8 @@ def main(argv=None):
     print(f"# synth {F + 3} frames in {time.time() - t0:.1f}s", file=sys.stderr)
 
     demod = OFDMDemodulator(1)
-    ms = MultiStreamDemodulator(demod, N)
+    ms = MultiStreamDemodulator(demod, N,
+                                frames_per_step=args.frames_per_step)
     fleet = ReceiverFleet(N, pipeline_depth=args.pipeline_depth)
     aus = [0] * N
 
@@ -88,6 +91,16 @@ def main(argv=None):
     for k in range(N):
         attach(k)
 
+    def feed_fleet(res):
+        """step() may emit several frames per stream (frames_per_step>1);
+        the fleet takes one frame per receiver per round."""
+        rounds = {}
+        for i, bits in res:
+            rounds.setdefault(i, []).append(bits)
+        for k in range(max(len(v) for v in rounds.values())):
+            fleet.process_frames([(i, v[k]) for i, v in rounds.items()
+                                  if len(v) > k])
+
     # warmup: acquire all streams + first frames (compiles everything)
     p = demod.params
     warm = 3 * p.nb_frame_samples + demod.window_len
@@ -97,7 +110,7 @@ def main(argv=None):
     for _ in range(16):
         res = ms.step()
         if res:
-            fleet.process_frames([(k, bits) for k, bits in res])
+            feed_fleet(res)
         if all(ms.tracking) and ms.frames_emitted >= 2 * N:
             break
     print(f"# warmup {time.time() - t0:.1f}s tracking={int(ms.tracking.sum())}"
@@ -115,7 +128,7 @@ def main(argv=None):
             ms.push(k, blk)
         res = ms.step()
         if res:
-            fleet.process_frames([(k, bits) for k, bits in res])
+            feed_fleet(res)
     fleet.flush()
     dt = time.time() - t0
     frames_done = ms.frames_emitted - emitted0
