@@ -1,9 +1,14 @@
 """BER-vs-SNR sweep: closed-loop modulator -> AWGN/CFO channel -> demodulator.
 
 The quantitative version of the reference's manual stress tests
-(simulate_transmitter + apply_frequency_shift, SURVEY.md §4.5-4.6): measures
-raw hard-decision BER at the demodulator output and post-Viterbi BER through
-the FIC decode across an SNR range. Prints a CSV table.
+(simulate_transmitter + apply_frequency_shift, SURVEY.md §4.5-4.6): the FIC
+portion of every frame carries real encoded FIBs, so the sweep measures
+  raw_ber       hard-decision BER at the demodulator output (aligned to the
+                lock offset; the pre-convergence first frame is reported
+                separately via first_frame_ber)
+  vit_byte_err  post-Viterbi byte error rate of the decoded FIB groups
+  fib_crc_rate  fraction of FIBs passing CRC16
+across an SNR range. Prints a CSV table.
 """
 
 import argparse
@@ -14,16 +19,39 @@ import jax.numpy as jnp
 
 from ..models import OFDMModulator, OFDMDemodulator
 from ..models.demodulator import StreamingDemodulator
+from ..dab.fic import FICDecoder, FICEncoder
+from ..ops.scrambler import prbs_bytes
+from ..utils.backend import add_backend_flag, apply_backend
 
 
 def run_point(mode: int, snr_db: float, cfo_hz: float, nb_frames: int,
               seed: int = 0):
     mod = OFDMModulator(mode)
     demod = OFDMDemodulator(mode)
+    fic_enc = FICEncoder(mode)
+    fic_dec = FICDecoder(mode)
+    dab = fic_enc.dab
     rng = np.random.default_rng(seed)
     p = mod.params
-    bits = rng.integers(0, 2, size=(nb_frames, p.nb_data_symbols,
-                                    2 * p.nb_data_carriers)).astype(np.uint8)
+
+    # per frame: real FIC content + random MSC bits
+    frames_bits = []
+    tx_group_bytes = []         # (F, G, 96) expected post-Viterbi bytes
+    for _ in range(nb_frames):
+        payloads = [rng.integers(0, 256, 28).astype(np.uint8).tobytes()
+                    for _ in range(dab.nb_fibs)]
+        fic_soft = fic_enc.encode_fic(payloads)
+        fic_bits = (fic_soft > 0).astype(np.uint8)
+        msc_bits = rng.integers(0, 2, dab.nb_msc_bits).astype(np.uint8)
+        frames_bits.append(np.concatenate([fic_bits, msc_bits]))
+        fibs = [np.frombuffer(bytes(fic_enc.encode_fib_payload(pl)), np.uint8)
+                for pl in payloads]
+        per_cif = dab.nb_fibs_per_cif
+        groups = [np.concatenate(fibs[g * per_cif:(g + 1) * per_cif])
+                  for g in range(dab.nb_cifs)]
+        tx_group_bytes.append(np.stack(groups))
+    bits = np.stack(frames_bits).reshape(
+        nb_frames, p.nb_data_symbols, 2 * p.nb_data_carriers)
     iq = np.asarray(mod.modulate_stream(jnp.asarray(bits)))
 
     sig_pow = float(np.mean(np.abs(iq[p.nb_frame_samples // 2:
@@ -43,19 +71,49 @@ def run_point(mode: int, snr_db: float, cfo_hz: float, nb_frames: int,
     sd = StreamingDemodulator(demod)
     frames = sd.process(np.concatenate([lead, x, tail]))
 
+    # align the first locked frame to the tx stream (lock may start late)
+    ref_flat = [b.reshape(-1) for b in bits]
+    offset, first_ber = 0, 1.0
+    if frames:
+        hard0 = (np.asarray(frames[0]) > 0).astype(np.uint8)
+        for j in range(nb_frames):
+            ber = float((hard0 != ref_flat[j]).mean())
+            if ber < first_ber:
+                first_ber, offset = ber, j
+
     errs = total = 0
-    for k, soft in enumerate(frames[: nb_frames]):
+    vit_byte_errs = vit_bytes = 0
+    crc_pass = crc_total = 0
+    for k, soft in enumerate(frames):
+        j = offset + k
+        if j >= nb_frames:
+            break
+        if k == 0:   # pre-convergence; reported via first_frame_ber
+            continue
         hard = (np.asarray(soft) > 0).astype(np.uint8)
-        ref = bits[k].reshape(-1)
-        errs += int((hard != ref).sum())
-        total += ref.size
+        errs += int((hard != ref_flat[j]).sum())
+        total += ref_flat[j].size
+
+        fic_soft = np.asarray(soft).reshape(-1)[: dab.nb_fic_bits]
+        groups = fic_soft.reshape(fic_dec.nb_groups, -1)
+        dec_bits, _ = fic_dec._decode(jnp.asarray(groups))
+        data = np.packbits(np.asarray(dec_bits, np.uint8), axis=-1)
+        data ^= prbs_bytes(data.shape[1])[None, :]
+        vit_byte_errs += int((data != tx_group_bytes[j]).sum())
+        vit_bytes += data.size
+        fibs, info = fic_dec.postprocess(np.asarray(dec_bits, np.uint8))
+        crc_pass += len(fibs)
+        crc_total += dab.nb_fibs
+
     return {
         "snr_db": snr_db,
         "locked_frames": len(frames),
         "raw_ber": errs / total if total else 1.0,
+        "first_frame_ber": first_ber,
+        "vit_byte_err": vit_byte_errs / vit_bytes if vit_bytes else 1.0,
+        "fib_crc_rate": crc_pass / crc_total if crc_total else 0.0,
         "desync": int(sd.carry.total_desync),
     }
-from ..utils.backend import add_backend_flag, apply_backend
 
 
 def main(argv=None):
@@ -69,11 +127,14 @@ def main(argv=None):
     args = ap.parse_args(argv)
     apply_backend(args)
 
-    print("snr_db,locked_frames,raw_ber,desync")
+    cols = ["snr_db", "locked_frames", "raw_ber", "first_frame_ber",
+            "vit_byte_err", "fib_crc_rate", "desync"]
+    print(",".join(cols))
     for snr in [float(s) for s in args.snr.split(",")]:
         r = run_point(args.transmission_mode, snr, args.cfo, args.nb_frames)
         print(f"{r['snr_db']},{r['locked_frames']},{r['raw_ber']:.6f},"
-              f"{r['desync']}")
+              f"{r['first_frame_ber']:.4f},{r['vit_byte_err']:.6f},"
+              f"{r['fib_crc_rate']:.3f},{r['desync']}")
         sys.stdout.flush()
     return 0
 

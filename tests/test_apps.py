@@ -131,3 +131,21 @@ def test_tui_plain_dashboard(tmp_path):
     assert "Radio TPU 1" in out and "Radio TPU 2" in out
     assert "aus=" in out
     assert "constellation" in out
+
+
+@pytest.mark.slow
+def test_ber_sweep_waterfall():
+    """BER sweep: no lock in deep noise, lock with clean post-Viterbi decode
+    at operating SNR (the FIC portion carries real encoded FIBs)."""
+    r = _run(["dab_radio_tpu.apps.ber_sweep", "--snr", "2,14",
+              "--cfo", "1200", "-n", "4"], timeout=500)
+    assert r.returncode == 0, r.stderr.decode()[-400:]
+    lines = r.stdout.decode().strip().splitlines()
+    assert lines[0].startswith("snr_db,")
+    low = dict(zip(lines[0].split(","), lines[1].split(",")))
+    high = dict(zip(lines[0].split(","), lines[2].split(",")))
+    assert int(low["locked_frames"]) == 0
+    assert int(high["locked_frames"]) >= 3
+    assert float(high["raw_ber"]) < 1e-2
+    assert float(high["vit_byte_err"]) == 0.0
+    assert float(high["fib_crc_rate"]) == 1.0

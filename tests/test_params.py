@@ -172,3 +172,44 @@ def test_uep_bitrates():
     assert cfg.bitrate_kbps() == 128
     cfg2 = SubchannelConfig(0, 6 * 4, False, eep_type="A", eep_prot_level=2)
     assert cfg2.bitrate_kbps() == 4 * 8
+
+
+def test_all_uep_rows_schedule_consistency():
+    """Every UEP table row must produce a puncture schedule whose output
+    exactly fills the subchannel's CIF bits and whose mother length matches
+    the bitrate (reference subchannel_protection_tables.h rows)."""
+    from dab_radio_tpu.params import msc_puncture_schedule, SubchannelConfig
+    from dab_radio_tpu.params.protection import UEP_TABLE
+    from dab_radio_tpu.params.puncture import build_puncture_mask
+    for idx, row in enumerate(UEP_TABLE):
+        cfg = SubchannelConfig(0, row.subchannel_size, True,
+                               uep_table_index=idx)
+        mask = build_puncture_mask(msc_puncture_schedule(cfg))
+        nb_tx = int(mask.sum())
+        # transmitted symbols fit in the subchannel (padding bits allowed)
+        assert nb_tx <= cfg.nb_cif_bits, (idx, nb_tx, cfg.nb_cif_bits)
+        assert cfg.nb_cif_bits - nb_tx < 64, (idx, nb_tx)
+        # mother code length = 4 * (24ms of data bits + tail)
+        nb_steps = mask.shape[0] // 4
+        assert nb_steps == row.bitrate_kbps * 24 + 6, (idx, nb_steps)
+
+
+def test_all_eep_profiles_schedule_consistency():
+    from dab_radio_tpu.params import msc_puncture_schedule, SubchannelConfig
+    from dab_radio_tpu.params.protection import EEP_TABLE_A, EEP_TABLE_B
+    from dab_radio_tpu.params.puncture import build_puncture_mask
+    cases = []
+    for lvl, prof in enumerate(EEP_TABLE_A):
+        for n in (1, 2, 4):
+            cases.append(("A", lvl, n * prof.capacity_unit_multiple))
+    for lvl, prof in enumerate(EEP_TABLE_B):
+        for n in (1, 3):
+            cases.append(("B", lvl, n * prof.capacity_unit_multiple))
+    for typ, lvl, size in cases:
+        cfg = SubchannelConfig(0, size, False, eep_type=typ,
+                               eep_prot_level=lvl)
+        mask = build_puncture_mask(msc_puncture_schedule(cfg))
+        nb_tx = int(mask.sum())
+        assert nb_tx <= cfg.nb_cif_bits, (typ, lvl, size)
+        nb_steps = mask.shape[0] // 4
+        assert nb_steps == cfg.bitrate_kbps() * 24 + 6, (typ, lvl, size)
