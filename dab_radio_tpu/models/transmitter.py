@@ -159,7 +159,14 @@ class EnsembleTransmitter:
                                self.ensemble_label))
         for s in self.services:
             figs.append(fig1_label(1, s.service_id.to_bytes(2, "big"), s.label))
-        return [figs[i % len(figs)] for i in range(self.dab.nb_fibs)]
+        # rotate the carousel across frames so every FIG is broadcast even
+        # when the mode has fewer FIBs per frame than FIG entries (mode II/III
+        # have 3; a fixed selection would never transmit the labels)
+        start = getattr(self, "_fib_carousel", 0)
+        sel = [figs[(start + i) % len(figs)]
+               for i in range(self.dab.nb_fibs)]
+        self._fib_carousel = (start + self.dab.nb_fibs) % len(figs)
+        return sel
 
     # ---- audio payload ----
 

@@ -121,3 +121,33 @@ def test_au_content_matches_transmitter(decoded_system):
     assert start >= 0, "decoded AU not found in transmitted sequence"
     for i, au in enumerate(got[: len(expected) - start]):
         assert au == expected[start + i]
+
+
+def test_mode2_ensemble_end_to_end():
+    """Full RF chain in transmission mode II (24 ms frames, 1 CIF/frame):
+    synthesized ensemble -> demod -> FIC -> channel -> access units."""
+    from dab_radio_tpu.models.transmitter import EnsembleTransmitter, ServiceSpec
+    from dab_radio_tpu.models.demodulator import OFDMDemodulator, StreamingDemodulator
+    from dab_radio_tpu.models.receiver import DabReceiver
+    from dab_radio_tpu.params import SubchannelConfig
+
+    tx = EnsembleTransmitter(2, services=[
+        ServiceSpec(0xB001, 1, "Mode2 Svc",
+                    SubchannelConfig(0, 48, False, eep_type="A",
+                                     eep_prot_level=2))])
+    iq = tx.generate(60)   # mode II frames are 24 ms: need ~50 for audio
+
+    demod = OFDMDemodulator(2)
+    sd = StreamingDemodulator(demod)
+    rx = DabReceiver(2)
+    aus = []
+    rx.on_audio_channel.append(
+        lambda _id, ch: ch.events.on_access_unit.append(
+            lambda i, n, au, hdr: aus.append(bytes(au))))
+    for bits in sd.process(np.concatenate(
+            [iq, np.zeros(2 * demod.params.nb_frame_samples, np.complex64)])):
+        rx.process_frame(bits)
+
+    assert rx.db.services and list(rx.db.services.values())[0].label == "Mode2 Svc"
+    assert len(rx.channels) == 1
+    assert len(aus) > 0
