@@ -91,10 +91,93 @@ class ReedSolomonDecoder:
                 _gf_mul(cw2, exp[(pw * j) % 255]), axis=1)
 
         nb_errors = np.zeros(cw2.shape[0], dtype=np.int32)
-        for bi in np.nonzero(S.any(axis=1))[0]:
-            nb_errors[bi] = self._decode_one(cw2[bi], S[bi].tolist())
+        bad = np.nonzero(S.any(axis=1))[0]
+        if bad.size:
+            fixed, nerr = self._decode_many(cw2[bad], S[bad])
+            cw2[bad] = fixed
+            nb_errors[bad] = nerr
         return cw2.reshape(*batch_shape, self.n).astype(np.uint8), \
             nb_errors.reshape(batch_shape)
+
+    def _decode_many(self, cw: np.ndarray, S: np.ndarray):
+        """Vectorized BM + Chien + Forney over M corrupted codewords at once
+        (the scalar _decode_one is the oracle; differential-tested). cw is
+        modified and returned; nb_errors -1 marks uncorrectable rows."""
+        exp, log = _tables()
+        t = self.nroots
+        M = cw.shape[0]
+        n = self.n
+
+        # --- Berlekamp-Massey, branchless over the batch ---
+        C = np.zeros((M, t + 1), np.int32); C[:, 0] = 1
+        B = np.zeros((M, t + 1), np.int32); B[:, 0] = 1
+        L = np.zeros(M, np.int32)
+        m = np.ones(M, np.int32)
+        b = np.ones(M, np.int32)
+        for step in range(t):
+            d = S[:, step].copy()
+            for i in range(1, min(step, t) + 1):
+                d ^= _gf_mul(C[:, i], S[:, step - i])
+            nz = d != 0
+            coef = _gf_mul(d, exp[(255 - log[np.maximum(b, 1)]) % 255])
+            # B shifted right by per-row m
+            idx = np.arange(t + 1)[None, :] - m[:, None]
+            Bs = np.where(idx >= 0,
+                          np.take_along_axis(B, np.maximum(idx, 0), axis=1), 0)
+            upd = _gf_mul(coef[:, None], Bs)
+            C_old = C.copy()
+            C = np.where(nz[:, None], C ^ upd, C)
+            grow = nz & (2 * L <= step)
+            B = np.where(grow[:, None], C_old, B)
+            b = np.where(grow, d, b)
+            L = np.where(grow, step + 1 - L, L)
+            m = np.where(grow, 1, m + 1)
+        fail = L > t // 2
+
+        # --- Chien search over all positions ---
+        xinv_pow = exp[(255 - (np.arange(n)[::-1] % 255)) % 255]  # X_i^{-1}
+        P = np.stack([exp[(log[np.maximum(xinv_pow, 1)] * j) % 255]
+                      * (xinv_pow != 0) if j else np.ones(n, np.int32)
+                      for j in range(t + 1)])                 # (t+1, n) x^j
+        ev = np.zeros((M, n), np.int32)
+        for j in range(t + 1):
+            ev ^= _gf_mul(C[:, j][:, None], P[j][None, :])
+        err = ev == 0                                         # (M, n)
+        count = err.sum(axis=1).astype(np.int32)
+        fail |= count != L
+
+        # --- Forney ---
+        Om = np.zeros((M, t), np.int32)
+        for j in range(t):
+            acc = np.zeros(M, np.int32)
+            for k in range(j + 1):
+                acc ^= _gf_mul(C[:, k], S[:, j - k])
+            Om[:, j] = acc
+        Xi = exp[np.arange(n)[::-1] % 255]                    # alpha^{n-1-i}
+        num = np.zeros((M, n), np.int32)
+        for j in range(t):
+            num ^= _gf_mul(Om[:, j][:, None], P[j][None, :])
+        # Lambda'(x) evaluated at X_i^{-1}: odd coeffs at powers of y = x^2
+        y_pow = _gf_mul(xinv_pow, xinv_pow)
+        Cp = C[:, 1::2]
+        den = np.zeros((M, n), np.int32)
+        yj = np.ones(n, np.int32)
+        for j in range(Cp.shape[1]):
+            den ^= _gf_mul(Cp[:, j][:, None], yj[None, :])
+            yj = _gf_mul(yj, y_pow)
+        fail |= (err & (den == 0)).any(axis=1)
+        den_inv = exp[(255 - log[np.maximum(den, 1)]) % 255] * (den != 0)
+        e = _gf_mul(Xi[None, :], _gf_mul(num, den_inv))
+        cw = cw ^ np.where(err & ~fail[:, None], e, 0)
+
+        # --- verify: corrected syndromes must vanish ---
+        pw = np.arange(n)[::-1][None, :]
+        resid = np.zeros(M, bool)
+        for j in range(t):
+            resid |= np.bitwise_xor.reduce(
+                _gf_mul(cw, exp[(pw * j) % 255]), axis=1) != 0
+        fail |= resid
+        return cw, np.where(fail, -1, L).astype(np.int32)
 
     def _decode_one(self, cw, S) -> int:
         exp, log = _tables()
@@ -192,13 +275,12 @@ def rs_encode(msg: np.ndarray, nroots: int, pad: int) -> np.ndarray:
     m2 = msg.reshape(-1, k)
     out = np.zeros((m2.shape[0], k + nroots), dtype=np.int32)
     out[:, :k] = m2
-    for bi in range(m2.shape[0]):
-        rem = np.zeros(nroots, dtype=np.int32)
-        for s in m2[bi]:
-            fb = int(s) ^ int(rem[0])
-            rem[:-1] = rem[1:]
-            rem[-1] = 0
-            if fb:
-                rem ^= _gf_mul(g[1:], fb).astype(np.int32)
-        out[bi, k:] = rem
+    # LFSR division vectorized across the batch: k steps of (M, nroots) ops
+    rem = np.zeros((m2.shape[0], nroots), dtype=np.int32)
+    for s in range(k):
+        fb = m2[:, s] ^ rem[:, 0]
+        rem[:, :-1] = rem[:, 1:]
+        rem[:, -1] = 0
+        rem ^= _gf_mul(g[1:][None, :], fb[:, None])
+    out[:, k:] = rem
     return out.reshape(*batch_shape, k + nroots).astype(np.uint8)

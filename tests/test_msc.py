@@ -157,3 +157,41 @@ def test_msc_roundtrip_tiled_mode():
         assert decoded == payloads[:len(decoded)] and len(decoded) == 5
     finally:
         set_decode_mode("exact")
+
+
+@pytest.mark.parametrize("nroots,pad", [(10, 135), (16, 51)])
+def test_rs_vectorized_matches_scalar(nroots, pad):
+    """The batched BM/Chien/Forney path must match the scalar reference on
+    every error weight from 0 to beyond capacity."""
+    dec = ReedSolomonDecoder(nroots, pad)
+    rng = np.random.default_rng(7)
+    msg = rng.integers(0, 256, size=(40, dec.k)).astype(np.uint8)
+    cw = rs_encode(msg, nroots, pad)
+    bad = cw.copy().astype(np.int32)
+    weights = []
+    for b in range(40):
+        w = b % (nroots // 2 + 3)   # 0..t/2+2 errors (some uncorrectable)
+        weights.append(w)
+        pos = rng.choice(dec.n, size=w, replace=False)
+        bad[b, pos] ^= rng.integers(1, 256, w).astype(np.int32)
+
+    out_vec, nerr_vec = dec.decode(bad.astype(np.uint8))
+
+    # scalar oracle row by row
+    exp, _ = __import__("dab_radio_tpu.ops.rs", fromlist=["_tables"])._tables()[0], None
+    for b in range(40):
+        row = bad[b].copy()
+        pw = np.arange(dec.n)[::-1]
+        from dab_radio_tpu.ops.rs import _gf_mul, _tables
+        e, _ = _tables()
+        S = [int(np.bitwise_xor.reduce(_gf_mul(row, e[(pw * j) % 255])))
+             for j in range(nroots)]
+        if not any(S):
+            assert nerr_vec[b] == 0
+            np.testing.assert_array_equal(out_vec[b], cw[b])
+            continue
+        ref_row = row.copy()
+        ref_n = dec._decode_one(ref_row, S)
+        assert nerr_vec[b] == ref_n, (b, weights[b])
+        if ref_n >= 0:
+            np.testing.assert_array_equal(out_vec[b], ref_row)
