@@ -286,9 +286,13 @@ class StreamingDemodulator:
                                   - p.nb_null_period - rewind)
                     ptr = max(null_start, ptr)
                     self.state = self.TRACK
-                    self.carry = DemodCarry.init()
-                    self.carry = self.carry._replace(
-                        signal_l1_avg=jnp.float32(self._l1))
+                    prev = self.carry
+                    # fresh sync state, but cumulative counters survive
+                    # re-acquisition (reference m_total_frames_*)
+                    self.carry = DemodCarry.init()._replace(
+                        signal_l1_avg=jnp.float32(self._l1),
+                        total_frames=prev.total_frames,
+                        total_desync=prev.total_desync)
                 else:
                     ptr += acq_len - p.nb_null_period
             else:

@@ -93,12 +93,17 @@ class MultiStreamDemodulator:
             if not self.tracking[i]:
                 if self._acquire_stream(i):
                     self.tracking[i] = True
+                    prev_frames = self.carry.total_frames
+                    prev_desync = self.carry.total_desync
                     self.carry = jax.tree.map(
                         lambda x: x.at[i].set(jnp.zeros((), x.dtype)),
                         self.carry)
+                    # cumulative counters survive re-acquisition
                     self.carry = self.carry._replace(
                         signal_l1_avg=self.carry.signal_l1_avg.at[i].set(
-                            self.l1[i]))
+                            self.l1[i]),
+                        total_frames=prev_frames,
+                        total_desync=prev_desync)
 
         K = self.frames_per_step
         scan_len = K * d.frame_advance + d.window_len

@@ -200,3 +200,48 @@ def test_frame_scan_matches_sequential():
     for a, b in zip(frames_seq[:n], frames_fused[:n]):
         np.testing.assert_array_equal(a > 0, b > 0)
     assert _ber(frames_fused, bits[:len(frames_fused)]) == 0.0
+
+
+def _count_matched(frames, bits):
+    matched = 0
+    for soft in frames:
+        hard = (np.asarray(soft) > 0).astype(np.uint8)
+        if any((hard == b.reshape(-1)).all() for b in bits):
+            matched += 1
+    return matched
+
+
+def test_small_sample_slip_absorbed():
+    """A slip within the timing margin (one symbol period) is absorbed by
+    fine time sync without any desync — stronger than the reference's
+    Reset() fallback."""
+    mod = OFDMModulator(1)
+    demod = OFDMDemodulator(1)
+    bits = _random_frames(mod, 10, seed=88)
+    iq = _stream(mod, bits)
+    p = mod.params
+    cut = 20000 + 4 * p.nb_frame_samples + 1000
+    iq = np.concatenate([iq[:cut], iq[cut + 300:]])
+    sd = StreamingDemodulator(demod)
+    frames = sd.process(iq)
+    assert int(sd.carry.total_desync) == 0
+    assert _count_matched(frames, bits) >= 8
+
+
+@pytest.mark.parametrize("frames_per_step", [1, 3])
+def test_large_sample_slip_resync(frames_per_step):
+    """Dropping half a frame desyncs the tracker; it must re-acquire and
+    decode the rest of the stream (reference Reset() path,
+    ofdm_demodulator.cpp:500-532), in single-step and fused modes."""
+    mod = OFDMModulator(1)
+    demod = OFDMDemodulator(1)
+    bits = _random_frames(mod, 10, seed=88)
+    iq = _stream(mod, bits)
+    p = mod.params
+    cut = 20000 + 4 * p.nb_frame_samples + 1000
+    iq = np.concatenate([iq[:cut], iq[cut + p.nb_frame_samples // 2:]])
+
+    sd = StreamingDemodulator(demod, frames_per_step=frames_per_step)
+    frames = sd.process(iq)
+    assert int(sd.carry.total_desync) >= 1
+    assert _count_matched(frames, bits) >= 6, len(frames)
