@@ -18,14 +18,15 @@ Reference semantics matched: src/dab/algorithms/dab_viterbi_decoder.cpp
 (int8 soft bits, |d - 127e| branch error, state0 start, margin-initialised
 non-start metrics).
 
-Hardware verdict (TPU v5e, 2026-08-16): this kernel lowers and decodes
-correctly, but at B=128 x 1536 data bits it measured 2.9 Mbit/s vs
-33.5 Mbit/s for the jitted lax.scan path in ops/viterbi.py — the per-step
-(64,128)->(32,2,128) sublane reshuffle dominates. The scan path is the
-production decoder; this kernel is kept as the Pallas escape hatch and a
-lowering test for sequential-DP kernels. If it's ever worth resurrecting:
-move states to lanes (64 of 128) and pack two trellis steps per iteration,
-or keep decisions packed as bits to cut the VMEM store traffic.
+Hardware verdict (TPU v5e via the axon relay, 2026-08-16): the kernel
+lowers and decodes correctly but measured 2.9 Mbit/s vs 33.5 Mbit/s for
+the jitted lax.scan path. Ablation shows the gap is an artifact of the
+relay, not the kernel: even a trivial scalar-add fori_loop costs ~38 us
+per iteration inside a Pallas kernel there (~1000x below hardware speed,
+consistent with emulated custom-calls), while XLA programs run at real
+chip speed. The scan path is the production decoder; revisit this kernel
+on a directly-attached chip (expected wins: radix-4 steps in-kernel,
+decisions packed as bits).
 """
 
 import functools
