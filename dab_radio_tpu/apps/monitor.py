@@ -14,7 +14,6 @@ import numpy as np
 from ..host.io import IQReader
 from ..models.demodulator import OFDMDemodulator, StreamingDemodulator
 from ..ops import sync as sync_ops
-from ..ops.pll import apply_pll
 from ..utils.profiler import get_profiler
 
 

@@ -13,7 +13,7 @@ bitstream export and codec initialisation.
 """
 
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

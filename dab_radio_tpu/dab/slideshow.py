@@ -7,7 +7,7 @@ most-recent-first slideshow store with change notifications.
 """
 
 from collections import deque
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, List, Optional
 
 from .charsets import decode_label

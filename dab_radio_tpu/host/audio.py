@@ -9,7 +9,7 @@ sink; the pipeline API matches so a PortAudio-style sink can slot in.
 
 import struct
 import threading
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

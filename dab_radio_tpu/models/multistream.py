@@ -11,14 +11,13 @@ is fully batched. Mis-locked streams fall back to acquisition without
 stalling the batch.
 """
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .demodulator import OFDMDemodulator, DemodCarry, StreamingDemodulator
-from ..ops import sync as sync_ops
+from .demodulator import OFDMDemodulator, DemodCarry
 from ..ops.iq import iq_pairs
 
 

@@ -8,7 +8,6 @@ a stream sample-by-sample, each op evaluates its metric over a whole
 fixed-shape block and selects offsets with argmax/where.
 """
 
-from functools import partial
 
 import numpy as np
 import jax

@@ -7,7 +7,6 @@ src/dab/constants/subchannel_protection_tables.h:21-170.
 """
 
 from dataclasses import dataclass
-import numpy as np
 
 from .puncture import get_puncture_vector, PI_X_VECTOR
 
