@@ -36,8 +36,15 @@ def summarize(rx: DabReceiver, file=sys.stderr):
             kind = "DAB+" if comp.audio_service_type == 63 else "DAB"
         prot = (f"UEP#{sub.uep_table_index}" if sub.is_uep
                 else f"EEP-{(sub.eep_prot_level or 0) + 1}{sub.eep_type}")
+        err = ""
+        ch = rx.channels.get(sub_id)
+        sf = getattr(ch, "superframe", None)
+        if sf is not None:
+            s_ = sf.stats
+            err = (f" sf={s_['superframes']} fc_err={s_['firecode_errors']} "
+                   f"rs_err={s_['rs_errors']} au_err={s_['au_crc_errors']}")
         print(f"  subchannel {sub_id}: start={sub.start_address} "
-              f"len={sub.length}CU {prot} type={kind}", file=file)
+              f"len={sub.length}CU {prot} type={kind}{err}", file=file)
 from ..utils.backend import add_backend_flag, apply_backend
 
 

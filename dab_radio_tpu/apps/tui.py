@@ -112,6 +112,15 @@ def render_lines(demod, sd, rx, stats, nb_frames, t0, show_constellation=True):
             n_ss = len(mgr.slideshows) if mgr is not None else 0
             extra = (f" aus={st.access_units} frames={st.frames}"
                      f" ss={n_ss} label='{label[:32]}'")
+            sf = getattr(st.ch, "superframe", None)
+            if sf is not None:
+                s_ = sf.stats
+                errs = (s_["firecode_errors"], s_["rs_errors"],
+                        s_["au_crc_errors"])
+                if any(errs):
+                    extra += (f" ERR fc={errs[0]} rs={errs[1]} au={errs[2]}")
+                elif s_["rs_corrected_bytes"]:
+                    extra += f" rs_fixed={s_['rs_corrected_bytes']}B"
         lines.append(f"  {sid:04X} '{svc.label:<16s}' {kind:5s} {prot:8s}"
                      f"{extra}")
     if show_constellation:
