@@ -35,7 +35,10 @@ def decode_label(buf: bytes, charset: int = EBU_LATIN) -> str:
     """Convert a DAB label byte buffer to a Python string."""
     buf = bytes(buf)
     if charset == EBU_LATIN:
-        return "".join(_EBU_LATIN[b] for b in buf).rstrip("\x00")
+        # control/undefined entries (0x00, 0x0A, 0x0B, 0x1F) produce no
+        # output character (TS 101 756 annex C; reference charsets.cpp maps
+        # them to empty strings)
+        return "".join(_EBU_LATIN[b] for b in buf).replace("\x00", "")
     if charset == ISO_8859_1:
         return buf.decode("latin-1", errors="replace")
     if charset == UCS2_BE:

@@ -101,6 +101,7 @@ class ServiceLinkage:         # FIG 0/6
     service_ids: List[int] = field(default_factory=list)
     rds_pi_ids: List[int] = field(default_factory=list)
     drm_ids: List[int] = field(default_factory=list)
+    has_id_list: bool = False
 
 
 @dataclass
@@ -123,6 +124,8 @@ class EnsembleCountry:        # FIG 0/9
     ecc: int
     international_table_id: int
     service_ids: List[int] = field(default_factory=list)
+    has_extension: bool = False   # reference emits only per-service
+                                  # callbacks in the extended form
 
 
 @dataclass
@@ -201,9 +204,10 @@ class FIGParser:
             if i + 1 + data_len > n:
                 break
             body = buf[i + 1: i + 1 + data_len]
+            tail = buf[i + 1:]
             i += 1 + data_len
             if fig_type == 0:
-                events += self._parse_type0(body)
+                events += self._parse_type0(body, tail)
             elif fig_type == 1:
                 events += self._parse_type1(body)
             elif fig_type in (2, 6):
@@ -216,7 +220,7 @@ class FIGParser:
 
     # ---- FIG type 0 ----
 
-    def _parse_type0(self, buf: bytes) -> list:
+    def _parse_type0(self, buf: bytes, tail: bytes = b"") -> list:
         if not buf:
             return []
         cn = (buf[0] >> 7) & 1
@@ -227,10 +231,11 @@ class FIGParser:
         handler = getattr(self, f"_fig0_{ext}", None)
         if handler is None:
             return []
-        return handler(b, pd=pd, oe=oe, cn=cn)
+        return handler(b, pd=pd, oe=oe, cn=cn,
+                       tail=(tail[1:] if tail else b))
 
     def _fig0_0(self, b, **kw):
-        if len(b) < 4:
+        if len(b) != 4:      # reference requires the exact field length
             return []
         return [EnsembleInfo(parse_ensemble_id(b[:2]),
                              (b[2] >> 6) & 0b11, (b[2] >> 5) & 1,
@@ -278,6 +283,8 @@ class FIGParser:
                 elif tmid == 0b11:
                     scid = ((b0 & 0b111111) << 6) | ((b1 >> 2) & 0b111111)
                     out.append(PacketComponentRef(sid, scid, bool((b1 >> 1) & 1)))
+                else:
+                    return out   # reserved TMId aborts the FIG (reference)
             i = j + 2 * nb_comp
         return out
 
@@ -290,13 +297,18 @@ class FIGParser:
             dscty = b[i + 2] & 0b111111
             sub_id = (b[i + 3] >> 2) & 0b111111
             addr = ((b[i + 3] & 0b11) << 8) | b[i + 4]
+            need = 5 + (2 if ca_org_flag else 0)
+            if i + need > len(b):   # CA-org field must fit (reference aborts)
+                break
             out.append(PacketComponent(scid, sub_id, dscty, addr, dg_flag))
-            i += 5 + (2 if ca_org_flag else 0)
+            i += need
         return out
 
     def _fig0_4(self, b, **kw):
+        if len(b) % 3 != 0:  # reference aborts on partial entries
+            return []
         out = []
-        for i in range(0, len(b) - 2, 3):
+        for i in range(0, len(b), 3):
             out.append(StreamCA(b[i] & 0b111111, (b[i + 1] << 8) | b[i + 2]))
         return out
 
@@ -319,6 +331,10 @@ class FIGParser:
         return out
 
     def _fig0_6(self, b, pd=0, **kw):
+        """Mirrors fig_processor.cpp Ext_6 exactly, including its id-value
+        compositions per (pd, international, IdLQ) — e.g. in the
+        international 16-bit form the reference derives both the ECC and the
+        sid high byte from the same entry byte."""
         out, i = [], 0
         while i + 2 <= len(b):
             id_list_flag = (b[i] >> 7) & 1
@@ -329,11 +345,14 @@ class FIGParser:
                 out.append(link)
                 i += 2
                 continue
+            link.has_id_list = True
             if i + 3 > len(b):
                 break
             idlq = (b[i + 2] >> 5) & 0b11
             nb_ids = b[i + 2] & 0b1111
             j = i + 3
+            if len(b) - j <= 0:        # reference: empty list region aborts
+                break
             if not pd and not link.is_international:
                 step = 2
             elif not pd and link.is_international:
@@ -345,26 +364,26 @@ class FIGParser:
             for k in range(nb_ids):
                 e = b[j + step * k: j + step * (k + 1)]
                 if step == 2:
-                    val = (e[0] << 8) | e[1]
-                    sid = parse_service_id(e)
+                    sid = rds = drm = (e[0] << 8) | e[1]
                 elif step == 3:
-                    val = (e[1] << 8) | e[2]
-                    sid = (e[0] << 16) | parse_service_id(e[1:])
+                    sid = (e[0] << 16) | (e[0] << 8) | e[1]  # reference quirk
+                    rds = (e[1] << 8) | e[2]
+                    drm = (e[0] << 16) | (e[1] << 8) | e[2]
                 else:
-                    val = int.from_bytes(e, "big")
-                    sid = val
+                    sid = drm = int.from_bytes(e, "big")
+                    rds = (e[2] << 8) | e[3]
                 if idlq == 0b00:
                     link.service_ids.append(sid)
                 elif idlq == 0b01:
-                    link.rds_pi_ids.append(val & 0xFFFF)
+                    link.rds_pi_ids.append(rds)
                 elif idlq == 0b11:
-                    link.drm_ids.append(val)
+                    link.drm_ids.append(drm)
             out.append(link)
             i = j + step * nb_ids
         return out
 
     def _fig0_7(self, b, **kw):
-        if len(b) < 2:
+        if len(b) != 2:      # reference requires the exact field length
             return []
         return [ConfigurationInfo((b[0] >> 2) & 0b111111,
                                   ((b[0] & 0b11) << 8) | b[1])]
@@ -380,17 +399,16 @@ class FIGParser:
             scids = b[i + sid_len] & 0b1111
             j = i + sid_len + 1
             ls_flag = (b[j] >> 7) & 1
+            need = sid_len + 1 + (2 if ls_flag else 1) + (1 if ext_flag else 0)
+            if i + need > len(b):   # reference aborts on a partial entry
+                break
             if not ls_flag:
                 out.append(ComponentGlobalDefinition(
                     sid, scids, subchannel_id=b[j] & 0b111111))
-                j += 1
             else:
-                if j + 2 > len(b):
-                    break
                 out.append(ComponentGlobalDefinition(
                     sid, scids, scid=((b[j] & 0b1111) << 8) | b[j + 1]))
-                j += 2
-            i = j + (1 if ext_flag else 0)
+            i += need
         return out
 
     def _fig0_9(self, b, **kw):
@@ -398,19 +416,28 @@ class FIGParser:
             return []
         ext_flag = (b[0] >> 7) & 1
         ev = EnsembleCountry(b[0] & 0b111111, b[1], b[2])
-        if ext_flag:
-            i = 3
-            while i + 2 <= len(b):
-                nb_services = (b[i] >> 6) & 0b11
-                ecc = b[i + 1]
-                j = i + 2
-                for k in range(nb_services):
-                    if j + 2 > len(b):
-                        break
-                    sid = (ecc << 16) | parse_service_id(b[j:j + 2])
-                    ev.service_ids.append(sid)
-                    j += 2
-                i = j
+        nb_ext = len(b) - 3
+        # reference: no-extension form must have no extra bytes; extended
+        # form must have a nonempty extension (fig_processor.cpp Ext_9)
+        if not ext_flag:
+            return [ev] if nb_ext == 0 else []
+        if nb_ext <= 0:
+            return []
+        ev.has_extension = True
+        i = 3
+        while i < len(b):
+            if i + 2 > len(b):       # subfield header must fit
+                break
+            nb_services = (b[i] >> 6) & 0b11
+            ecc = b[i + 1]
+            j = i + 2
+            if j + 2 * nb_services > len(b):
+                break                # whole id list must fit (no partials)
+            for k in range(nb_services):
+                ev.service_ids.append(
+                    (ecc << 16) | parse_service_id(b[j:j + 2]))
+                j += 2
+            i = j
         return [ev]
 
     def _fig0_10(self, b, **kw):
@@ -422,37 +449,52 @@ class FIGParser:
         hours = ((b[2] & 0b111) << 2) | ((b[3] >> 6) & 0b11)
         minutes = b[3] & 0b111111
         sec = ms = 0
-        if utc and len(b) >= 6:
+        if utc:
+            if len(b) < 6:   # reference aborts a truncated long form
+                return []
             sec = (b[4] >> 2) & 0b111111
             ms = ((b[4] & 0b11) << 8) | b[5]
         return [DateTime(mjd, hours, minutes, sec, ms, lsi, utc)]
 
-    def _fig0_13(self, b, pd=0, **kw):
+    def _fig0_13(self, b, pd=0, tail=None, **kw):
+        """Mirrors the reference exactly (fig_processor.cpp Ext_13),
+        including its quirk: the per-app remaining-bytes check is taken
+        from the entity start, not the app list start, so app data may read
+        up to header-size bytes past the declared FIG length (into the FIB
+        tail)."""
+        t = tail if tail is not None else b
         out, i = [], 0
         sid_len = 4 if pd else 2
-        while i < len(b):
-            if i + sid_len + 1 > len(b):
+        hdr = sid_len + 1
+        N = len(b)
+        while i != N and i < N:
+            if hdr > N - i:
                 break
-            sid = parse_service_id(b[i:i + sid_len])
-            scids = (b[i + sid_len] >> 4) & 0b1111
-            nb_apps = b[i + sid_len] & 0b1111
-            j = i + sid_len + 1
+            sid = parse_service_id(t[i:i + sid_len])
+            scids = (t[i + sid_len] >> 4) & 0b1111
+            nb_apps = t[i + sid_len] & 0b1111
+            apps0 = i + hdr
+            ai = 0
             ok = True
             for _ in range(nb_apps):
-                if j + 2 > len(b):
+                app_remain = (N - i) - ai   # reference off-by-header quirk
+                if 2 > app_remain or apps0 + ai + 2 > len(t):
                     ok = False
                     break
-                app_type = (b[j] << 3) | ((b[j + 1] >> 5) & 0b111)
-                nb_data = b[j + 1] & 0b11111
-                if j + 2 + nb_data > len(b):
+                a0, a1 = t[apps0 + ai], t[apps0 + ai + 1]
+                app_type = (a0 << 3) | ((a1 >> 5) & 0b111)
+                nb_data = a1 & 0b11111
+                if 2 + nb_data > app_remain \
+                        or apps0 + ai + 2 + nb_data > len(t):
                     ok = False
                     break
-                out.append(UserApplication(sid, scids, app_type,
-                                           bytes(b[j + 2: j + 2 + nb_data])))
-                j += 2 + nb_data
+                out.append(UserApplication(
+                    sid, scids, app_type,
+                    bytes(t[apps0 + ai + 2: apps0 + ai + 2 + nb_data])))
+                ai += 2 + nb_data
             if not ok:
                 break
-            i = j
+            i += hdr + ai
         return out
 
     def _fig0_14(self, b, **kw):
@@ -477,38 +519,70 @@ class FIGParser:
             i += nb
         return out
 
-    def _fig0_21(self, b, **kw):
+    def _fig0_21(self, b, tail=None, **kw):
+        """Reference structure (fig_processor.cpp Ext_21): blocks of
+        [rfa(11b) | fi_list_len(5b)] each containing FI lists of
+        [id(16b) | rm(4b) | cont(1b) | nb_freq(3b) | freqs...]. The
+        reference trusts the internal length fields beyond the declared FIG
+        length (reads continue into the FIB tail) and aborts the whole FIG
+        on inconsistent frequency-list lengths or unknown RM."""
+        t = tail if tail is not None else b
         out, i = [], 0
-        while i + 2 <= len(b):
-            nb_fi = b[i + 1] & 0b11111
-            j, fi_end = i + 2, i + 2 + nb_fi
-            if fi_end > len(b):
+        N = len(b)
+        while i < N:
+            if 2 > N - i:
                 break
-            while j + 3 <= fi_end:
-                idv = (b[j] << 8) | b[j + 1]
-                rm = (b[j + 2] >> 4) & 0b1111
-                cont = (b[j + 2] >> 3) & 1
-                nb_freq = b[j + 2] & 0b111
-                fl = b[j + 3: j + 3 + nb_freq]
+            nb_fi = t[i + 1] & 0b11111
+            base = i + 2
+            j = 0
+            while j < nb_fi:
+                if nb_fi - j < 3 or base + j + 3 > len(t):
+                    return out
+                idv = (t[base + j] << 8) | t[base + j + 1]
+                rm = (t[base + j + 2] >> 4) & 0b1111
+                cont = (t[base + j + 2] >> 3) & 1
+                nb_freq = t[base + j + 2] & 0b111
+                f0 = base + j + 3
+                if f0 + nb_freq > len(t):
+                    return out
+                fl = t[f0: f0 + nb_freq]
                 if rm == 0b0000:
+                    if nb_freq % 3 != 0:
+                        return out
                     for k in range(0, len(fl) - 2, 3):
-                        freq = (((fl[k] & 0b111) << 16) | (fl[k + 1] << 8)
-                                | fl[k + 2]) * 16000
-                        out.append(FrequencyInfo(rm, idv, freq, bool(cont)))
+                        # uint32 wrap matches the reference's arithmetic
+                        # (only reachable for frequencies beyond any real
+                        # DAB allocation)
+                        freq = ((((fl[k] & 0b111) << 16) | (fl[k + 1] << 8)
+                                 | fl[k + 2]) * 16000) & 0xFFFFFFFF
+                        # reference byte-swaps the id when rebuilding the
+                        # ensemble id (Ext_21 RM=0)
+                        eid = ((idv & 0xFF) << 8) | (idv >> 8)
+                        out.append(FrequencyInfo(rm, eid, freq, bool(cont)))
                 elif rm == 0b1000:
                     for v in fl:
                         out.append(FrequencyInfo(rm, idv,
                                                  87500000 + v * 100000,
                                                  bool(cont)))
-                elif rm in (0b0110, 0b1110):
+                elif rm == 0b0110:
+                    if nb_freq % 3 != 0:
+                        return out
                     for k in range(0, len(fl) - 2, 3):
                         raw = ((fl[k + 1] & 0b1111111) << 8) | fl[k + 2]
-                        mult = (10000 if (rm == 0b0110 and (fl[k + 1] >> 7))
-                                else 1000)
+                        mult = 10000 if (fl[k + 1] >> 7) else 1000
                         out.append(FrequencyInfo(
                             rm, (fl[k] << 16) | idv, raw * mult, bool(cont)))
+                elif rm == 0b1110:
+                    if nb_freq % 3 != 0:
+                        return out
+                    for k in range(0, len(fl) - 2, 3):
+                        raw = (fl[k + 1] << 8) | fl[k + 2]
+                        out.append(FrequencyInfo(
+                            rm, (fl[k] << 16) | idv, raw * 1000, bool(cont)))
+                else:
+                    return out        # unknown RM aborts the FIG
                 j += 3 + nb_freq
-            i = fi_end
+            i += 2 + nb_fi
         return out
 
     def _fig0_24(self, b, pd=0, oe=0, **kw):

@@ -113,8 +113,9 @@ class NativeFIGParser:
                 f = rec[p]
                 ev = ServiceLinkage(bool(f & 1), bool(f & 2), bool(f & 4),
                                     u16(p + 1))
-                n_sid, n_rds, n_drm = rec[p + 3], rec[p + 4], rec[p + 5]
-                q = p + 6
+                ev.has_id_list = bool(rec[p + 3])
+                n_sid, n_rds, n_drm = rec[p + 4], rec[p + 5], rec[p + 6]
+                q = p + 7
                 for _ in range(n_sid):
                     ev.service_ids.append(u32(q)); q += 4
                 for _ in range(n_rds):
@@ -133,8 +134,9 @@ class NativeFIGParser:
                         u32(p), rec[p + 4], subchannel_id=u16(p + 6)))
             elif tag == 12:
                 ev = EnsembleCountry(rec[p], rec[p + 1], rec[p + 2])
-                q = p + 4
-                for _ in range(rec[p + 3]):
+                ev.has_extension = bool(rec[p + 3])
+                q = p + 5
+                for _ in range(rec[p + 4]):
                     ev.service_ids.append(u32(q)); q += 4
                 events.append(ev)
             elif tag == 13:

@@ -52,7 +52,7 @@ inline uint32_t service_id(const uint8_t* b, int len) {
 // ---- FIG type 0 extensions ----
 
 void fig0_0(const uint8_t* b, int n, Writer& w) {
-    if (n < 4) return;
+    if (n != 4) return;
     uint8_t* p = w.rec(1, 6);
     if (!p) return;
     put_u16(p, ((uint32_t)b[0] << 8) | b[1]);
@@ -107,6 +107,8 @@ void fig0_2(const uint8_t* b, int n, int pd, Writer& w) {
                 put_u32(p, sid);
                 put_u16(p + 4, ((uint32_t)(b0 & 0x3F) << 6) | ((b1 >> 2) & 0x3F));
                 p[6] = (b1 >> 1) & 1;
+            } else {
+                return;   // reserved TMId aborts the FIG (reference)
             }
         }
         i = j + 2 * nb_comp;
@@ -116,6 +118,8 @@ void fig0_2(const uint8_t* b, int n, int pd, Writer& w) {
 void fig0_3(const uint8_t* b, int n, Writer& w) {
     int i = 0;
     while (i + 5 <= n) {
+        int need = 5 + ((b[i + 1] & 1) ? 2 : 0);
+        if (i + need > n) return;   // CA-org field must fit (reference)
         uint8_t* p = w.rec(6, 7);
         if (!p) return;
         put_u16(p, ((uint32_t)b[i] << 4) | ((b[i + 1] >> 4) & 0x0F));
@@ -123,12 +127,13 @@ void fig0_3(const uint8_t* b, int n, Writer& w) {
         p[3] = b[i + 2] & 0x3F;
         put_u16(p + 4, ((uint32_t)(b[i + 3] & 3) << 8) | b[i + 4]);
         p[6] = (b[i + 2] >> 7) & 1;
-        i += 5 + ((b[i + 1] & 1) ? 2 : 0);
+        i += need;
     }
 }
 
 void fig0_4(const uint8_t* b, int n, Writer& w) {
-    for (int i = 0; i < n - 2; i += 3) {
+    if (n % 3 != 0) return;         // reference aborts on partial entries
+    for (int i = 0; i + 2 < n; i += 3) {
         uint8_t* p = w.rec(7, 3);
         if (!p) return;
         p[0] = b[i] & 0x3F;
@@ -157,6 +162,7 @@ void fig0_5(const uint8_t* b, int n, Writer& w) {
 }
 
 void fig0_6(const uint8_t* b, int n, int pd, Writer& w) {
+    // record 9: [flags u8][lsn u16][has_list u8][n_sid][n_rds][n_drm][ids...]
     int i = 0;
     while (i + 2 <= n) {
         int id_list_flag = (b[i] >> 7) & 1;
@@ -166,10 +172,10 @@ void fig0_6(const uint8_t* b, int n, int pd, Writer& w) {
         int intl = (b[i] >> 4) & 1;
         uint32_t lsn = ((uint32_t)(b[i] & 0x0F) << 8) | b[i + 1];
         if (!id_list_flag) {
-            uint8_t* p = w.rec(9, 6);
+            uint8_t* p = w.rec(9, 7);
             if (!p) return;
             p[0] = flags; put_u16(p + 1, lsn);
-            p[3] = 0; p[4] = 0; p[5] = 0;
+            p[3] = 0; p[4] = 0; p[5] = 0; p[6] = 0;
             i += 2;
             continue;
         }
@@ -177,33 +183,36 @@ void fig0_6(const uint8_t* b, int n, int pd, Writer& w) {
         int idlq = (b[i + 2] >> 5) & 3;
         int nb_ids = b[i + 2] & 0x0F;
         int j = i + 3;
+        if (n - j <= 0) break;      // reference: empty list region aborts
         int step = (!pd && !intl) ? 2 : (!pd && intl) ? 3 : 4;
         if (j + step * nb_ids > n) break;
         uint32_t sids[16], rds[16], drm[16];
         int n_sid = 0, n_rds = 0, n_drm = 0;
         for (int k = 0; k < nb_ids; k++) {
             const uint8_t* e = b + j + step * k;
-            uint32_t val, sid;
+            uint32_t sid, rd, dr;
             if (step == 2) {
-                val = ((uint32_t)e[0] << 8) | e[1];
-                sid = val;
+                sid = rd = dr = ((uint32_t)e[0] << 8) | e[1];
             } else if (step == 3) {
-                val = ((uint32_t)e[1] << 8) | e[2];
-                sid = ((uint32_t)e[0] << 16) | val;
+                // reference quirk: ECC and sid high byte from the same byte
+                sid = ((uint32_t)e[0] << 16) | ((uint32_t)e[0] << 8) | e[1];
+                rd = ((uint32_t)e[1] << 8) | e[2];
+                dr = ((uint32_t)e[0] << 16) | ((uint32_t)e[1] << 8) | e[2];
             } else {
-                val = ((uint32_t)e[0] << 24) | ((uint32_t)e[1] << 16)
+                sid = dr = ((uint32_t)e[0] << 24) | ((uint32_t)e[1] << 16)
                     | ((uint32_t)e[2] << 8) | e[3];
-                sid = val;
+                rd = ((uint32_t)e[2] << 8) | e[3];
             }
             if (idlq == 0) sids[n_sid++] = sid;
-            else if (idlq == 1) rds[n_rds++] = val & 0xFFFF;
-            else if (idlq == 3) drm[n_drm++] = val;
+            else if (idlq == 1) rds[n_rds++] = rd;
+            else if (idlq == 3) drm[n_drm++] = dr;
         }
-        uint8_t* p = w.rec(9, 6 + 4 * n_sid + 2 * n_rds + 4 * n_drm);
+        uint8_t* p = w.rec(9, 7 + 4 * n_sid + 2 * n_rds + 4 * n_drm);
         if (!p) return;
         p[0] = flags; put_u16(p + 1, lsn);
-        p[3] = (uint8_t)n_sid; p[4] = (uint8_t)n_rds; p[5] = (uint8_t)n_drm;
-        uint8_t* q = p + 6;
+        p[3] = 1; p[4] = (uint8_t)n_sid; p[5] = (uint8_t)n_rds;
+        p[6] = (uint8_t)n_drm;
+        uint8_t* q = p + 7;
         for (int k = 0; k < n_sid; k++, q += 4) put_u32(q, sids[k]);
         for (int k = 0; k < n_rds; k++, q += 2) put_u16(q, rds[k]);
         for (int k = 0; k < n_drm; k++, q += 4) put_u32(q, drm[k]);
@@ -212,7 +221,7 @@ void fig0_6(const uint8_t* b, int n, int pd, Writer& w) {
 }
 
 void fig0_7(const uint8_t* b, int n, Writer& w) {
-    if (n < 2) return;
+    if (n != 2) return;
     uint8_t* p = w.rec(10, 3);
     if (!p) return;
     p[0] = (b[0] >> 2) & 0x3F;
@@ -228,38 +237,41 @@ void fig0_8(const uint8_t* b, int n, int pd, Writer& w) {
         int ext_flag = (b[i + sid_len] >> 7) & 1;
         uint8_t scids = b[i + sid_len] & 0x0F;
         int j = i + sid_len + 1;
-        uint8_t* p;
-        if (!((b[j] >> 7) & 1)) {
-            p = w.rec(11, 8);
-            if (!p) return;
-            put_u32(p, sid); p[4] = scids; p[5] = 0;
+        int ls_flag = (b[j] >> 7) & 1;
+        int need = sid_len + 1 + (ls_flag ? 2 : 1) + (ext_flag ? 1 : 0);
+        if (i + need > n) break;    // reference aborts on a partial entry
+        uint8_t* p = w.rec(11, 8);
+        if (!p) return;
+        put_u32(p, sid); p[4] = scids;
+        if (!ls_flag) {
+            p[5] = 0;
             put_u16(p + 6, b[j] & 0x3F);
-            j += 1;
         } else {
-            if (j + 2 > n) break;
-            p = w.rec(11, 8);
-            if (!p) return;
-            put_u32(p, sid); p[4] = scids; p[5] = 1;
+            p[5] = 1;
             put_u16(p + 6, ((uint32_t)(b[j] & 0x0F) << 8) | b[j + 1]);
-            j += 2;
         }
-        i = j + (ext_flag ? 1 : 0);
+        i += need;
     }
 }
 
 void fig0_9(const uint8_t* b, int n, Writer& w) {
+    // record 12: [lto][ecc][table][has_ext][n][sids u32...]
     if (n < 3) return;
     int ext_flag = (b[0] >> 7) & 1;
+    int nb_ext = n - 3;
+    if (!ext_flag && nb_ext > 0) return;   // reference drops extra bytes
+    if (ext_flag && nb_ext <= 0) return;
     uint32_t sids[64];
     int n_sid = 0;
     if (ext_flag) {
         int i = 3;
-        while (i + 2 <= n) {
+        while (i < n) {
+            if (i + 2 > n) break;           // subfield header must fit
             int nb_services = (b[i] >> 6) & 3;
             uint8_t ecc = b[i + 1];
             int j = i + 2;
+            if (j + 2 * nb_services > n) break;  // whole id list must fit
             for (int k = 0; k < nb_services; k++) {
-                if (j + 2 > n) break;
                 if (n_sid < 64)
                     sids[n_sid++] = ((uint32_t)ecc << 16)
                                   | ((uint32_t)b[j] << 8) | b[j + 1];
@@ -268,10 +280,11 @@ void fig0_9(const uint8_t* b, int n, Writer& w) {
             i = j;
         }
     }
-    uint8_t* p = w.rec(12, 4 + 4 * n_sid);
+    uint8_t* p = w.rec(12, 5 + 4 * n_sid);
     if (!p) return;
-    p[0] = b[0] & 0x3F; p[1] = b[1]; p[2] = b[2]; p[3] = (uint8_t)n_sid;
-    for (int k = 0; k < n_sid; k++) put_u32(p + 4 + 4 * k, sids[k]);
+    p[0] = b[0] & 0x3F; p[1] = b[1]; p[2] = b[2];
+    p[3] = (uint8_t)ext_flag; p[4] = (uint8_t)n_sid;
+    for (int k = 0; k < n_sid; k++) put_u32(p + 5 + 4 * k, sids[k]);
 }
 
 void fig0_10(const uint8_t* b, int n, Writer& w) {
@@ -283,7 +296,8 @@ void fig0_10(const uint8_t* b, int n, Writer& w) {
     int hours = ((b[2] & 7) << 2) | ((b[3] >> 6) & 3);
     int minutes = b[3] & 0x3F;
     int sec = 0, ms = 0;
-    if (utc && n >= 6) {
+    if (utc) {
+        if (n < 6) return;       // reference aborts a truncated long form
         sec = (b[4] >> 2) & 0x3F;
         ms = ((b[4] & 3) << 8) | b[5];
     }
@@ -294,30 +308,37 @@ void fig0_10(const uint8_t* b, int n, Writer& w) {
     p[9] = (uint8_t)lsi; p[10] = (uint8_t)utc;
 }
 
-void fig0_13(const uint8_t* b, int n, int pd, Writer& w) {
+void fig0_13(const uint8_t* b, int n, int nt, int pd, Writer& w) {
+    // mirrors the reference quirk: per-app bound counts from the entity
+    // start, so app data may read into the FIB tail (nt >= n bytes valid)
     int i = 0;
     const int sid_len = pd ? 4 : 2;
+    const int hdr = sid_len + 1;
     while (i < n) {
-        if (i + sid_len + 1 > n) break;
+        if (hdr > n - i) break;
         uint32_t sid = service_id(b + i, sid_len);
         uint8_t scids = (b[i + sid_len] >> 4) & 0x0F;
         int nb_apps = b[i + sid_len] & 0x0F;
-        int j = i + sid_len + 1;
+        int apps0 = i + hdr;
+        int ai = 0;
         bool ok = true;
         for (int a = 0; a < nb_apps; a++) {
-            if (j + 2 > n) { ok = false; break; }
-            uint32_t app_type = ((uint32_t)b[j] << 3) | ((b[j + 1] >> 5) & 7);
-            int nb_data = b[j + 1] & 0x1F;
-            if (j + 2 + nb_data > n) { ok = false; break; }
+            int app_remain = (n - i) - ai;
+            if (2 > app_remain || apps0 + ai + 2 > nt) { ok = false; break; }
+            uint32_t app_type = ((uint32_t)b[apps0 + ai] << 3)
+                              | ((b[apps0 + ai + 1] >> 5) & 7);
+            int nb_data = b[apps0 + ai + 1] & 0x1F;
+            if (2 + nb_data > app_remain
+                || apps0 + ai + 2 + nb_data > nt) { ok = false; break; }
             uint8_t* p = w.rec(14, 8 + nb_data);
             if (!p) return;
             put_u32(p, sid); p[4] = scids;
             put_u16(p + 5, app_type); p[7] = (uint8_t)nb_data;
-            memcpy(p + 8, b + j + 2, nb_data);
-            j += 2 + nb_data;
+            memcpy(p + 8, b + apps0 + ai + 2, nb_data);
+            ai += 2 + nb_data;
         }
         if (!ok) break;
-        i = j;
+        i += hdr + ai;
     }
 }
 
@@ -350,23 +371,22 @@ void fig0_17(const uint8_t* b, int n, Writer& w) {
     }
 }
 
-void fig0_21(const uint8_t* b, int n, Writer& w) {
+void fig0_21(const uint8_t* b, int n, int nt, Writer& w) {
     int i = 0;
-    while (i + 2 <= n) {
+    while (i < n) {
+        if (2 > n - i) break;
         int nb_fi = b[i + 1] & 0x1F;
-        int j = i + 2, fi_end = i + 2 + nb_fi;
-        if (fi_end > n) break;
-        while (j + 3 <= fi_end) {
-            uint32_t idv = ((uint32_t)b[j] << 8) | b[j + 1];
-            int rm = (b[j + 2] >> 4) & 0x0F;
-            int cont = (b[j + 2] >> 3) & 1;
-            int nb_freq = b[j + 2] & 7;
-            const uint8_t* fl = b + j + 3;
-            // python slices fl from the whole body (clipped at n, NOT at
-            // fi_end) — mirror that exactly
-            int fn = nb_freq;
-            if (j + 3 + fn > n) fn = n - (j + 3);
-            if (fn < 0) fn = 0;
+        int base = i + 2;
+        int j = 0;
+        while (j < nb_fi) {
+            if (nb_fi - j < 3 || base + j + 3 > nt) return;
+            uint32_t idv = ((uint32_t)b[base + j] << 8) | b[base + j + 1];
+            int rm = (b[base + j + 2] >> 4) & 0x0F;
+            int cont = (b[base + j + 2] >> 3) & 1;
+            int nb_freq = b[base + j + 2] & 7;
+            int f0 = base + j + 3;
+            if (f0 + nb_freq > nt) return;
+            const uint8_t* fl = b + f0;
             auto emit = [&](uint32_t id_value, uint32_t freq) {
                 uint8_t* p = w.rec(17, 10);
                 if (!p) return false;
@@ -375,26 +395,40 @@ void fig0_21(const uint8_t* b, int n, Writer& w) {
                 return true;
             };
             if (rm == 0b0000) {
-                for (int k = 0; k + 2 < fn; k += 3)
-                    if (!emit(idv, (((uint32_t)(fl[k] & 7) << 16)
-                                    | ((uint32_t)fl[k + 1] << 8)
-                                    | fl[k + 2]) * 16000u)) return;
+                if (nb_freq % 3 != 0) return;
+                for (int k = 0; k + 2 < nb_freq; k += 3) {
+                    // uint32 wrap + byte-swapped eid match the reference
+                    uint32_t freq = ((((uint32_t)(fl[k] & 7) << 16)
+                                      | ((uint32_t)fl[k + 1] << 8)
+                                      | fl[k + 2]) * 16000u);
+                    uint32_t eid = ((idv & 0xFF) << 8) | (idv >> 8);
+                    if (!emit(eid, freq)) return;
+                }
             } else if (rm == 0b1000) {
-                for (int k = 0; k < fn; k++)
+                for (int k = 0; k < nb_freq; k++)
                     if (!emit(idv, 87500000u + fl[k] * 100000u)) return;
-            } else if (rm == 0b0110 || rm == 0b1110) {
-                for (int k = 0; k + 2 < fn; k += 3) {
+            } else if (rm == 0b0110) {
+                if (nb_freq % 3 != 0) return;
+                for (int k = 0; k + 2 < nb_freq; k += 3) {
                     uint32_t raw = ((uint32_t)(fl[k + 1] & 0x7F) << 8)
                                  | fl[k + 2];
-                    uint32_t mult = (rm == 0b0110 && (fl[k + 1] >> 7))
-                                    ? 10000u : 1000u;
+                    uint32_t mult = (fl[k + 1] >> 7) ? 10000u : 1000u;
                     if (!emit(((uint32_t)fl[k] << 16) | idv, raw * mult))
                         return;
                 }
+            } else if (rm == 0b1110) {
+                if (nb_freq % 3 != 0) return;
+                for (int k = 0; k + 2 < nb_freq; k += 3) {
+                    uint32_t raw = ((uint32_t)fl[k + 1] << 8) | fl[k + 2];
+                    if (!emit(((uint32_t)fl[k] << 16) | idv, raw * 1000u))
+                        return;
+                }
+            } else {
+                return;              // unknown RM aborts the FIG
             }
             j += 3 + nb_freq;
         }
-        i = fi_end;
+        i += 2 + nb_fi;
     }
 }
 
@@ -452,13 +486,14 @@ void parse_type1(const uint8_t* buf, int n, Writer& w) {
     }
 }
 
-void parse_type0(const uint8_t* buf, int n, Writer& w) {
+void parse_type0(const uint8_t* buf, int n, int nt, Writer& w) {
     if (n < 1) return;
     int oe = (buf[0] >> 6) & 1;
     int pd = (buf[0] >> 5) & 1;
     int ext = buf[0] & 0x1F;
     const uint8_t* b = buf + 1;
     int bn = n - 1;
+    int bt = nt - 1;
     switch (ext) {
         case 0: fig0_0(b, bn, w); break;
         case 1: fig0_1(b, bn, w); break;
@@ -471,10 +506,10 @@ void parse_type0(const uint8_t* buf, int n, Writer& w) {
         case 8: fig0_8(b, bn, pd, w); break;
         case 9: fig0_9(b, bn, w); break;
         case 10: fig0_10(b, bn, w); break;
-        case 13: fig0_13(b, bn, pd, w); break;
+        case 13: fig0_13(b, bn, bt, pd, w); break;
         case 14: fig0_14(b, bn, w); break;
         case 17: fig0_17(b, bn, w); break;
-        case 21: fig0_21(b, bn, w); break;
+        case 21: fig0_21(b, bn, bt, w); break;
         case 24: fig0_24(b, bn, pd, oe, w); break;
         default: break;
     }
@@ -496,8 +531,9 @@ int64_t fig_parse(const uint8_t* fib, int64_t n, uint8_t* out, int64_t cap) {
         int data_len = header & 0x1F;
         if (i + 1 + data_len > n) break;
         const uint8_t* body = fib + i + 1;
+        int tail_len = (int)(n - (i + 1));
         i += 1 + data_len;
-        if (fig_type == 0) parse_type0(body, data_len, w);
+        if (fig_type == 0) parse_type0(body, data_len, tail_len, w);
         else if (fig_type == 1) parse_type1(body, data_len, w);
         else if (fig_type == 2 || fig_type == 6) continue;
         else break;   // type 7 terminator or unsupported

@@ -33,7 +33,7 @@ def golden():
             f"{REF}/ofdm/dab_prs_ref.cpp",
             f"{REF}/ofdm/dab_mapper_ref.cpp",
             f"{REF}/dab/algorithms/reed_solomon_decoder.cpp"]
-    subprocess.run(["g++", "-O2", "-std=c++17", f"-I{REF}",
+    subprocess.run(["g++", "-O2", "-std=c++17", "-DNDEBUG", f"-I{REF}",
                     f"-I{os.path.join(HERE, 'golden')}", "-o", exe] + srcs,
                    check=True, capture_output=True)
     out = subprocess.run([exe], check=True, capture_output=True,
@@ -171,3 +171,286 @@ def _corrupt_like_harness(n, trial):
         if nn == n and t == trial:
             return cw.copy()
     raise AssertionError("missing corruption case")
+
+
+# ---------------- FIG processor differential ----------------
+
+def _translate(ev) -> list:
+    """Map one of our FIG event dataclasses onto the reference handler's
+    printed line format (tests/golden/fig_harness.cpp)."""
+    import dab_radio_tpu.dab.fig as F
+    t = type(ev).__name__
+    if t == "EnsembleInfo":
+        return [f"ens_info {ev.ensemble_id} {ev.change_flags} "
+                f"{ev.alarm_flag} {ev.cif_upper} {ev.cif_lower}"]
+    if t == "SubchannelShort":
+        return [f"subch_s {ev.subchannel_id} {ev.start_address} "
+                f"{ev.table_switch} {ev.table_index}"]
+    if t == "SubchannelLong":
+        return [f"subch_l {ev.subchannel_id} {ev.start_address} {ev.option} "
+                f"{ev.prot_level} {ev.subchannel_size}"]
+    if t == "StreamComponent":
+        kind = "comp_audio" if ev.is_audio else "comp_data"
+        return [f"{kind} {ev.service_id} {ev.subchannel_id} {ev.ty} "
+                f"{int(ev.is_primary)}"]
+    if t == "PacketComponentRef":
+        return [f"comp_packetref {ev.service_id} {ev.scid} "
+                f"{int(ev.is_primary)}"]
+    if t == "PacketComponent":
+        return [f"packet_comp {ev.scid} {ev.subchannel_id} {ev.dscty} "
+                f"{ev.packet_address}"]
+    if t == "StreamCA":
+        return [f"ca {ev.subchannel_id} {ev.ca_org}"]
+    if t == "ComponentLanguage":
+        if ev.subchannel_id is not None:
+            return [f"lang_s {ev.subchannel_id} {ev.language}"]
+        return [f"lang_l {ev.scid} {ev.language}"]
+    if t == "ServiceLinkage":
+        f3 = f"{int(ev.is_active_link)} {int(ev.is_hard_link)} " \
+             f"{int(ev.is_international)} {ev.lsn}"
+        out = []
+        for sid in ev.service_ids:
+            out.append(f"link_sid {f3} {sid}")
+        for pi in ev.rds_pi_ids:
+            out.append(f"link_rds {f3} {pi}")
+        for d in ev.drm_ids:
+            out.append(f"link_drm {f3} {d}")
+        if not out and not getattr(ev, "has_id_list", False):
+            out.append(f"link_lsn {f3}")
+        return out
+    if t == "ConfigurationInfo":
+        return [f"config {ev.nb_services} {ev.reconfiguration_count}"]
+    if t == "ComponentGlobalDefinition":
+        if ev.subchannel_id is not None:
+            return [f"gdef_s {ev.service_id} {ev.scids} {ev.subchannel_id}"]
+        return [f"gdef_l {ev.service_id} {ev.scids} {ev.scid}"]
+    if t == "EnsembleCountry":
+        # the reference emits the ensemble-level callback only for the
+        # non-extended form, per-service callbacks otherwise
+        if getattr(ev, "has_extension", False):
+            return [f"country_svc {ev.lto} {ev.ecc} "
+                    f"{ev.international_table_id} {sid}"
+                    for sid in ev.service_ids]
+        return [f"country {ev.lto} {ev.ecc} {ev.international_table_id}"]
+    if t == "DateTime":
+        return [f"datetime {ev.mjd} {ev.hours} {ev.minutes} {ev.seconds} "
+                f"{ev.milliseconds} {ev.lsi} {ev.has_utc}"]
+    if t == "UserApplication":
+        data = " ".join(str(b) for b in ev.app_data)
+        line = f"userapp {ev.service_id} {ev.scids} {ev.app_type}"
+        return [line + (" " + data if data else "")]
+    if t == "SubchannelFEC":
+        return [f"fec {ev.subchannel_id} {ev.fec_scheme}"]
+    if t == "ProgrammeType":
+        return [f"ptype {ev.service_id} {ev.international_code}"]
+    if t == "FrequencyInfo":
+        kind = {0b0000: "fi_ens", 0b1000: "fi_rds", 0b0110: "fi_drm",
+                0b1110: "fi_amss"}.get(ev.rm)
+        if kind is None:
+            return []
+        return [f"{kind} {ev.id_value} {ev.frequency_hz} "
+                f"{int(ev.is_continuous)}"]
+    if t == "OtherEnsembleService":
+        return [f"oe {ev.service_id} {ev.ensemble_id}"]
+    if t == "Label":
+        kind = {"ensemble": "label_ens", "service": "label_svc",
+                "component": "label_comp"}[ev.kind]
+        if ev.kind == "component":
+            return [f"{kind} {ev.id_value} {ev.scids} "
+                    f"|{ev.label}|{ev.short_label}|"]
+        return [f"{kind} {ev.id_value} |{ev.label}|{ev.short_label}|"]
+    return [f"UNKNOWN {t}"]
+
+
+def _norm_ref_line(line: str) -> str:
+    """Normalize a harness line: labels keep trailing padding in the
+    reference; strip each |segment|."""
+    if "|" in line:
+        head, *segs = line.split("|")
+        segs = [s.rstrip() for s in segs if True]
+        return head.rstrip() + " |" + "|".join(segs[:-1]) + "|"
+    return line.strip()
+
+
+@pytest.fixture(scope="module")
+def fig_harness():
+    exe = "/tmp/dab_fig_harness"
+    srcs = [os.path.join(HERE, "golden", "fig_harness.cpp"),
+            f"{REF}/dab/fic/fig_processor.cpp",
+            f"{REF}/dab/constants/charsets.cpp"]
+    subprocess.run(["g++", "-O2", "-std=c++17", "-DNDEBUG", f"-I{REF}",
+                    f"-I{os.path.join(HERE, 'golden')}", "-o", exe] + srcs,
+                   check=True, capture_output=True)
+    # ASan build flags which FIBs make the reference read out of bounds
+    # (its 0/13 and 0/21 parsers trust internal length fields past the FIG
+    # body); those inputs exercise undefined behaviour in the reference, so
+    # they are excluded from the differential rather than mirrored
+    exe_asan = exe + "_asan"
+    subprocess.run(["g++", "-O1", "-g", "-std=c++17", "-DNDEBUG",
+                    "-fsanitize=address", "-fsanitize-recover=address",
+                    f"-I{REF}", f"-I{os.path.join(HERE, 'golden')}",
+                    "-o", exe_asan] + srcs, check=True, capture_output=True)
+    return exe
+
+
+def _reference_oob_fibs(fibs) -> set:
+    """Indices of FIBs on which the reference parser reads out of bounds."""
+    stdin = "\n".join(f.hex() for f in fibs) + "\n"
+    env = dict(os.environ,
+               ASAN_OPTIONS="halt_on_error=0:detect_leaks=0:log_path=stderr")
+    r = subprocess.run(["/tmp/dab_fig_harness_asan"], input=stdin.encode(),
+                       capture_output=True, timeout=300, env=env)
+    bad, cur = set(), -1
+    for line in r.stderr.decode(errors="replace").splitlines():
+        if line.startswith("fib "):
+            cur = int(line.split()[1])
+        elif "AddressSanitizer" in line and "ERROR" in line:
+            bad.add(cur)
+    return bad
+
+
+def _run_fig_harness(exe, fibs):
+    stdin = "\n".join(f.hex() for f in fibs) + "\n"
+    out = subprocess.run([exe], input=stdin.encode(), capture_output=True,
+                         check=True, timeout=120
+                         ).stdout.decode(errors="replace")
+    per_fib, cur = [], None
+    for line in out.splitlines():
+        if line.startswith("fib "):
+            cur = []
+            per_fib.append(cur)
+        elif cur is not None:
+            cur.append(_norm_ref_line(line))
+    return per_fib
+
+
+def _fib_corpus():
+    """Transmitter FIBs (all service kinds) + handcrafted FIGs covering the
+    remaining extensions."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from dab_radio_tpu.models.transmitter import EnsembleTransmitter, ServiceSpec
+    from dab_radio_tpu.params import SubchannelConfig
+    from dab_radio_tpu.dab.fic import FICEncoder
+
+    tx = EnsembleTransmitter(1, services=[
+        ServiceSpec(0xA001, 1, "Svc One",
+                    SubchannelConfig(0, 48, False, eep_type="A",
+                                     eep_prot_level=2)),
+        ServiceSpec(0xA002, 2, "Svc MP2",
+                    SubchannelConfig(48, 84, True, uep_table_index=33),
+                    kind="dab"),
+        ServiceSpec(0xA003, 3, "Svc Data",
+                    SubchannelConfig(132, 48, False, eep_type="A",
+                                     eep_prot_level=2), kind="packet",
+                    scid=0x10, packet_address=2),
+    ])
+    enc = FICEncoder(1)
+    fibs = [bytes(enc.encode_fib_payload(p))[:30]
+            for p in tx._fib_payloads()]
+
+    def fig(t, body):
+        return bytes([(t << 5) | len(body)]) + bytes(body)
+
+    def fib_of(*figs):
+        buf = b"".join(figs)
+        return (buf + b"\xff" + b"\x00" * 29)[:30]
+
+    hand = [
+        # 0/4 CA, 0/5 languages short+long
+        fib_of(fig(0, [0x04, 0x05, 0x12, 0x34]),
+               fig(0, [0x05, 0x07, 42, 0x80 | 0x02, 0x10, 7])),
+        # 0/6 linkage: lsn-only, sid list, rds list (intl), drm list
+        fib_of(fig(0, [0x06, 0x40 | 0x02, 0x22]),
+               fig(0, [0x06, 0xC0 | 0x01, 0x11, 0x02, 0xAB, 0xCD, 0x12, 0x34])),
+        fib_of(fig(0, [0x06, 0x90 | 0x01, 0x55, 0x20 | 0x02,
+                       0xEE, 0xBE, 0xEF, 0xEE, 0xCA, 0xFE])),
+        fib_of(fig(0, [0x06, 0x80 | 0x01, 0x66, 0x60 | 0x01,
+                       0x00, 0x01, 0x02, 0x03])),
+        # 0/7 config, 0/8 gdef short + long
+        fib_of(fig(0, [0x07, (5 << 2) | 0x01, 0x44]),
+               fig(0, [0x08, 0xA0, 0x01, 0x05, 0x12]),
+               fig(0, [0x08, 0xA0, 0x02, 0x03, 0x81, 0x23])),
+        # 0/9 country with extension, 0/10 datetime short + long
+        fib_of(fig(0, [0x09, 0x80 | 0x12, 0xE0, 0x01,
+                       0x40, 0xE1, 0xAB, 0xCD]),
+               fig(0, [0x0A, 0x3A, 0x5B, 0x27, 0x45])),
+        fib_of(fig(0, [0x0A, 0x3A, 0x5B, 0x2F, 0x45, 0x8F, 0x12])),
+        # 0/13 user app, 0/17 programme type
+        fib_of(fig(0, [0x0D, 0xA0, 0x01, 0x21, 0x02,
+                       (0x44 << 3 >> 8), 0x46, 0xDE, 0xAD][:9]),
+               fig(0, [0x11, 0xA0, 0x05, 0x00, 0x10])),
+        # 0/21 frequency info rm=0 and rm=8
+        fib_of(fig(0, [0x15, 0x00, 0x06, 0xC1, 0x85, 0x01, 0x06, 0x1A, 0xB0]),
+               fig(0, [0x15, 0x00, 0x05, 0xAB, 0xCD, 0x81, 0x30, 0x55])),
+        # 0/24 other ensembles
+        fib_of(fig(0, [0x18, 0xB0, 0x01, 0x01, 0xC0, 0xFF])),
+        # 1/4 component label, 1/5 long service label
+        fib_of(fig(1, [0x04, 0x02, 0xA0, 0x05]
+                   + list(b"Component Lbl   ") + [0xFF, 0x00])),
+        fib_of(fig(1, [0x05, 0xE0, 0x00, 0x00, 0x07]
+                   + list(b"Long Svc Label  ") + [0xFF, 0x00])),
+    ]
+    return fibs + hand
+
+
+def test_fig_processor_matches(fig_harness):
+    from dab_radio_tpu.dab.fig import FIGParser
+    fibs = _fib_corpus()
+    ref = _run_fig_harness(fig_harness, fibs)
+    parser = FIGParser()
+    mismatches = []
+    for i, fib in enumerate(fibs):
+        ours = []
+        for ev in parser.parse_fib(fib):
+            ours.extend(_translate(ev))
+        ours = [_norm_ref_line(x) for x in ours]
+        if ours != ref[i]:
+            mismatches.append((i, fib.hex(), ref[i], ours))
+    assert not mismatches, "\n".join(
+        f"fib {i} {h}\n  ref : {r}\n  ours: {o}"
+        for i, h, r, o in mismatches[:6])
+
+
+def test_fig_processor_fuzz_matches(fig_harness):
+    """Structured fuzz: random bodies with valid-looking FIG headers across
+    every supported extension, compared event-for-event against the compiled
+    reference processor."""
+    from dab_radio_tpu.dab.fig import FIGParser
+    rng = np.random.default_rng(4242)
+    exts = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 13, 14, 17, 21, 24]
+    fibs = []
+    for _ in range(1500):
+        body_len = int(rng.integers(1, 28))
+        fig_type = int(rng.choice([0, 0, 0, 1]))
+        body = rng.integers(0, 256, body_len, dtype=np.uint8)
+        if fig_type == 0:
+            body[0] = (int(rng.integers(0, 8)) << 5) | int(rng.choice(exts))
+        else:
+            # charset fixed to EBU Latin: unknown charsets pass raw bytes
+            # through the reference (not valid UTF-8), and non-table
+            # charsets are covered by the explicit-label corpus
+            body[0] = int(rng.choice([0, 1, 4, 5]))
+        fib = bytes([(fig_type << 5) | body_len]) + body.tobytes()
+        fibs.append((fib + b"\xff" * 30)[:30])
+
+    ref = _run_fig_harness(fig_harness, fibs)
+    oob = _reference_oob_fibs(fibs)
+    parser = FIGParser()
+    mismatches = []
+    checked = 0
+    for i, fib in enumerate(fibs):
+        if i in oob:
+            continue
+        checked += 1
+        ours = []
+        for ev in parser.parse_fib(fib):
+            ours.extend(_translate(ev))
+        ours = [_norm_ref_line(x) for x in ours]
+        if ours != ref[i]:
+            mismatches.append((i, fib.hex(), ref[i], ours))
+    assert checked > len(fibs) * 3 // 4, (checked, len(oob))
+    assert not mismatches, (
+        f"{len(mismatches)} mismatching FIBs ({checked} checked); first 5:\n"
+        + "\n".join(f"fib {i} {h}\n  ref : {r}\n  ours: {o}"
+                     for i, h, r, o in mismatches[:5]))
