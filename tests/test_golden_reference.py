@@ -454,3 +454,112 @@ def test_fig_processor_fuzz_matches(fig_harness):
         f"{len(mismatches)} mismatching FIBs ({checked} checked); first 5:\n"
         + "\n".join(f"fib {i} {h}\n  ref : {r}\n  ours: {o}"
                      for i, h, r, o in mismatches[:5]))
+
+
+# ---------------- DAB+ superframe + CIF deinterleaver differential ----------
+
+@pytest.fixture(scope="module")
+def sf_harness():
+    exe = "/tmp/dab_sf_harness"
+    srcs = [os.path.join(HERE, "golden", "superframe_harness.cpp"),
+            f"{REF}/dab/audio/aac_frame_processor.cpp",
+            f"{REF}/dab/msc/cif_deinterleaver.cpp",
+            f"{REF}/dab/algorithms/reed_solomon_decoder.cpp"]
+    subprocess.run(["g++", "-O2", "-std=c++17", "-DNDEBUG", f"-I{REF}",
+                    f"-I{os.path.join(HERE, 'golden')}", "-o", exe] + srcs,
+                   check=True, capture_output=True)
+    return exe
+
+
+def _run_sf_harness(exe, cmds):
+    stdin = "\n".join(f"{c} {d.hex()}" for c, d in cmds) + "\n"
+    out = subprocess.run([exe], input=stdin.encode(), capture_output=True,
+                         check=True, timeout=300).stdout.decode()
+    per, cur = [], None
+    for line in out.splitlines():
+        if line.startswith("input "):
+            cur = []
+            per.append(cur)
+        elif cur is not None:
+            cur.append(line)
+    return per
+
+
+def test_superframe_matches_reference(sf_harness):
+    """Valid and RS-corrupted superframes: AU extraction, header decode, and
+    error callbacks must match the compiled reference."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from dab_radio_tpu.dab.aac import (SuperframeEncoder, SuperframeProcessor,
+                                       SuperFrameHeader)
+    rng = np.random.default_rng(55)
+    frame_bytes = 384          # 16 kB/s subchannel-ish
+    hdr = SuperFrameHeader(48000, False, True, True, 0)
+    enc = SuperframeEncoder(frame_bytes, hdr)
+
+    cap = enc.au_capacity()
+    num_aus = hdr.num_aus
+    frames = []
+    for sf in range(8):
+        sizes = [cap // num_aus] * num_aus
+        sizes[-1] += cap - sum(sizes)
+        aus = [rng.integers(0, 256, sz).astype(np.uint8).tobytes()
+               for sz in sizes]
+        frames.extend(enc.encode(aus))
+    # corrupt superframe 5 with correctable RS errors (4 per codeword col)
+    base = 5 * 5
+    for f in range(5):
+        frames[base + f] = bytearray(frames[base + f])
+    for col in range(0, frame_bytes * 5 // 120):
+        for e in range(4):
+            pos = int(rng.integers(0, 120))
+            glob = col * 120 + pos
+            frames[base + glob // frame_bytes][glob % frame_bytes] ^= 0x55
+    frames = [bytes(f) for f in frames]
+
+    ref = _run_sf_harness(sf_harness, [("F", f) for f in frames])
+
+    proc = SuperframeProcessor()
+    ours_events = []
+    for k, f in enumerate(frames):
+        evs = []
+        res = proc.process_frame(f)
+        if res is not None:
+            h, aus = res
+            # the reference notifies the header on every decoded superframe
+            evs.append(f"header {h.sampling_rate} {int(h.ps)} "
+                       f"{int(h.sbr)} {int(h.is_stereo)} "
+                       f"{h.mpeg_surround}")
+            for i, au in enumerate(aus):
+                evs.append(f"au {i} {len(aus)} "
+                           + " ".join(str(b) for b in au))
+        ours_events.append(evs)
+
+    def flat(seq):
+        return [ln for evs in seq for ln in evs
+                if ln.startswith(("header", "au "))]
+    assert flat(ours_events) == flat(ref)
+
+
+def test_cif_deinterleaver_matches_reference(sf_harness):
+    from dab_radio_tpu.ops.deinterleave import (make_gather_index,
+                                                deinterleave_push, DEPTH)
+    import jax.numpy as jnp
+    rng = np.random.default_rng(77)
+    nb = 256
+    cifs = rng.integers(-127, 128, size=(24, nb)).astype(np.int8)
+    ref = _run_sf_harness(sf_harness,
+                          [("D", c.astype(np.uint8).tobytes()) for c in cifs])
+
+    hist = jnp.zeros((DEPTH, nb), jnp.int8)
+    gidx = jnp.asarray(make_gather_index(nb))
+    for t in range(24):
+        hist, out = deinterleave_push(hist, jnp.asarray(cifs[t]), gidx)
+        ref_lines = [l for l in ref[t] if l.startswith("deint")]
+        assert len(ref_lines) == 1
+        if ref_lines[0] == "deint_pending":
+            assert t < DEPTH - 1
+            continue
+        ref_vals = np.array([int(x) for x in ref_lines[0].split()[1:]],
+                            dtype=np.int8)
+        np.testing.assert_array_equal(np.asarray(out), ref_vals), t
