@@ -563,3 +563,85 @@ def test_cif_deinterleaver_matches_reference(sf_harness):
         ref_vals = np.array([int(x) for x in ref_lines[0].split()[1:]],
                             dtype=np.int8)
         np.testing.assert_array_equal(np.asarray(out), ref_vals), t
+
+
+# ---------------- PAD / dynamic label / MOT differential ----------------
+
+@pytest.fixture(scope="module")
+def pad_harness():
+    exe = "/tmp/dab_pad_harness"
+    import glob
+    srcs = ([os.path.join(HERE, "golden", "pad_harness.cpp")]
+            + sorted(glob.glob(f"{REF}/dab/pad/*.cpp"))
+            + [f"{REF}/dab/mot/MOT_processor.cpp",
+               f"{REF}/dab/mot/MOT_assembler.cpp",
+               f"{REF}/dab/msc/msc_data_group_processor.cpp",
+               f"{REF}/dab/constants/charsets.cpp"])
+    subprocess.run(["g++", "-O2", "-std=c++17", "-DNDEBUG", f"-I{REF}",
+                    f"-I{os.path.join(HERE, 'golden')}", "-o", exe] + srcs,
+                   check=True, capture_output=True)
+    return exe
+
+
+def _run_pad_harness(exe, fields):
+    stdin = "\n".join(f"P {f.hex()}|{x.hex()}" for f, x in fields) + "\n"
+    out = subprocess.run([exe], input=stdin.encode(), capture_output=True,
+                         check=True, timeout=300).stdout.decode()
+    events = [l for l in out.splitlines() if not l.startswith("input ")]
+    return events
+
+
+def _run_our_pad(fields):
+    from dab_radio_tpu.dab.pad import PADProcessor
+    pad = PADProcessor()
+    events = []
+    pad.on_label.append(
+        lambda label: events.append(f"label |{label.encode().hex()}|"))
+    pad.on_mot_entity.append(lambda e: events.append(
+        f"mot {e.transport_id} {e.header.content_type} "
+        f"{e.header.content_sub_type} "
+        f"{e.header.content_name.encode().hex() if e.header.content_name else '-'} "
+        f"{bytes(e.body).hex()}"))
+    for f, x in fields:
+        pad.process(f, x)
+    return events
+
+
+def test_pad_dynamic_label_matches(pad_harness):
+    """Dynamic labels across X-PAD segments, including multi-segment text
+    and repeated transmission, must match the compiled reference."""
+    import tests.test_pad as tp
+    fields = []
+    for text in ("Now Playing - Golden Differential Radio",
+                 "Short", "Another label 123 with more text here!"):
+        for group in tp.label_data_groups(text):
+            fields += tp.chunk_xpad_fields(group, 2, 3)
+    ref = _run_pad_harness(pad_harness, fields)
+    ours = _run_our_pad(fields)
+    assert ours == ref
+
+
+def test_pad_mot_slideshow_matches(pad_harness):
+    """A MOT object (header + body segments) carried over X-PAD must
+    reassemble identically (transport id, header fields, body bytes)."""
+    import tests.test_pad as tp
+    from tests.test_packets import build_mot_segment, build_mot_header
+    from dab_radio_tpu.dab.mot import HEADER, UNSCRAMBLED_BODY
+    rng = np.random.default_rng(12)
+    body = rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+    tid = 0x77
+    segs = [body[i:i + 96] for i in range(0, len(body), 96)]
+    fields = []
+    for rep in range(2):
+        g = build_mot_segment(HEADER, 0, True, tid,
+                              build_mot_header(body, "golden.bin"))
+        fields += tp.chunk_xpad_fields(g, 12, 13,
+                                       length_prefix=tp.dli_prefix(len(g)))
+        for i, s in enumerate(segs):
+            g = build_mot_segment(UNSCRAMBLED_BODY, i, i == len(segs) - 1,
+                                  tid, s)
+            fields += tp.chunk_xpad_fields(g, 12, 13,
+                                           length_prefix=tp.dli_prefix(len(g)))
+    ref = _run_pad_harness(pad_harness, fields)
+    ours = _run_our_pad(fields)
+    assert ours == ref
