@@ -645,3 +645,87 @@ def test_pad_mot_slideshow_matches(pad_harness):
     ref = _run_pad_harness(pad_harness, fields)
     ours = _run_our_pad(fields)
     assert ours == ref
+
+
+# ---------------- packet mode + RS packet FEC differential ----------------
+
+@pytest.fixture(scope="module")
+def pkt_harness():
+    exe = "/tmp/dab_pkt_harness"
+    srcs = [os.path.join(HERE, "golden", "packet_harness.cpp"),
+            f"{REF}/dab/msc/msc_data_packet_processor.cpp",
+            f"{REF}/dab/msc/msc_reed_solomon_data_packet_processor.cpp",
+            f"{REF}/dab/msc/msc_data_group_processor.cpp",
+            f"{REF}/dab/mot/MOT_processor.cpp",
+            f"{REF}/dab/mot/MOT_assembler.cpp",
+            f"{REF}/dab/constants/charsets.cpp",
+            f"{REF}/dab/algorithms/reed_solomon_decoder.cpp"]
+    subprocess.run(["g++", "-O2", "-std=c++17", "-DNDEBUG", f"-I{REF}",
+                    f"-I{os.path.join(HERE, 'golden')}", "-o", exe] + srcs,
+                   check=True, capture_output=True)
+    return exe
+
+
+def _mot_event_lines(events_sink):
+    def on_entity(e):
+        name = (e.header.content_name.encode().hex()
+                if e.header.content_name else "-")
+        events_sink.append(
+            f"mot {e.transport_id} {e.header.content_type} "
+            f"{e.header.content_sub_type} {name} {bytes(e.body).hex()}")
+    return on_entity
+
+
+def test_packet_mode_matches_reference(pkt_harness):
+    """Packet assembly -> data groups -> MOT must reassemble identically."""
+    from tests.test_packets import make_mot_stream
+    stream, _body = make_mot_stream(address=2, body_len=700)
+    # packets are variable-size (24..96B): split only at packet boundaries
+    chunks, i = [], 0
+    from dab_radio_tpu.dab.packets import PACKET_LENGTH
+    while i < len(stream):
+        n = PACKET_LENGTH[(stream[i] >> 6) & 0b11]
+        chunks.append(stream[i:i + n])
+        i += n
+    out = subprocess.run(
+        [pkt_harness, "2"],
+        input=("\n".join("K " + c.hex() for c in chunks) + "\n").encode(),
+        capture_output=True, check=True, timeout=120).stdout.decode()
+    ref = [l for l in out.splitlines() if l.startswith("mot ")]
+
+    from dab_radio_tpu.dab.packets import PacketProcessor
+    proc = PacketProcessor(2)
+    ours = []
+    proc.mot.on_entity.append(_mot_event_lines(ours))
+    for c in chunks:
+        proc.process(c)
+    assert ours == ref and len(ref) >= 1
+
+
+def test_packet_fec_matches_reference(pkt_harness):
+    """RS(204,188) packet FEC: corrected packet stream and downstream MOT
+    must match the compiled reference on a corrupted stream."""
+    from tests.test_packets import make_mot_stream, _fec_frame
+    from dab_radio_tpu.dab.packets import (PacketProcessor, APP_DATA_TABLE)
+    stream, _body = make_mot_stream(address=2, body_len=900)
+    pad_packet = bytearray(24)
+    pad_packet[0] = (0 << 6) | (0b11 << 2) | ((1023 >> 8) & 0b11)
+    pad_packet[1] = 1023 & 0xFF
+    while len(stream) % APP_DATA_TABLE:
+        stream += bytes(pad_packet)
+    frames = [
+        _fec_frame(stream[i:i + APP_DATA_TABLE], corrupt=6, seed=i)
+        for i in range(0, len(stream), APP_DATA_TABLE)
+    ]
+    out = subprocess.run(
+        [pkt_harness, "2"],
+        input=("\n".join("R " + f.hex() for f in frames) + "\n").encode(),
+        capture_output=True, check=True, timeout=120).stdout.decode()
+    ref_mot = [l for l in out.splitlines() if l.startswith("mot ")]
+
+    proc = PacketProcessor(2, use_fec=True)
+    ours = []
+    proc.mot.on_entity.append(_mot_event_lines(ours))
+    for f in frames:
+        proc.process(f)
+    assert ours == ref_mot and len(ref_mot) >= 1
