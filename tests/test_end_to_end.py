@@ -123,6 +123,40 @@ def test_au_content_matches_transmitter(decoded_system):
         assert au == expected[start + i]
 
 
+def _ensemble_end_to_end(mode, nb_frames):
+    from dab_radio_tpu.models.transmitter import EnsembleTransmitter, ServiceSpec
+    from dab_radio_tpu.models.demodulator import OFDMDemodulator, StreamingDemodulator
+    from dab_radio_tpu.models.receiver import DabReceiver
+    from dab_radio_tpu.params import SubchannelConfig
+
+    tx = EnsembleTransmitter(mode, services=[
+        ServiceSpec(0xB001, 1, f"Mode{mode} Svc",
+                    SubchannelConfig(0, 48, False, eep_type="A",
+                                     eep_prot_level=2))])
+    iq = tx.generate(nb_frames)
+
+    demod = OFDMDemodulator(mode)
+    sd = StreamingDemodulator(demod)
+    rx = DabReceiver(mode)
+    aus = []
+    rx.on_audio_channel.append(
+        lambda _id, ch: ch.events.on_access_unit.append(
+            lambda i, n, au, hdr: aus.append(bytes(au))))
+    for bits in sd.process(np.concatenate(
+            [iq, np.zeros(2 * demod.params.nb_frame_samples, np.complex64)])):
+        rx.process_frame(bits)
+
+    assert rx.db.services
+    assert list(rx.db.services.values())[0].label == f"Mode{mode} Svc"
+    assert len(rx.channels) == 1
+    assert len(aus) > 0
+
+
+def test_mode4_ensemble_end_to_end():
+    """Mode IV: 48 ms frames, 2 CIFs/frame, 6 FIBs/frame."""
+    _ensemble_end_to_end(4, 40)
+
+
 def test_mode2_ensemble_end_to_end():
     """Full RF chain in transmission mode II (24 ms frames, 1 CIF/frame):
     synthesized ensemble -> demod -> FIC -> channel -> access units."""
