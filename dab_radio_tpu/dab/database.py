@@ -34,6 +34,7 @@ class Ensemble:
     reconfiguration_count: int = 0
     local_time_offset: int = 0          # in half-hours, sign bit applied
     international_table_id: int = 0
+    has_international_table: bool = False
     is_complete: bool = False
 
 
@@ -211,9 +212,13 @@ class DatabaseUpdater:
             c.is_complete = (c.subchannel_id is not None
                              and c.data_service_type is not None)
         elif c.transport_mode == PACKET_DATA:
+            # reference additionally requires a user application type
+            # (SERVICE_COMPONENT_FLAG_REQUIRED_PACKET_DATA includes
+            # APPLICATION_TYPE) — real broadcasters announce it via FIG 0/13
             c.is_complete = (c.subchannel_id is not None
                              and c.data_service_type is not None
-                             and c.packet_address is not None)
+                             and c.packet_address is not None
+                             and len(c.user_app_types) > 0)
         else:
             c.is_complete = False
 
@@ -231,7 +236,9 @@ class DatabaseUpdater:
         self.updates += 1
         if isinstance(ev, F.EnsembleInfo):
             self._set(self.db.ensemble, "id", ev.ensemble_id)
-            self.db.ensemble.is_complete = True
+            # reference ENSEMBLE_FLAG_REQUIRED = ID | INTER_TABLE (0/9)
+            self.db.ensemble.is_complete = \
+                self.db.ensemble.has_international_table
             self.misc.cif_upper = ev.cif_upper
             self.misc.cif_lower = ev.cif_lower
         elif isinstance(ev, F.SubchannelShort):
@@ -322,6 +329,9 @@ class DatabaseUpdater:
             self._set(self.db.ensemble, "extended_country_code", ev.ecc)
             self._set(self.db.ensemble, "international_table_id",
                       ev.international_table_id)
+            self.db.ensemble.has_international_table = True
+            if self.db.ensemble.id:
+                self.db.ensemble.is_complete = True
             for sid in ev.service_ids:
                 self._service(sid)
         elif isinstance(ev, F.DateTime):
@@ -333,6 +343,7 @@ class DatabaseUpdater:
                 if c.service_id == ev.service_id and c.component_id == ev.scids:
                     if ev.app_type not in c.user_app_types:
                         c.user_app_types.append(ev.app_type)
+                    self._update_component_complete(c)
                     break
         elif isinstance(ev, F.SubchannelFEC):
             s = self._subchannel(ev.subchannel_id)
@@ -364,6 +375,18 @@ class DatabaseUpdater:
                 sv = self._service(ev.id_value)
                 self._set(sv, "label", ev.label)
                 self._set(sv, "short_label", ev.short_label)
+                # fig 1/4 note: the primary component (SCIdS 0) carries the
+                # service label (reference radio_fig_handler.cpp:582-585,
+                # creating the component if it doesn't exist yet)
+                for c in self.db.service_components:
+                    if c.service_id == ev.id_value and c.component_id == 0:
+                        c.label, c.short_label = ev.label, ev.short_label
+                        break
+                else:
+                    c = ServiceComponent(service_id=ev.id_value,
+                                         label=ev.label,
+                                         short_label=ev.short_label)
+                    self.db.service_components.append(c)
             elif ev.kind == "component":
                 for c in self.db.service_components:
                     if (c.service_id == ev.id_value

@@ -73,6 +73,17 @@ def fig0_14_fec(subchannel_id: int, fec_scheme: int) -> bytes:
     return fig0(14, bytes([(subchannel_id << 2) | (fec_scheme & 0b11)]))
 
 
+def fig0_9_country(lto: int = 0, ecc: int = 0xE1, table_id: int = 1) -> bytes:
+    return fig0(9, bytes([lto & 0b111111, ecc, table_id]))
+
+
+def fig0_13_user_app(service_id: int, scids: int, app_type: int) -> bytes:
+    return fig0(13, bytes([service_id >> 8, service_id & 0xFF,
+                           (scids << 4) | 1,
+                           (app_type >> 3) & 0xFF,
+                           ((app_type & 0b111) << 5) | 0]))
+
+
 def fig1_label(ext: int, id_bytes: bytes, label: str, charset: int = 0) -> bytes:
     lab = label.encode("ascii", errors="replace").ljust(16)[:16]
     # flag the first 8 characters for the short label
@@ -153,8 +164,12 @@ class EnsembleTransmitter:
                     fig0_3_packet_component(s.scid, s.subchannel_id, 60,
                                             s.packet_address)
                     + fig0_14_fec(s.subchannel_id, 0))
+                # packet components need a user app type to complete
+                # (EN 300 401 via FIG 0/13; app 7 = EPG-ish carousel)
+                figs.append(fig0_13_user_app(s.service_id, 0, 7))
             figs.append(fig)
             continue
+        figs.append(fig0_9_country())
         figs.append(fig1_label(0, self.ensemble_id.to_bytes(2, "big"),
                                self.ensemble_label))
         for s in self.services:

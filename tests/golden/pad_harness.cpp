@@ -15,6 +15,7 @@
 
 #include "dab/pad/pad_processor.h"
 #include "dab/mot/MOT_entities.h"
+#include "dab/audio/aac_data_decoder.h"
 
 static std::vector<uint8_t> parse_hex(const char* p, const char** endp) {
     std::vector<uint8_t> out;
@@ -39,7 +40,8 @@ static void print_hex(const uint8_t* p, size_t n) {
 }
 
 int main() {
-    PAD_Processor pad;
+    AAC_Data_Decoder aac_data;
+    PAD_Processor& pad = aac_data.Get_PAD_Processor();
     pad.OnLabelUpdate().Attach([](const std::string& label) {
         std::printf("label |");
         print_hex((const uint8_t*)label.data(), label.size());
@@ -65,15 +67,23 @@ int main() {
     char buf[65536];
     int idx = 0;
     while (std::fgets(buf, sizeof(buf), stdin)) {
-        if (buf[0] != 'P') continue;
-        const char* p = buf + 2;
-        const char* end = nullptr;
-        auto fpad = parse_hex(p, &end);
-        if (*end == '|') end++;
-        const char* end2 = nullptr;
-        auto xpad = parse_hex(end, &end2);
-        std::printf("input %d\n", idx++);
-        pad.Process({fpad.data(), fpad.size()}, {xpad.data(), xpad.size()});
+        if (buf[0] == 'P') {
+            const char* p = buf + 2;
+            const char* end = nullptr;
+            auto fpad = parse_hex(p, &end);
+            if (*end == '|') end++;
+            const char* end2 = nullptr;
+            auto xpad = parse_hex(end, &end2);
+            std::printf("input %d\n", idx++);
+            pad.Process({fpad.data(), fpad.size()},
+                        {xpad.data(), xpad.size()});
+        } else if (buf[0] == 'A') {
+            // full access unit: PAD extracted from data_stream_element
+            const char* end = nullptr;
+            auto au = parse_hex(buf + 2, &end);
+            std::printf("input %d\n", idx++);
+            aac_data.ProcessAccessUnit({au.data(), au.size()});
+        }
         std::fflush(stdout);
     }
     return 0;

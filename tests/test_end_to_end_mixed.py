@@ -36,7 +36,7 @@ def mixed_system():
     # MOT is a repeating carousel: early repetitions are lost while the
     # 16-CIF deinterleaver fills and the channel spins up
     segs = [body[i:i + 128] for i in range(0, len(body), 128)]
-    for _ in range(8):
+    for _ in range(12):
         tx.push_packet_data_group(
             3, build_mot_segment(HEADER, 0, True, tid,
                                  build_mot_header(body, "file.bin")))
@@ -45,7 +45,7 @@ def mixed_system():
                 3, build_mot_segment(UNSCRAMBLED_BODY, i, i == len(segs) - 1,
                                      tid, s))
 
-    iq = tx.generate(22)
+    iq = tx.generate(28)
     demod = OFDMDemodulator(1)
     sd = StreamingDemodulator(demod)
     rx = DabReceiver(1)

@@ -573,7 +573,8 @@ def pad_harness():
     import glob
     srcs = ([os.path.join(HERE, "golden", "pad_harness.cpp")]
             + sorted(glob.glob(f"{REF}/dab/pad/*.cpp"))
-            + [f"{REF}/dab/mot/MOT_processor.cpp",
+            + [f"{REF}/dab/audio/aac_data_decoder.cpp",
+               f"{REF}/dab/mot/MOT_processor.cpp",
                f"{REF}/dab/mot/MOT_assembler.cpp",
                f"{REF}/dab/msc/msc_data_group_processor.cpp",
                f"{REF}/dab/constants/charsets.cpp"])
@@ -729,3 +730,146 @@ def test_packet_fec_matches_reference(pkt_harness):
     for f in frames:
         proc.process(f)
     assert ours == ref_mot and len(ref_mot) >= 1
+
+
+def test_aac_data_stream_element_matches(pad_harness):
+    """PAD extraction from AAC data_stream_elements (the reverse-engineered
+    libfaad syntax path) must match the compiled reference: dynamic labels
+    carried inside access units decode identically."""
+    import tests.test_pad as tp
+    from dab_radio_tpu.dab.aac_data import (AACDataDecoder,
+                                            build_data_stream_element)
+    rng = np.random.default_rng(31)
+    fields = []
+    for text in ("DSE Golden Label", "Second text via access units!!"):
+        for group in tp.label_data_groups(text):
+            fields += tp.chunk_xpad_fields(group, 2, 3)
+    aus = [build_data_stream_element(f, x)
+           + rng.integers(0, 256, 20).astype(np.uint8).tobytes()
+           for f, x in fields]
+
+    stdin = "\n".join("A " + au.hex() for au in aus) + "\n"
+    out = subprocess.run([pad_harness], input=stdin.encode(),
+                         capture_output=True, check=True,
+                         timeout=120).stdout.decode()
+    ref = [l for l in out.splitlines() if not l.startswith("input ")]
+
+    dec = AACDataDecoder()
+    ours = []
+    dec.pad.on_label.append(
+        lambda label: ours.append(f"label |{label.encode().hex()}|"))
+    for au in aus:
+        dec.process_access_unit(au)
+    assert ours == ref and len(ref) >= 2
+
+
+# ---------------- FIC -> database differential ----------------
+
+@pytest.fixture(scope="module")
+def db_harness():
+    exe = "/tmp/dab_db_harness"
+    srcs = [os.path.join(HERE, "golden", "database_harness.cpp"),
+            f"{REF}/dab/fic/fig_processor.cpp",
+            f"{REF}/dab/radio_fig_handler.cpp",
+            f"{REF}/dab/database/dab_database_updater.cpp",
+            f"{REF}/dab/constants/charsets.cpp"]
+    subprocess.run(["g++", "-O2", "-std=c++17", "-DNDEBUG", f"-I{REF}",
+                    f"-I{os.path.join(HERE, 'golden')}", "-o", exe] + srcs,
+                   check=True, capture_output=True)
+    return exe
+
+
+def _dump_our_db(db) -> list:
+    def hx(s):
+        b = s.encode()
+        return b.hex() if b else "-"
+    out = []
+    e = db.ensemble
+    out.append(f"ens {e.id} {e.extended_country_code} {hx(e.label)} "
+               f"{hx(e.short_label)} {e.nb_services} "
+               f"{e.reconfiguration_count} {e.local_time_offset} "
+               f"{e.international_table_id} {int(e.is_complete)}")
+    for sid in sorted(db.services):
+        s = db.services[sid]
+        out.append(f"svc {sid} {hx(s.label)} {hx(s.short_label)} "
+                   f"{s.programme_type} {int(s.is_complete)}")
+    for c in sorted(db.service_components,
+                    key=lambda c: (c.service_id, c.component_id)):
+        gid = 0xFFFF if c.global_id is None else c.global_id
+        sub = 0 if c.subchannel_id is None else c.subchannel_id
+        addr = 0 if c.packet_address is None else c.packet_address
+        tm = 255 if c.transport_mode is None else c.transport_mode
+        ast = 255 if c.audio_service_type is None else c.audio_service_type
+        dst = 255 if c.data_service_type is None else c.data_service_type
+        apps = "".join(f" {t}" for t in c.user_app_types)
+        out.append(f"comp {c.service_id} {c.component_id} {gid} {sub} "
+                   f"{addr} {hx(c.label)} {c.language} {tm} {ast} {dst}"
+                   f"{apps} {int(c.is_complete)}")
+    for sub_id in sorted(db.subchannels):
+        s = db.subchannels[sub_id]
+        start = 0 if s.start_address is None else s.start_address
+        length = 0 if s.length is None else s.length
+        uep = 0 if not s.is_uep else 1
+        uidx = s.uep_table_index or 0
+        eplev = s.eep_prot_level or 0
+        etype = {None: 255, "A": 0, "B": 1}[s.eep_type]
+        fec = 255 if s.fec_scheme is None else s.fec_scheme
+        out.append(f"subch {sub_id} {start} {length} {uep} {uidx} {eplev} "
+                   f"{etype} {fec} {int(s.is_complete)}")
+    return out
+
+
+def test_fic_database_matches_reference(db_harness):
+    """The whole FIC chain — FIG parse -> handler -> database merge — must
+    produce the same ensemble/service/component/subchannel state as the
+    compiled reference for a complete mixed-service ensemble."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from dab_radio_tpu.models.transmitter import EnsembleTransmitter, ServiceSpec
+    from dab_radio_tpu.params import SubchannelConfig
+    from dab_radio_tpu.dab.fig import FIGParser
+    from dab_radio_tpu.dab.database import DatabaseUpdater
+
+    tx = EnsembleTransmitter(1, services=[
+        ServiceSpec(0xA001, 1, "Svc AAC",
+                    SubchannelConfig(0, 48, False, eep_type="A",
+                                     eep_prot_level=2), kind="dab+"),
+        ServiceSpec(0xA002, 2, "Svc MP2",
+                    SubchannelConfig(48, 42, True, uep_table_index=8),
+                    kind="dab"),
+        ServiceSpec(0xA003, 3, "Svc Data",
+                    SubchannelConfig(132, 48, False, eep_type="A",
+                                     eep_prot_level=2), kind="packet",
+                    scid=0x10, packet_address=2),
+    ])
+    fibs = []
+    for _ in range(6):      # several carousel rounds
+        fibs += [bytes(tx.fic_encoder.encode_fib_payload(p))[:30]
+                 for p in tx._fib_payloads()]
+        tx._cif_counter += 4
+
+    out = subprocess.run(
+        [db_harness], input=("\n".join(f.hex() for f in fibs) + "\n").encode(),
+        capture_output=True, check=True, timeout=120).stdout.decode()
+
+    def norm(line):
+        # documented divergence: we rstrip the 16-char label padding at the
+        # parser; the reference stores labels verbatim
+        parts = line.split()
+        idxs = {"ens": (3, 4), "svc": (2, 3), "comp": (6,)}.get(parts[0], ())
+        for i in idxs:
+            if parts[i] != "-":
+                t = bytes.fromhex(parts[i]).decode("latin-1").rstrip()
+                parts[i] = t.encode("latin-1").hex() or "-"
+        return " ".join(parts)
+
+    ref = [norm(l) for l in out.strip().splitlines()]
+
+    parser = FIGParser()
+    upd = DatabaseUpdater()
+    for fib in fibs:
+        for ev in parser.parse_fib(fib):
+            upd.apply(ev)
+    ours = [norm(l) for l in _dump_our_db(upd.db)]
+    assert ours == ref, "\n" + "\n".join(
+        f"ref : {r}\nours: {o}" for r, o in zip(ref, ours) if r != o)
