@@ -99,7 +99,36 @@ class OtherEnsemble:
     ensemble_id: int = 0
     frequency_hz: int = 0
     is_continuous: bool = False
+    is_geo_adjacent: bool = False
+    is_mode_one: bool = False
     service_ids: List[int] = dc_field(default_factory=list)
+    is_complete: bool = False
+
+
+@dataclass
+class FMService:
+    """FM station linked to a DAB service (reference FM_Service)."""
+    pi_code: int = 0
+    lsn: Optional[int] = None
+    is_time_compensated: bool = False
+    frequencies: List[int] = dc_field(default_factory=list)
+    is_complete: bool = False
+
+
+@dataclass
+class DRMService:
+    drm_id: int = 0
+    lsn: Optional[int] = None
+    is_time_compensated: bool = False
+    frequencies: List[int] = dc_field(default_factory=list)
+    is_complete: bool = False
+
+
+@dataclass
+class AMSSService:
+    amss_id: int = 0
+    is_time_compensated: bool = False
+    frequencies: List[int] = dc_field(default_factory=list)
     is_complete: bool = False
 
 
@@ -127,6 +156,9 @@ class DabDatabase:
         self.subchannels: Dict[int, Subchannel] = {}
         self.link_services: Dict[int, LinkService] = {}
         self.other_ensembles: Dict[int, OtherEnsemble] = {}
+        self.fm_services: Dict[int, FMService] = {}
+        self.drm_services: Dict[int, DRMService] = {}
+        self.amss_services: Dict[int, AMSSService] = {}
 
     def component_by_subchannel(self, subchannel_id: int) -> Optional[ServiceComponent]:
         for c in self.service_components:
@@ -314,10 +346,22 @@ class DatabaseUpdater:
             for pid in ev.rds_pi_ids:
                 if pid not in ls.fm_services:
                     ls.fm_services.append(pid)
+                fm = self.db.fm_services.setdefault(
+                    pid, FMService(pi_code=pid))
+                if fm.lsn is None:
+                    fm.lsn = ev.lsn
+                fm.is_complete = bool(fm.frequencies)
             for did in ev.drm_ids:
                 if did not in ls.drm_services:
                     ls.drm_services.append(did)
-            ls.is_complete = True
+                dr = self.db.drm_services.setdefault(
+                    did, DRMService(drm_id=did))
+                if dr.lsn is None:
+                    dr.lsn = ev.lsn
+                dr.is_complete = bool(dr.frequencies)
+            # reference LINK_FLAG_REQUIRED = SERVICE_ID: complete only once
+            # a DAB service id is linked
+            ls.is_complete = bool(ls.service_ids)
         elif isinstance(ev, F.ConfigurationInfo):
             self.db.ensemble.nb_services = ev.nb_services
             self.db.ensemble.reconfiguration_count = ev.reconfiguration_count
@@ -360,13 +404,37 @@ class DatabaseUpdater:
                     ev.id_value, OtherEnsemble(ensemble_id=ev.id_value))
                 oe.frequency_hz = ev.frequency_hz
                 oe.is_continuous = ev.is_continuous
+                oe.is_geo_adjacent = ev.geo_adjacent
+                oe.is_mode_one = ev.mode_one
                 oe.is_complete = True
+            elif ev.rm == 0b1000:
+                fm = self.db.fm_services.setdefault(
+                    ev.id_value, FMService(pi_code=ev.id_value))
+                fm.is_time_compensated = ev.is_continuous
+                if ev.frequency_hz not in fm.frequencies:
+                    fm.frequencies.append(ev.frequency_hz)
+                fm.is_complete = fm.lsn is not None
+            elif ev.rm == 0b0110:
+                dr = self.db.drm_services.setdefault(
+                    ev.id_value, DRMService(drm_id=ev.id_value))
+                dr.is_time_compensated = ev.is_continuous
+                if ev.frequency_hz not in dr.frequencies:
+                    dr.frequencies.append(ev.frequency_hz)
+                dr.is_complete = dr.lsn is not None
+            elif ev.rm == 0b1110:
+                am = self.db.amss_services.setdefault(
+                    ev.id_value, AMSSService(amss_id=ev.id_value))
+                am.is_time_compensated = ev.is_continuous
+                if ev.frequency_hz not in am.frequencies:
+                    am.frequencies.append(ev.frequency_hz)
+                am.is_complete = True
         elif isinstance(ev, F.OtherEnsembleService):
             oe = self.db.other_ensembles.setdefault(
                 ev.ensemble_id, OtherEnsemble(ensemble_id=ev.ensemble_id))
             if ev.service_id not in oe.service_ids:
                 oe.service_ids.append(ev.service_id)
-            oe.is_complete = True
+            # reference OE completeness requires the frequency (0/21 rm=0);
+            # 0/24 alone only creates the entity
         elif isinstance(ev, F.Label):
             if ev.kind == "ensemble":
                 self._set(self.db.ensemble, "label", ev.label)

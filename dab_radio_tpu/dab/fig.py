@@ -167,6 +167,8 @@ class FrequencyInfo:          # FIG 0/21
     id_value: int
     frequency_hz: int
     is_continuous: bool
+    geo_adjacent: bool = False      # rm=0 control field
+    mode_one: bool = False          # rm=0 control field
 
 
 @dataclass
@@ -558,7 +560,11 @@ class FIGParser:
                         # reference byte-swaps the id when rebuilding the
                         # ensemble id (Ext_21 RM=0)
                         eid = ((idv & 0xFF) << 8) | (idv >> 8)
-                        out.append(FrequencyInfo(rm, eid, freq, bool(cont)))
+                        cf = (fl[k] >> 3) & 0b11111
+                        out.append(FrequencyInfo(
+                            rm, eid, freq, bool(cont),
+                            geo_adjacent=not (cf & 1),
+                            mode_one=bool(cf & 2)))
                 elif rm == 0b1000:
                     for v in fl:
                         out.append(FrequencyInfo(rm, idv,

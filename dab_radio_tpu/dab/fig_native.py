@@ -154,7 +154,9 @@ class NativeFIGParser:
                                             rec[p + 6]))
             elif tag == 17:
                 events.append(FrequencyInfo(rec[p], u32(p + 1), u32(p + 5),
-                                            bool(rec[p + 9])))
+                                            bool(rec[p + 9]),
+                                            geo_adjacent=bool(rec[p + 10] & 1),
+                                            mode_one=bool(rec[p + 10] & 2)))
             elif tag == 18:
                 events.append(OtherEnsembleService(u32(p), u16(p + 4),
                                                    bool(rec[p + 6])))

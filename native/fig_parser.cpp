@@ -387,11 +387,13 @@ void fig0_21(const uint8_t* b, int n, int nt, Writer& w) {
             int f0 = base + j + 3;
             if (f0 + nb_freq > nt) return;
             const uint8_t* fl = b + f0;
-            auto emit = [&](uint32_t id_value, uint32_t freq) {
-                uint8_t* p = w.rec(17, 10);
+            auto emit = [&](uint32_t id_value, uint32_t freq,
+                            uint8_t flags) {
+                uint8_t* p = w.rec(17, 11);
                 if (!p) return false;
                 p[0] = (uint8_t)rm; put_u32(p + 1, id_value);
                 put_u32(p + 5, freq); p[9] = (uint8_t)cont;
+                p[10] = flags;       // bit0 geo_adjacent, bit1 mode I
                 return true;
             };
             if (rm == 0b0000) {
@@ -402,25 +404,28 @@ void fig0_21(const uint8_t* b, int n, int nt, Writer& w) {
                                       | ((uint32_t)fl[k + 1] << 8)
                                       | fl[k + 2]) * 16000u);
                     uint32_t eid = ((idv & 0xFF) << 8) | (idv >> 8);
-                    if (!emit(eid, freq)) return;
+                    uint8_t cf = (fl[k] >> 3) & 0x1F;
+                    uint8_t flags = (uint8_t)((!(cf & 1) ? 1 : 0)
+                                              | ((cf & 2) ? 2 : 0));
+                    if (!emit(eid, freq, flags)) return;
                 }
             } else if (rm == 0b1000) {
                 for (int k = 0; k < nb_freq; k++)
-                    if (!emit(idv, 87500000u + fl[k] * 100000u)) return;
+                    if (!emit(idv, 87500000u + fl[k] * 100000u, 0)) return;
             } else if (rm == 0b0110) {
                 if (nb_freq % 3 != 0) return;
                 for (int k = 0; k + 2 < nb_freq; k += 3) {
                     uint32_t raw = ((uint32_t)(fl[k + 1] & 0x7F) << 8)
                                  | fl[k + 2];
                     uint32_t mult = (fl[k + 1] >> 7) ? 10000u : 1000u;
-                    if (!emit(((uint32_t)fl[k] << 16) | idv, raw * mult))
+                    if (!emit(((uint32_t)fl[k] << 16) | idv, raw * mult, 0))
                         return;
                 }
             } else if (rm == 0b1110) {
                 if (nb_freq % 3 != 0) return;
                 for (int k = 0; k + 2 < nb_freq; k += 3) {
                     uint32_t raw = ((uint32_t)fl[k + 1] << 8) | fl[k + 2];
-                    if (!emit(((uint32_t)fl[k] << 16) | idv, raw * 1000u))
+                    if (!emit(((uint32_t)fl[k] << 16) | idv, raw * 1000u, 0))
                         return;
                 }
             } else {

@@ -93,6 +93,55 @@ int main() {
         std::printf(" %d\n", (int)c.is_complete);
     }
 
+    auto links = db.link_services;
+    std::sort(links.begin(), links.end(), [](const LinkService& a,
+                                             const LinkService& b) {
+        return a.id < b.id;
+    });
+    for (const auto& l : links) {
+        std::printf("link %u %d %d %d %u %d\n", l.id, (int)l.is_active_link,
+                    (int)l.is_hard_link, (int)l.is_international,
+                    l.service_id.value, (int)l.is_complete);
+    }
+    auto fms = db.fm_services;
+    std::sort(fms.begin(), fms.end(), [](const FM_Service& a,
+                                         const FM_Service& b) {
+        return a.RDS_PI_code < b.RDS_PI_code;
+    });
+    for (const auto& f : fms) {
+        std::printf("fm %u %u %d", f.RDS_PI_code, f.linkage_set_number,
+                    (int)f.is_time_compensated);
+        for (auto q : f.frequencies) std::printf(" %u", q);
+        std::printf(" %d\n", (int)f.is_complete);
+    }
+    auto drms = db.drm_services;
+    std::sort(drms.begin(), drms.end(), [](const DRM_Service& a,
+                                           const DRM_Service& b) {
+        return a.drm_code < b.drm_code;
+    });
+    for (const auto& d : drms) {
+        std::printf("drm %u %u %d", d.drm_code, d.linkage_set_number,
+                    (int)d.is_time_compensated);
+        for (auto q : d.frequencies) std::printf(" %u", q);
+        std::printf(" %d\n", (int)d.is_complete);
+    }
+    auto oes = db.other_ensembles;
+    std::sort(oes.begin(), oes.end(), [](const OtherEnsemble& a,
+                                         const OtherEnsemble& b) {
+        return a.id.value < b.id.value;
+    });
+    for (const auto& o : oes) {
+        std::printf("oe %u %u %d %d %d %d\n", o.id.value, o.frequency,
+                    (int)o.is_continuous_output,
+                    (int)o.is_geographically_adjacent,
+                    (int)o.is_transmission_mode_I, (int)o.is_complete);
+    }
+    std::printf("misc %u %u %d %d %d %u %u %u %u\n",
+                misc.cif_counter.upper_count, misc.cif_counter.lower_count,
+                misc.datetime.year, misc.datetime.month, misc.datetime.day,
+                misc.datetime.hours, misc.datetime.minutes,
+                misc.datetime.seconds, misc.datetime.milliseconds);
+
     auto subs = db.subchannels;
     std::sort(subs.begin(), subs.end(), [](const Subchannel& a,
                                            const Subchannel& b) {

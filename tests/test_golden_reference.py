@@ -805,6 +805,27 @@ def _dump_our_db(db) -> list:
         out.append(f"comp {c.service_id} {c.component_id} {gid} {sub} "
                    f"{addr} {hx(c.label)} {c.language} {tm} {ast} {dst}"
                    f"{apps} {int(c.is_complete)}")
+    for lsn in sorted(db.link_services):
+        l = db.link_services[lsn]
+        sid = l.service_ids[0] if l.service_ids else 0
+        out.append(f"link {lsn} {int(l.is_active_link)} "
+                   f"{int(l.is_hard_link)} {int(l.is_international)} {sid} "
+                   f"{int(l.is_complete)}")
+    for pi in sorted(db.fm_services):
+        f = db.fm_services[pi]
+        freqs = "".join(f" {q}" for q in f.frequencies)
+        out.append(f"fm {pi} {f.lsn or 0} {int(f.is_time_compensated)}"
+                   f"{freqs} {int(f.is_complete)}")
+    for did in sorted(db.drm_services):
+        d = db.drm_services[did]
+        freqs = "".join(f" {q}" for q in d.frequencies)
+        out.append(f"drm {did} {d.lsn or 0} {int(d.is_time_compensated)}"
+                   f"{freqs} {int(d.is_complete)}")
+    for eid in sorted(db.other_ensembles):
+        o = db.other_ensembles[eid]
+        out.append(f"oe {eid} {o.frequency_hz} {int(o.is_continuous)} "
+                   f"{int(o.is_geo_adjacent)} {int(o.is_mode_one)} "
+                   f"{int(o.is_complete)}")
     for sub_id in sorted(db.subchannels):
         s = db.subchannels[sub_id]
         start = 0 if s.start_address is None else s.start_address
@@ -817,6 +838,14 @@ def _dump_our_db(db) -> list:
         out.append(f"subch {sub_id} {start} {length} {uep} {uidx} {eplev} "
                    f"{etype} {fec} {int(s.is_complete)}")
     return out
+
+
+def _misc_line(misc) -> str:
+    from dab_radio_tpu.dab.mot import mjd_to_ymd
+    y, m, d = mjd_to_ymd(misc.mjd) if misc.mjd else (0, 0, 0)
+    return (f"misc {misc.cif_upper} {misc.cif_lower} {y} {m} {d} "
+            f"{misc.hours} {misc.minutes} {misc.seconds} "
+            f"{misc.milliseconds}")
 
 
 def test_fic_database_matches_reference(db_harness):
@@ -848,6 +877,31 @@ def test_fic_database_matches_reference(db_harness):
                  for p in tx._fib_payloads()]
         tx._cif_counter += 4
 
+    # extra FIGs covering links, frequency info, other ensembles, datetime
+    def fig(t, body):
+        return bytes([(t << 5) | len(body)]) + bytes(body)
+
+    def fib_of(*figs):
+        return (b"".join(figs) + b"\xff" + b"\x00" * 29)[:30]
+
+    enc = tx.fic_encoder
+    extra_payloads = [
+        # 0/6: DAB sid link + RDS link (non-intl 16-bit)
+        fig(0, [0x06, 0x80 | 0x01, 0x11, 0x00 | 0x01, 0xA0, 0x01])
+        + fig(0, [0x06, 0x80 | 0x01, 0x11, 0x20 | 0x02,
+                  0xAB, 0xCD, 0x12, 0x34]),
+        # 0/6: DRM link
+        fig(0, [0x06, 0x80 | 0x02, 0x22, 0x60 | 0x01, 0x00, 0x01, 0x02, 0x03]),
+        # 0/21: rm=0 other-ensemble freq + rm=8 FM freqs
+        fig(0, [0x15, 0x00, 0x06, 0xC1, 0x85, 0x03, 0x06, 0x1A, 0xB0])
+        + fig(0, [0x15, 0x00, 0x05, 0xAB, 0xCD, 0x82, 0x30, 0x55]),
+        # 0/24: other ensemble services
+        fig(0, [0x18, 0xB0, 0x01, 0x01, 0xC1, 0x85]),
+        # 0/10: long-form datetime
+        fig(0, [0x0A, 0x3A, 0x5B, 0x2F, 0x45, 0x8F, 0x12]),
+    ]
+    fibs += [bytes(enc.encode_fib_payload(p))[:30] for p in extra_payloads]
+
     out = subprocess.run(
         [db_harness], input=("\n".join(f.hex() for f in fibs) + "\n").encode(),
         capture_output=True, check=True, timeout=120).stdout.decode()
@@ -870,6 +924,8 @@ def test_fic_database_matches_reference(db_harness):
     for fib in fibs:
         for ev in parser.parse_fib(fib):
             upd.apply(ev)
-    ours = [norm(l) for l in _dump_our_db(upd.db)]
-    assert ours == ref, "\n" + "\n".join(
+    ours = [norm(l) for l in _dump_our_db(upd.db)] \
+        + [_misc_line(upd.misc)]
+    ref = ref + []
+    assert sorted(ours) == sorted(ref), "\n" + "\n".join(
         f"ref : {r}\nours: {o}" for r, o in zip(ref, ours) if r != o)
