@@ -929,3 +929,33 @@ def test_fic_database_matches_reference(db_harness):
     ref = ref + []
     assert sorted(ours) == sorted(ref), "\n" + "\n".join(
         f"ref : {r}\nours: {o}" for r, o in zip(ref, ours) if r != o)
+
+
+def test_fig_labels_charsets_match(fig_harness):
+    """Labels in UCS-2, UTF-8 and ISO 8859-1 charsets decode identically to
+    the compiled reference's charset conversion."""
+    def fig1_label(ext, idbytes, label_bytes, charset):
+        body = bytes([(charset << 4) | ext]) + idbytes \
+            + label_bytes.ljust(16)[:16] + bytes([0xFF, 0x00])
+        return bytes([(1 << 5) | len(body)]) + body
+
+    cases = [
+        (6, "Ünïcödé".encode("utf-16-be")),          # UCS-2 BE
+        (15, "utf8 ✓ label".encode("utf-8")),        # UTF-8
+        (4, "látin-1 tëxt".encode("latin-1")),       # ISO 8859-1
+        (0, b"EBU \x86\x8b plain"),                  # EBU with accents
+    ]
+    fibs = []
+    for cs, lab in cases:
+        fib = fig1_label(1, b"\xa0\x05", lab, cs)
+        fibs.append((fib + b"\xff" * 30)[:30])
+
+    ref = _run_fig_harness(fig_harness, fibs)
+    from dab_radio_tpu.dab.fig import FIGParser
+    parser = FIGParser()
+    for i, fib in enumerate(fibs):
+        ours = []
+        for ev in parser.parse_fib(fib):
+            ours.extend(_translate(ev))
+        ours = [_norm_ref_line(x) for x in ours]
+        assert ours == ref[i], (i, fib.hex(), ref[i], ours)
