@@ -117,9 +117,48 @@ def worker(batch: int, iters: int) -> None:
     }))
 
 
+def viterbi_worker(batch: int, iters: int) -> None:
+    """Auxiliary measurement: MSC Viterbi data-bit throughput (radix-4
+    scan, EEP-3A 48 CU shape), fetch-verified like the demod worker."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from dab_radio_tpu.ops import viterbi as vit
+    from dab_radio_tpu.params import SubchannelConfig, msc_puncture_schedule
+
+    class Timeout(Exception):
+        pass
+
+    signal.signal(signal.SIGALRM, lambda s_, f: (_ for _ in ()).throw(
+        Timeout()))
+    cfg = SubchannelConfig(0, 48, False, eep_type="A", eep_prot_level=2)
+    spec = vit.ViterbiSpec.from_schedule(msc_puncture_schedule(cfg))
+    rng = np.random.default_rng(0)
+    soft = jnp.asarray(rng.integers(-127, 128, (batch, spec.nb_in),
+                                    dtype=np.int32).astype(np.int8))
+    fn = jax.jit(lambda x: vit.viterbi_decode(x, spec)[0])
+    signal.alarm(300)
+    out = fn(soft)
+    float(np.asarray(out.astype(jnp.float32)).sum())     # fetch-verified
+    x = soft
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(x)
+        x = x + (out[:1, :1].sum() * 0).astype(jnp.int8)
+    float(np.asarray(out.astype(jnp.float32)).sum())
+    dt = time.time() - t0
+    signal.alarm(0)
+    mbps = batch * spec.nb_data_bits * iters / dt / 1e6
+    print(json.dumps({"viterbi_mbps": round(mbps, 2), "batch": batch}))
+
+
 def main():
     if len(sys.argv) >= 2 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), int(sys.argv[3]))
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--viterbi-worker":
+        viterbi_worker(int(sys.argv[2]), int(sys.argv[3]))
         return
 
     results = []
@@ -167,14 +206,29 @@ def main():
                                    "unavailable/unsynchronisable)"}))
         return
     best = max(pool, key=lambda r: r["msps"])
-    print(json.dumps({
+    line = {
         "metric": "mode1_ofdm_demod_throughput",
         "value": best["msps"],
         "unit": "Msamples/s/chip",
         "vs_baseline": round(best["msps"] / BASELINE_MSPS, 2),
         "batch": best["batch"],
         "sync": best["sync"],
-    }))
+    }
+    # auxiliary: MSC Viterbi Mbit/s (fetch-verified), if time permits
+    if time.time() < deadline:
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--viterbi-worker", "1024", "20"],
+                capture_output=True, timeout=WORKER_TIMEOUT_S,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            for ln in r.stdout.decode().splitlines():
+                ln = ln.strip()
+                if ln.startswith("{"):
+                    line["viterbi_mbps"] = json.loads(ln)["viterbi_mbps"]
+        except Exception as e:
+            print(f"# viterbi aux failed: {e}", file=sys.stderr)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -959,3 +959,30 @@ def test_fig_labels_charsets_match(fig_harness):
             ours.extend(_translate(ev))
         ours = [_norm_ref_line(x) for x in ours]
         assert ours == ref[i], (i, fib.hex(), ref[i], ours)
+
+
+def test_pad_label_command_matches(pad_harness):
+    """Dynamic-label command data group (clear display) must emit the same
+    command event in both decoders."""
+    import tests.test_pad as tp
+    from dab_radio_tpu.ops.crc import crc16
+    from dab_radio_tpu.dab.pad import PADProcessor
+    # command group: C flag set (bit 4), command 0
+    b0 = (1 << 7) | (0b11 << 5) | (1 << 4) | 0
+    g = bytes([b0, 0x00])
+    g += crc16(g).to_bytes(2, "big")
+    fields = tp.chunk_xpad_fields(g, 2, 3)
+    # follow with a normal label to prove the stream stays in sync
+    for group in tp.label_data_groups("After Command"):
+        fields += tp.chunk_xpad_fields(group, 2, 3)
+
+    ref = _run_pad_harness(pad_harness, fields)
+    pad = PADProcessor()
+    ours = []
+    pad.on_label.append(
+        lambda label: ours.append(f"label |{label.encode().hex()}|"))
+    pad.dynamic_label.on_command.append(
+        lambda cmd: ours.append(f"label_cmd {cmd}"))
+    for f, x in fields:
+        pad.process(f, x)
+    assert ours == ref and any(l.startswith("label_cmd") for l in ref)
