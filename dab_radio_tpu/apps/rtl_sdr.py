@@ -66,7 +66,7 @@ def main(argv=None):
     def on_data(iq: np.ndarray):
         nonlocal written
         # back to the u8 wire format (device callbacks carry complex64)
-        u8 = (np.stack([iq.real, iq.imag], -1) * 128.0 + 127.5)
+        u8 = (np.stack([iq.real, iq.imag], -1) * 127.5 + 127.5)
         u8 = np.clip(u8, 0, 255).astype(np.uint8).reshape(-1)
         try:
             out.write(u8.tobytes())

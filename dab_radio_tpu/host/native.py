@@ -110,11 +110,11 @@ def iq_convert(raw: bytes, fmt: str = "u8") -> np.ndarray:
           12: "<f8", 13: ">f8"}[code]
     x = np.frombuffer(raw, dtype=dt)[: nb_samples * 2].astype(np.float32)
     if code in (0, 2, 4, 6, 8):
-        bias = {1: 128.0, 2: 32768.0, 4: 2147483648.0}[item]
-        x = (x - bias) / bias
+        bias = {1: 127.5, 2: 32767.5, 4: 2147483647.5}[item]
+        x = (x - np.float32(bias)) / np.float32(bias)
     elif code in (1, 3, 5, 7, 9):
-        scale = {1: 128.0, 2: 32768.0, 4: 2147483648.0}[item]
-        x = x / scale
+        scale = {1: 127.0, 2: 32767.0, 4: 2147483647.0}[item]
+        x = x / np.float32(scale)
     return x.view(np.complex64) if x.dtype == np.float32 else \
         x.astype(np.float32).view(np.complex64)
 
@@ -126,7 +126,7 @@ def iq_quantize_u8(iq: np.ndarray) -> bytes:
         out = np.empty(x.shape[0], dtype=np.uint8)
         lib.iq_quantize_u8(x.ctypes.data, x.shape[0], out.ctypes.data)
         return out.tobytes()
-    return np.clip(x * 128.0 + 128.0, 0, 255).astype(np.uint8).tobytes()
+    return np.clip(x * 127.5 + 127.5, 0, 255).astype(np.uint8).tobytes()
 
 
 def soft_to_hard(soft: np.ndarray) -> bytes:

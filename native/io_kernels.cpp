@@ -29,15 +29,16 @@ static inline uint64_t bswap64(uint64_t v) { return __builtin_bswap64(v); }
 int64_t iq_convert(const uint8_t* in, int64_t nb_in_bytes, int format,
                    float* out /* 2*nb_samples floats */) {
     switch (format) {
-    case 0: {  // u8: (x - 127.5) / 127.5  (reference uses 128 bias /128 scale)
+    case 0: {  // u8: (x - 127.5) / 127.5 (reference QuantisedIQ<uint8_t>)
         const int64_t n = nb_in_bytes;
-        for (int64_t i = 0; i < n; i++) out[i] = (float(in[i]) - 128.0f) / 128.0f;
+        for (int64_t i = 0; i < n; i++)
+            out[i] = (float(in[i]) - 127.5f) / 127.5f;
         return n / 2;
     }
     case 1: {
         const auto* p = reinterpret_cast<const int8_t*>(in);
         const int64_t n = nb_in_bytes;
-        for (int64_t i = 0; i < n; i++) out[i] = float(p[i]) / 128.0f;
+        for (int64_t i = 0; i < n; i++) out[i] = float(p[i]) / 127.0f;
         return n / 2;
     }
     case 2: case 4: {
@@ -46,7 +47,7 @@ int64_t iq_convert(const uint8_t* in, int64_t nb_in_bytes, int format,
         const bool swap = (format == 4);
         for (int64_t i = 0; i < n; i++) {
             uint16_t v = swap ? bswap16(p[i]) : p[i];
-            out[i] = (float(v) - 32768.0f) / 32768.0f;
+            out[i] = (float(v) - 32767.5f) / 32767.5f;
         }
         return n / 2;
     }
@@ -56,7 +57,7 @@ int64_t iq_convert(const uint8_t* in, int64_t nb_in_bytes, int format,
         const bool swap = (format == 5);
         for (int64_t i = 0; i < n; i++) {
             uint16_t v = swap ? bswap16(p[i]) : p[i];
-            out[i] = float(int16_t(v)) / 32768.0f;
+            out[i] = float(int16_t(v)) / 32767.0f;
         }
         return n / 2;
     }
@@ -66,7 +67,7 @@ int64_t iq_convert(const uint8_t* in, int64_t nb_in_bytes, int format,
         const bool swap = (format == 8);
         for (int64_t i = 0; i < n; i++) {
             uint32_t v = swap ? bswap32(p[i]) : p[i];
-            out[i] = (float(v) - 2147483648.0f) / 2147483648.0f;
+            out[i] = (float(v) - 2147483647.5f) / 2147483647.5f;
         }
         return n / 2;
     }
@@ -76,7 +77,7 @@ int64_t iq_convert(const uint8_t* in, int64_t nb_in_bytes, int format,
         const bool swap = (format == 9);
         for (int64_t i = 0; i < n; i++) {
             uint32_t v = swap ? bswap32(p[i]) : p[i];
-            out[i] = float(int32_t(v)) / 2147483648.0f;
+            out[i] = float(int32_t(v)) / 2147483647.0f;
         }
         return n / 2;
     }
@@ -111,8 +112,10 @@ int64_t iq_convert(const uint8_t* in, int64_t nb_in_bytes, int format,
 
 // inverse: quantize interleaved float IQ to u8 (for the transmitter apps)
 void iq_quantize_u8(const float* in, int64_t nb_floats, uint8_t* out) {
+    // exact inverse of the u8 read path (reference QuantisedIQ::from_iq
+    // with the normalised [-1,1] convention): v*127.5 + 127.5, clamp, trunc
     for (int64_t i = 0; i < nb_floats; i++) {
-        float v = in[i] * 128.0f + 128.0f;
+        float v = in[i] * 127.5f + 127.5f;
         if (v < 0.0f) v = 0.0f;
         if (v > 255.0f) v = 255.0f;
         out[i] = uint8_t(v);

@@ -986,3 +986,67 @@ def test_pad_label_command_matches(pad_harness):
     for f, x in fields:
         pad.process(f, x)
     assert ours == ref and any(l.startswith("label_cmd") for l in ref)
+
+
+# ---------------- IQ format readers differential ----------------
+
+@pytest.fixture(scope="module")
+def iq_harness():
+    exe = "/tmp/dab_iq_harness"
+    subprocess.run(["g++", "-O2", "-std=c++17", "-DNDEBUG", f"-I{REF}",
+                    f"-I{os.path.dirname(REF)}/examples",
+                    f"-I{os.path.join(HERE, 'golden')}", "-o", exe,
+                    os.path.join(HERE, "golden", "iq_harness.cpp")],
+                   check=True, capture_output=True)
+    return exe
+
+
+_IQ_MODE_MAP = {
+    "u8": "raw_u8", "s8": "raw_s8",
+    "u16le": "raw_u16l", "u16be": "raw_u16b",
+    "s16le": "raw_s16l", "s16be": "raw_s16b",
+    "u32le": "raw_u32l", "u32be": "raw_u32b",
+    "s32le": "raw_s32l", "s32be": "raw_s32b",
+    "f32le": "raw_f32l", "f32be": "raw_f32b",
+    "f64le": "raw_f64l", "f64be": "raw_f64b",
+}
+
+
+def test_iq_readers_match_reference(iq_harness):
+    """All 14 raw IQ sample formats must dequantize exactly like the
+    reference readers (bias/scale per QuantisedIQ<T>, endianness swaps)."""
+    from dab_radio_tpu.host.native import iq_convert
+    rng = np.random.default_rng(99)
+    lines = []
+    raws = {}
+    for fmt, mode in _IQ_MODE_MAP.items():
+        if fmt.startswith("f"):
+            vals = rng.normal(0, 0.7, 64).astype(
+                np.float32 if "32" in fmt else np.float64)
+            raw = vals.astype(
+                ("<" if fmt.endswith("le") else ">")
+                + ("f4" if "32" in fmt else "f8")).tobytes()
+        else:
+            nbytes = 64 * (1 if "8" in fmt and "1" not in fmt else
+                           2 if "16" in fmt else 4)
+            raw = rng.integers(0, 256, nbytes, dtype=np.uint8).tobytes()
+        raws[fmt] = raw
+        lines.append(f"{mode} {raw.hex()}")
+
+    out = subprocess.run([iq_harness],
+                         input=("\n".join(lines) + "\n").encode(),
+                         capture_output=True, check=True,
+                         timeout=120).stdout.decode()
+    ref_lines = [l for l in out.splitlines() if l.startswith("samples")]
+    assert len(ref_lines) == len(_IQ_MODE_MAP)
+
+    for (fmt, _), rline in zip(_IQ_MODE_MAP.items(), ref_lines):
+        vals = np.array([float(x) for x in rline.split()[1:]],
+                        dtype=np.float32)
+        ref = vals[0::2] + 1j * vals[1::2]
+        ours = iq_convert(raws[fmt], fmt)
+        assert ours.shape[0] == ref.shape[0], fmt
+        np.testing.assert_allclose(ours.real, ref.real, rtol=2e-6,
+                                   atol=1e-9, err_msg=fmt)
+        np.testing.assert_allclose(ours.imag, ref.imag, rtol=2e-6,
+                                   atol=1e-9, err_msg=fmt)
