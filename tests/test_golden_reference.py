@@ -485,16 +485,23 @@ def _run_sf_harness(exe, cmds):
     return per
 
 
-def test_superframe_matches_reference(sf_harness):
+@pytest.mark.parametrize("hdr_args", [
+    (48000, False, True, True, 0),    # 48k SBR+PS: 3 AUs
+    (48000, True, False, False, 0),   # 48k plain stereo: 6 AUs
+    (32000, False, True, False, 0),   # 32k SBR: 2 AUs
+    (32000, True, False, False, 0),   # 32k plain: 4 AUs
+])
+def test_superframe_matches_reference(sf_harness, hdr_args):
     """Valid and RS-corrupted superframes: AU extraction, header decode, and
-    error callbacks must match the compiled reference."""
+    error callbacks must match the compiled reference, across the four
+    (dac_rate, sbr) AU-count layouts."""
     import jax
     jax.config.update("jax_platforms", "cpu")
     from dab_radio_tpu.dab.aac import (SuperframeEncoder, SuperframeProcessor,
                                        SuperFrameHeader)
     rng = np.random.default_rng(55)
     frame_bytes = 384          # 16 kB/s subchannel-ish
-    hdr = SuperFrameHeader(48000, False, True, True, 0)
+    hdr = SuperFrameHeader(*hdr_args)
     enc = SuperframeEncoder(frame_bytes, hdr)
 
     cap = enc.au_capacity()
