@@ -245,3 +245,20 @@ def test_large_sample_slip_resync(frames_per_step):
     frames = sd.process(iq)
     assert int(sd.carry.total_desync) >= 1
     assert _count_matched(frames, bits) >= 6, len(frames)
+
+
+def test_roundtrip_large_cfo():
+    """Large integral CFO (20 FFT bins = 20 kHz in mode I) exercises the
+    coarse-frequency search across its full range."""
+    mod = OFDMModulator(1)
+    demod = OFDMDemodulator(1)
+    bits = _random_frames(mod, 5, seed=19)
+    iq = _apply_cfo(_stream(mod, bits), -20.25 / 2048)
+    sd = StreamingDemodulator(demod)
+    frames = sd.process(iq)
+    assert len(frames) >= 4
+    # settling takes two frames at large offsets: coarse locks after frame 0,
+    # the fractional part converges during frame 1
+    assert _ber(frames, bits[:len(frames)], skip=2) == 0.0
+    total = float(sd.carry.freq_coarse) + float(sd.carry.freq_fine)
+    assert abs(total - 20.25 / 2048) < 0.3 / 2048
