@@ -47,6 +47,11 @@ class DemodConfig:
     coarse_slow_beta: float = 0.1
     impulse_peak_threshold_db: float = 20.0
     impulse_peak_distance_prob: float = 0.15
+    # apply the measured fractional CFO within the same frame when it
+    # exceeds this many FFT bins (improves on the reference, which always
+    # applies it one frame late and wastes the first frame after lock);
+    # small errors keep the smoothed carry path to avoid jitter at low SNR
+    fine_sameframe_bins: float = 0.05
 
 
 class DemodCarry(NamedTuple):
@@ -136,6 +141,20 @@ class OFDMDemodulator:
         # 4-5. aligned frame body -> soft bits
         start = p.nb_null_period + offset
         body = jax.lax.dynamic_slice_in_dim(window, start, self.body_len, -1)
+
+        # measure the fractional CFO on this window first; a large residual
+        # (post-lock, CFO step) is corrected within the same frame instead of
+        # costing a garbage frame like the reference's apply-next-frame loop
+        if cfg.fine_sameframe_bins > 0:
+            from ..ops.pll import apply_pll
+            syms_pre = apply_pll(body, coarse + fine).reshape(
+                *body.shape[:-1], p.nb_frame_symbols, p.nb_symbol_period)
+            ferr_pre = sync_ops.fine_freq_error(
+                sync_ops.cyclic_phase_error(syms_pre, nfft, cp), nfft)
+            big = jnp.abs(ferr_pre) > (cfg.fine_sameframe_bins / nfft)
+            fine = jnp.where(
+                big, sync_ops.wrap_fine_offset(fine - ferr_pre, nfft), fine)
+
         bits, cyc_err, _ = demod_frame_body(
             body, coarse + fine, nb_fft=nfft,
             nb_symbol_period=p.nb_symbol_period,

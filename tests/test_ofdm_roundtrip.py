@@ -123,7 +123,10 @@ def test_chunked_streaming_equivalence():
         chunked += sd2.process(iq[i:i + step])
     assert len(all_at_once) == len(chunked)
     for a, b in zip(all_at_once, chunked):
-        np.testing.assert_array_equal(a, b)
+        # multi-device virtual CPU backend is nondeterministic at the float
+        # LSB (see test_snapshot_resume); hard decisions must match
+        np.testing.assert_array_equal(a > 0, b > 0)
+        assert int(np.abs(a.astype(np.int16) - b.astype(np.int16)).max()) <= 1
 
 
 def test_batched_frame_step():
@@ -257,8 +260,9 @@ def test_roundtrip_large_cfo():
     sd = StreamingDemodulator(demod)
     frames = sd.process(iq)
     assert len(frames) >= 4
-    # settling takes two frames at large offsets: coarse locks after frame 0,
-    # the fractional part converges during frame 1
-    assert _ber(frames, bits[:len(frames)], skip=2) == 0.0
+    # same-frame fine correction (DemodConfig.fine_sameframe_bins) settles
+    # in ONE frame at large offsets (the reference needs two: coarse next
+    # frame, then fractional)
+    assert _ber(frames, bits[:len(frames)], skip=1) == 0.0
     total = float(sd.carry.freq_coarse) + float(sd.carry.freq_fine)
     assert abs(total - 20.25 / 2048) < 0.3 / 2048
