@@ -71,15 +71,22 @@ def run_point(mode: int, snr_db: float, cfo_hz: float, nb_frames: int,
     sd = StreamingDemodulator(demod)
     frames = sd.process(np.concatenate([lead, x, tail]))
 
-    # align the first locked frame to the tx stream (lock may start late)
+    # align the locked frames to the tx stream (lock may start late). Anchor
+    # on the first frame that clearly matches some tx frame — frame 0 can be
+    # pure noise at pathological CFOs (exactly half-bin: the fractional
+    # detector's sign is genuinely ambiguous for one frame), and anchoring on
+    # noise misaligns every subsequent comparison.
     ref_flat = [b.reshape(-1) for b in bits]
     offset, first_ber = 0, 1.0
-    if frames:
-        hard0 = (np.asarray(frames[0]) > 0).astype(np.uint8)
-        for j in range(nb_frames):
-            ber = float((hard0 != ref_flat[j]).mean())
-            if ber < first_ber:
-                first_ber, offset = ber, j
+    for k, fr in enumerate(frames):
+        hard = (np.asarray(fr) > 0).astype(np.uint8)
+        bers = [float((hard != r).mean()) for r in ref_flat]
+        j = int(np.argmin(bers))
+        if k == 0:
+            first_ber, offset = bers[j], j
+        if bers[j] < 0.3:
+            offset = j - k
+            break
 
     errs = total = 0
     vit_byte_errs = vit_bytes = 0
@@ -88,7 +95,7 @@ def run_point(mode: int, snr_db: float, cfo_hz: float, nb_frames: int,
         j = offset + k
         if j >= nb_frames:
             break
-        if k == 0:   # pre-convergence; reported via first_frame_ber
+        if k == 0 or j < 0:   # pre-convergence; reported via first_frame_ber
             continue
         hard = (np.asarray(soft) > 0).astype(np.uint8)
         errs += int((hard != ref_flat[j]).sum())

@@ -157,9 +157,15 @@ def fine_freq_error(cyclic_err, nb_fft: int):
 
 def wrap_fine_offset(freq_fine, nb_fft: int):
     """Keep the fine offset within half an FFT bin (with the reference's 1%
-    margin)."""
+    margin, ofdm_demodulator.cpp UpdateFineFrequencyOffset).
+
+    Wrapping removes WHOLE carrier spacings only (round-to-nearest-bin), so
+    the fractional part — the physically meaningful residual — is never
+    corrupted. The reference subtracts one full spacing per frame, which is
+    the same thing for its slowly-accumulating fine offset; ours must also
+    absorb the large counter-adjustment applied on a coarse-offset jump
+    (fine -= delta_coarse), where a modulo-half-spacing wrap would alias the
+    residual by up to half a bin and cost the first frame after lock."""
     bound = 0.5 * (1.0 / nb_fft) * 1.01
-    return jnp.where(jnp.abs(freq_fine) > bound,
-                     freq_fine - jnp.sign(freq_fine) * jnp.floor(
-                         jnp.abs(freq_fine) / bound) * bound,
-                     freq_fine)
+    wrapped = freq_fine - jnp.round(freq_fine * nb_fft) * (1.0 / nb_fft)
+    return jnp.where(jnp.abs(freq_fine) > bound, wrapped, freq_fine)

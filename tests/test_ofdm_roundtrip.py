@@ -71,8 +71,8 @@ def test_roundtrip_with_cfo():
     sd = StreamingDemodulator(demod)
     frames = sd.process(iq)
     assert len(frames) >= 3
-    # allow the first frame to settle sync
-    assert _ber(frames, bits[:len(frames)], skip=1) == 0.0
+    # zero settle frames: same-frame correction decodes frame 0 clean
+    assert _ber(frames, bits[:len(frames)], skip=0) == 0.0
     # correction frequency opposes the injected shift
     assert abs(float(sd.carry.freq_coarse) - 3.4 / 2048) < 1.5 / 2048
 
@@ -260,9 +260,10 @@ def test_roundtrip_large_cfo():
     sd = StreamingDemodulator(demod)
     frames = sd.process(iq)
     assert len(frames) >= 4
-    # same-frame fine correction (DemodConfig.fine_sameframe_bins) settles
-    # in ONE frame at large offsets (the reference needs two: coarse next
-    # frame, then fractional)
-    assert _ber(frames, bits[:len(frames)], skip=1) == 0.0
+    # same-frame coarse + fractional correction (DemodConfig.
+    # fine_sameframe_bins): even the FIRST locked frame decodes clean at a
+    # 20.25-bin offset (the reference needs two settle frames: coarse applied
+    # next frame, then fractional)
+    assert _ber(frames, bits[:len(frames)], skip=0) == 0.0
     total = float(sd.carry.freq_coarse) + float(sd.carry.freq_fine)
     assert abs(total - 20.25 / 2048) < 0.3 / 2048
