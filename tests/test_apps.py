@@ -39,6 +39,29 @@ def test_apply_frequency_shift_contract():
     assert r.returncode == 0 and len(r.stdout) == len(raw)
 
 
+def test_rtl_sdr_list_channels():
+    """Works without tuner hardware: prints the DAB block frequency table."""
+    r = _run(["dab_radio_tpu.apps.rtl_sdr", "--list-channels"])
+    assert r.returncode == 0
+    out = r.stdout.decode()
+    assert "5C" in out and "9C" in out and "MHz" in out
+    # reference block_frequencies.h: channel 9C = 206.352 MHz
+    line = next(l for l in out.splitlines() if l.startswith("9C"))
+    assert "206.352" in line
+
+
+def test_rtl_sdr_no_device_errors_cleanly():
+    r = _run(["dab_radio_tpu.apps.rtl_sdr", "-c", "9C"])
+    assert r.returncode == 1
+    assert b"error" in r.stderr.lower()
+
+
+def test_rtl_sdr_unknown_channel():
+    r = _run(["dab_radio_tpu.apps.rtl_sdr", "-c", "ZZ"])
+    assert r.returncode == 1
+    assert b"unknown channel" in r.stderr
+
+
 def test_loop_file(tmp_path):
     p = tmp_path / "x.bin"
     p.write_bytes(b"abcdef")
