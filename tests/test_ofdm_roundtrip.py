@@ -267,3 +267,24 @@ def test_roundtrip_large_cfo():
     assert _ber(frames, bits[:len(frames)], skip=0) == 0.0
     total = float(sd.carry.freq_coarse) + float(sd.carry.freq_fine)
     assert abs(total - 20.25 / 2048) < 0.3 / 2048
+
+
+def test_wrap_fine_offset_preserves_fraction():
+    """Wrapping removes WHOLE carrier spacings only: the fractional residual
+    (the physically meaningful part) must survive any wrap. Regression test
+    for the modulo-half-spacing wrap that corrupted the counter-adjustment
+    after a coarse jump and cost the first locked frame."""
+    import jax.numpy as jnp
+    from dab_radio_tpu.ops import sync as sync_ops
+    nfft = 2048
+    for bins in (-20.0609, 20.0609, -0.75, 0.75, 1.5, -1.5, 37.26, -0.503):
+        w = float(sync_ops.wrap_fine_offset(jnp.float32(bins / nfft), nfft))
+        w_bins = w * nfft
+        assert abs(w_bins) <= 0.5 * 1.01 + 1e-4, (bins, w_bins)
+        # difference from the input is an integer number of bins
+        k = (bins - w_bins)
+        assert abs(k - round(k)) < 1e-3, (bins, w_bins)
+    # values inside the 1%-margin deadband pass through untouched
+    for bins in (0.0, 0.2, -0.45, 0.504):
+        w = float(sync_ops.wrap_fine_offset(jnp.float32(bins / nfft), nfft))
+        assert abs(w * nfft - bins) < 1e-4, (bins, w * nfft)
