@@ -52,11 +52,15 @@ def main(argv=None):
 
     def on_channel(sub_id, ch):
         print(f"+ channel {sub_id} ({ch.kind})", file=sys.stderr)
-        if hasattr(ch, "enable_audio_decode"):
-            ch.enable_audio_decode()
+        if hasattr(ch, "controls"):
+            # reference semantics: playback implies audio decode
+            ch.controls.run_all()
+            if hasattr(ch, "enable_audio_decode"):
+                ch.enable_audio_decode()
         src = pipeline.create_source()
         ch.events.on_audio_data.append(
-            lambda pcm, rate, nch: src.write(pcm, rate, nch))
+            lambda pcm, rate, nch: ch.controls.play_audio
+            and src.write(pcm, rate, nch))
         ch.events.on_dynamic_label.append(
             lambda label: print(f"  label: {label}", file=sys.stderr))
     rx.on_audio_channel.append(on_channel)

@@ -233,6 +233,55 @@ class OFDMDemodulator:
         return self._frame_step_batch(carry, iq_pairs(windows))
 
 
+class _StreamBuffer:
+    """Amortized-O(chunk) ingest buffer (replaces per-chunk np.concatenate;
+    reference keeps a reconstruction ring, src/ofdm/reconstruction_buffer.h).
+
+    Live samples sit in one preallocated array between ``_start``/``_end``;
+    append writes in place, consume advances the start pointer, and the live
+    span is only copied down when the tail hits capacity. ``view`` returns
+    zero-copy slices — callers that retain data across ``append`` must copy.
+    """
+
+    def __init__(self, dtype=np.complex64, capacity: int = 1 << 16):
+        self._arr = np.empty(capacity, dtype)
+        self._start = 0
+        self._end = 0
+
+    def __len__(self):
+        return self._end - self._start
+
+    def append(self, x: np.ndarray):
+        n = x.shape[0]
+        if self._end + n > self._arr.shape[0]:
+            live = len(self)
+            cap = self._arr.shape[0]
+            while cap < 2 * (live + n):  # keep headroom: compaction stays rare
+                cap *= 2
+            if cap != self._arr.shape[0]:
+                new = np.empty(cap, self._arr.dtype)
+                new[:live] = self._arr[self._start:self._end]
+                self._arr = new
+            else:
+                self._arr[:live] = self._arr[self._start:self._end]
+            self._start, self._end = 0, live
+        self._arr[self._end:self._end + n] = x
+        self._end += n
+
+    def view(self, a: int, b: int) -> np.ndarray:
+        return self._arr[self._start + a:self._start + b]
+
+    def consume(self, n: int):
+        self._start = min(self._start + n, self._end)
+
+    def to_array(self) -> np.ndarray:
+        return self._arr[self._start:self._end].copy()
+
+    def set(self, data: np.ndarray):
+        self._start, self._end = 0, 0
+        self.append(np.asarray(data, self._arr.dtype))
+
+
 class StreamingDemodulator:
     """Host-side streaming driver over one IQ stream.
 
@@ -246,7 +295,7 @@ class StreamingDemodulator:
         self.demod = demod
         self.carry = DemodCarry.init()
         self.state = self.ACQUIRE
-        self._buf = np.zeros(0, dtype=np.complex64)
+        self._buf = _StreamBuffer()
         self._l1 = 0.0
         self.last_window = None  # most recent tracked frame window (debug)
         # frames_per_step > 1 fuses K tracking steps into one device program
@@ -265,7 +314,7 @@ class StreamingDemodulator:
         return {
             "carry": [_np.asarray(x) for x in self.carry],
             "state": self.state,
-            "buf": self._buf.copy(),
+            "buf": self._buf.to_array(),
             "l1": self._l1,
         }
 
@@ -273,7 +322,8 @@ class StreamingDemodulator:
         import jax.numpy as _jnp
         self.carry = DemodCarry(*[_jnp.asarray(x) for x in snap["carry"]])
         self.state = snap["state"]
-        self._buf = snap["buf"].copy()
+        self._buf = _StreamBuffer()
+        self._buf.set(snap["buf"])
         self._l1 = snap["l1"]
 
     def process(self, iq: np.ndarray):
@@ -281,17 +331,18 @@ class StreamingDemodulator:
         frames (np.int8 arrays) as they lock."""
         d = self.demod
         p = d.params
-        self._buf = np.concatenate([self._buf, np.asarray(iq, np.complex64)])
+        self._buf.append(np.asarray(iq, np.complex64))
         frames = []
         ptr = 0
         while True:
-            avail = self._buf.shape[0] - ptr
+            avail = len(self._buf) - ptr
             if self.state == self.ACQUIRE:
                 acq_len = d.window_len
                 if avail < acq_len:
                     break
                 with profile_scope("demod/acquire"):
-                    block = jnp.asarray(iq_pairs(self._buf[ptr:ptr + acq_len]))
+                    block = jnp.asarray(
+                        iq_pairs(self._buf.view(ptr, ptr + acq_len)))
                 if self._l1 == 0.0:
                     self._l1 = float(d._l1(block))
                 found, end_idx = d._acquire(block, jnp.float32(self._l1))
@@ -319,7 +370,7 @@ class StreamingDemodulator:
                 scan_len = K * d.frame_advance + d.window_len
                 if K > 1 and avail >= scan_len:
                     with profile_scope("demod/frame_scan"):
-                        raw = self._buf[ptr:ptr + scan_len]
+                        raw = self._buf.view(ptr, ptr + scan_len)
                         carry, consumed, outs = d.frame_scan(
                             K, self.carry, jnp.asarray(iq_pairs(raw)))
                         valid, bits = jax.device_get(
@@ -328,7 +379,7 @@ class StreamingDemodulator:
                     nb_ok = int(valid.sum())
                     for k in range(nb_ok):
                         frames.append(bits[k])
-                    self.last_window = raw[:d.window_len]
+                    self.last_window = raw[:d.window_len].copy()
                     ptr += int(consumed)
                     if nb_ok < K:
                         self.state = self.ACQUIRE
@@ -337,10 +388,10 @@ class StreamingDemodulator:
                 if avail < d.window_len:
                     break
                 with profile_scope("demod/frame_step"):
-                    raw_window = self._buf[ptr:ptr + d.window_len]
+                    raw_window = self._buf.view(ptr, ptr + d.window_len)
                     window = jnp.asarray(iq_pairs(raw_window))
                     self.carry, out = d.frame_step(self.carry, window)
-                self.last_window = raw_window  # diagnostics/GUI hook
+                self.last_window = raw_window.copy()  # diagnostics/GUI hook
                 if bool(out["sync_ok"]):
                     frames.append(np.asarray(out["bits"]))
                     ptr += int(out["offset"]) + d.frame_advance
@@ -349,5 +400,5 @@ class StreamingDemodulator:
                     # the search always makes forward progress
                     self.state = self.ACQUIRE
                     ptr += p.nb_null_period
-        self._buf = self._buf[ptr:]
+        self._buf.consume(ptr)
         return frames

@@ -24,6 +24,7 @@ from ..dab.database import (
 from ..dab.msc import MSCDecoder, decode_frame_group, group_key
 from ..dab.aac import SuperframeProcessor
 from ..utils.profiler import profile_scope
+from .controls import AudioControls
 
 
 @dataclass
@@ -78,7 +79,7 @@ class DabPlusChannel(ChannelCheckpointMixin):
             self.slideshows.process_mot_entity)
         self.dynamic_label = ""
         self.aac_data.pad.on_label.append(self._set_label)
-        self._decode_audio = False
+        self.controls = AudioControls()
         self._audio_decoder = None
         self._decoder_header = None
 
@@ -96,9 +97,9 @@ class DabPlusChannel(ChannelCheckpointMixin):
         return self.slideshows.on_slideshow
 
     def enable_audio_decode(self) -> bool:
-        """Attach the libavcodec AAC decoder (host.codecs); PCM flows to
+        """Attach the AAC decoder (host.codecs); PCM flows to
         events.on_audio_data. Returns availability."""
-        self._decode_audio = True
+        self.controls.decode_audio = True
         return True
 
     def _ensure_decoder(self, header):
@@ -132,10 +133,11 @@ class DabPlusChannel(ChannelCheckpointMixin):
             for cb in self.events.on_superframe_header:
                 cb(header)
         for i, au in enumerate(aus):
-            self.aac_data.process_access_unit(au)
+            if self.controls.decode_data:
+                self.aac_data.process_access_unit(au)
             for cb in self.events.on_access_unit:
                 cb(i, len(aus), au, header)
-            if getattr(self, "_decode_audio", False):
+            if self.controls.decode_audio:
                 dec = self._ensure_decoder(header)
                 if dec.is_available:
                     out = dec.decode_au(au)
@@ -162,6 +164,7 @@ class DabChannel(ChannelCheckpointMixin):
             self.slideshows.process_mot_entity)
         self.dynamic_label = ""
         self.pad_extractor.pad.on_label.append(self._set_label)
+        self.controls = AudioControls()
         self._audio_decoder = None
 
     def _set_label(self, label: str):
@@ -171,6 +174,7 @@ class DabChannel(ChannelCheckpointMixin):
 
     def enable_audio_decode(self) -> bool:
         from ..host.codecs import MP2Decoder
+        self.controls.decode_audio = True
         self._audio_decoder = MP2Decoder()
         return self._audio_decoder.is_available
 
@@ -186,10 +190,12 @@ class DabChannel(ChannelCheckpointMixin):
         self._handle_payload(payload)
 
     def _handle_payload(self, payload: bytes):
-        self.pad_extractor.process_frame(payload)
+        if self.controls.decode_data:
+            self.pad_extractor.process_frame(payload)
         for cb in self.events.on_frame_data:
             cb(payload)
-        if self._audio_decoder is not None and self._audio_decoder.is_available:
+        if (self.controls.decode_audio and self._audio_decoder is not None
+                and self._audio_decoder.is_available):
             out = self._audio_decoder.decode(payload)
             if out is not None:
                 pcm, rate, ch = out

@@ -100,10 +100,23 @@ def get_uep_profile(table_index: int) -> UEPProfile:
     return UEP_TABLE[table_index]
 
 
-def uep_find_index(subchannel_size: int, table_index_hint: int | None = None) -> int:
-    """FIG 0/1 short form carries the UEP table index directly; helper kept
-    for completeness when only size+level are known."""
-    raise NotImplementedError
+def uep_find_index(subchannel_size: int,
+                   protection_level: int | None = None) -> int:
+    """Find the UEP table row for a subchannel size (optionally also matching
+    the protection level). FIG 0/1 short form carries the table index
+    directly; this helper resolves the row when only size (+level) is known,
+    e.g. when cross-checking FIG 0/1 against an externally-configured mux.
+    Raises ValueError when no row matches (sizes/levels are unique per row in
+    ETSI EN 300 401 table 8)."""
+    for idx, row in enumerate(UEP_TABLE):
+        if row.subchannel_size != subchannel_size:
+            continue
+        if protection_level is not None and row.protection_level != protection_level:
+            continue
+        return idx
+    raise ValueError(
+        f"no UEP profile with size={subchannel_size} CU"
+        + ("" if protection_level is None else f", level={protection_level}"))
 
 
 @dataclass(frozen=True)

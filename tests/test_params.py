@@ -213,3 +213,17 @@ def test_all_eep_profiles_schedule_consistency():
         assert nb_tx <= cfg.nb_cif_bits, (typ, lvl, size)
         nb_steps = mask.shape[0] // 4
         assert nb_steps == cfg.bitrate_kbps() * 24 + 6, (typ, lvl, size)
+
+
+def test_uep_find_index():
+    from dab_radio_tpu.params.protection import (
+        UEP_TABLE, uep_find_index)
+    import pytest as _pytest
+    # every row is found by (size, level)
+    for idx, row in enumerate(UEP_TABLE):
+        assert uep_find_index(row.subchannel_size, row.protection_level) == idx
+    # size-only resolves to the first matching row
+    idx = uep_find_index(UEP_TABLE[0].subchannel_size)
+    assert UEP_TABLE[idx].subchannel_size == UEP_TABLE[0].subchannel_size
+    with _pytest.raises(ValueError):
+        uep_find_index(9999)
