@@ -76,6 +76,20 @@ def codecs_lib():
                                ctypes.c_void_p, ctypes.c_int64,
                                ctypes.POINTER(ctypes.c_int32),
                                ctypes.POINTER(ctypes.c_int32)]
+    lib.enc_open.restype = ctypes.c_void_p
+    lib.enc_open.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                             ctypes.c_int]
+    lib.enc_close.argtypes = [ctypes.c_void_p]
+    lib.enc_frame_size.restype = ctypes.c_int32
+    lib.enc_frame_size.argtypes = [ctypes.c_void_p]
+    lib.enc_extradata.restype = ctypes.c_int32
+    lib.enc_extradata.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_int32]
+    lib.enc_encode.restype = ctypes.c_int32
+    lib.enc_encode.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                               ctypes.c_int32, ctypes.c_void_p,
+                               ctypes.c_int64, ctypes.c_void_p,
+                               ctypes.c_int32]
     return lib
 
 

@@ -124,4 +124,116 @@ int64_t dec_decode(void* h, const uint8_t* data, int32_t nb_bytes,
     return total;
 }
 
+// ---- encoders (test fixtures + transmitter payloads) ----------------------
+//
+// The reference's closed-loop tests rely on simulate_transmitter filling
+// frames with random bytes; here real encoded audio (AAC raw AUs / MP2
+// frames) feeds the transmitter so the decode chain is exercised end-to-end
+// down to PCM. AAC encodes at 1024 (ffmpeg encoder limitation) — used as a
+// bitstream-walker oracle; MP2 frames are DAB-legal as-is.
+
+struct Encoder {
+    AVCodecContext* ctx = nullptr;
+    AVPacket* pkt = nullptr;
+    AVFrame* frame = nullptr;
+    int64_t next_pts = 0;
+};
+
+// codec_kind: 0 = AAC (raw AUs + ASC extradata), 1 = MP2
+void* enc_open(int codec_kind, int sample_rate, int channels, int bit_rate) {
+    const AVCodecID id = codec_kind == 0 ? AV_CODEC_ID_AAC : AV_CODEC_ID_MP2;
+    const AVCodec* codec = avcodec_find_encoder(id);
+    if (!codec) return nullptr;
+    AVCodecContext* ctx = avcodec_alloc_context3(codec);
+    if (!ctx) return nullptr;
+    ctx->sample_rate = sample_rate;
+    av_channel_layout_default(&ctx->ch_layout, channels);
+    ctx->bit_rate = bit_rate;
+    ctx->sample_fmt = codec_kind == 0 ? AV_SAMPLE_FMT_FLTP : AV_SAMPLE_FMT_S16;
+    ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;  // raw AUs; ASC in extradata
+    if (avcodec_open2(ctx, codec, nullptr) < 0) {
+        avcodec_free_context(&ctx);
+        return nullptr;
+    }
+    auto* e = new Encoder();
+    e->ctx = ctx;
+    e->pkt = av_packet_alloc();
+    e->frame = av_frame_alloc();
+    return e;
+}
+
+void enc_close(void* h) {
+    auto* e = static_cast<Encoder*>(h);
+    if (!e) return;
+    av_frame_free(&e->frame);
+    av_packet_free(&e->pkt);
+    avcodec_free_context(&e->ctx);
+    delete e;
+}
+
+int32_t enc_frame_size(void* h) {
+    return static_cast<Encoder*>(h)->ctx->frame_size;
+}
+
+int32_t enc_extradata(void* h, uint8_t* out, int32_t cap) {
+    auto* e = static_cast<Encoder*>(h);
+    if (e->ctx->extradata_size > cap) return -1;
+    std::memcpy(out, e->ctx->extradata, size_t(e->ctx->extradata_size));
+    return e->ctx->extradata_size;
+}
+
+// Feed nb_samples (per channel, interleaved int16; must equal frame_size, or
+// 0 to flush) and drain any ready packets. Packet boundaries are recorded in
+// sizes_out (one entry per packet); returns the number of packets, with the
+// concatenated bytes in out. Negative on error.
+int32_t enc_encode(void* h, const int16_t* pcm, int32_t nb_samples,
+                   uint8_t* out, int64_t out_capacity,
+                   int32_t* sizes_out, int32_t sizes_capacity) {
+    auto* e = static_cast<Encoder*>(h);
+    if (!e) return -1;
+    int ret;
+    if (nb_samples > 0) {
+        const int ch = e->ctx->ch_layout.nb_channels;
+        e->frame->nb_samples = nb_samples;
+        e->frame->format = e->ctx->sample_fmt;
+        av_channel_layout_copy(&e->frame->ch_layout, &e->ctx->ch_layout);
+        if (av_frame_get_buffer(e->frame, 0) < 0) return -2;
+        if (e->ctx->sample_fmt == AV_SAMPLE_FMT_FLTP) {
+            for (int c = 0; c < ch; c++) {
+                float* dst = reinterpret_cast<float*>(e->frame->data[c]);
+                for (int s = 0; s < nb_samples; s++)
+                    dst[s] = float(pcm[int64_t(s) * ch + c]) / 32768.0f;
+            }
+        } else {
+            std::memcpy(e->frame->data[0], pcm,
+                        size_t(nb_samples) * size_t(ch) * 2);
+        }
+        e->frame->pts = e->next_pts;
+        e->next_pts += nb_samples;
+        ret = avcodec_send_frame(e->ctx, e->frame);
+        av_frame_unref(e->frame);
+    } else {
+        ret = avcodec_send_frame(e->ctx, nullptr);  // flush
+    }
+    if (ret < 0 && ret != AVERROR_EOF) return -3;
+
+    int32_t n_pkts = 0;
+    int64_t total = 0;
+    while (true) {
+        ret = avcodec_receive_packet(e->ctx, e->pkt);
+        if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) break;
+        if (ret < 0) return -4;
+        if (n_pkts >= sizes_capacity
+            || total + e->pkt->size > out_capacity) {
+            av_packet_unref(e->pkt);
+            return -5;
+        }
+        std::memcpy(out + total, e->pkt->data, size_t(e->pkt->size));
+        sizes_out[n_pkts++] = e->pkt->size;
+        total += e->pkt->size;
+        av_packet_unref(e->pkt);
+    }
+    return n_pkts;
+}
+
 }  // extern "C"

@@ -1,0 +1,174 @@
+"""Extract MPEG-4 AAC / SBR constant tables from the system libavcodec
+static archive into dab_radio_tpu/dab/_aac_tables.npz.
+
+These are ISO/IEC 14496-3 spec constants (Huffman codebooks, scalefactor-band
+offsets, the SBR QMF prototype filter, the SBR noise table) — the same data
+the reference ships via its vendored faad2 (vendor/, .gitmodules:1-30), which
+is empty in this snapshot and cannot be fetched offline. The system
+libavcodec.a carries them as named ELF objects; this tool slices them out by
+symbol, resolving relocations for pointer-array tables.
+
+Run:  python tools/extract_aac_tables.py            # regenerates the .npz
+"""
+
+import io
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+from elftools.elf.elffile import ELFFile
+
+ARCHIVE = "/usr/lib/x86_64-linux-gnu/libavcodec.a"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "dab_radio_tpu", "dab", "_aac_tables.npz")
+
+# symbol -> (npz name, dtype); count inferred from symbol size
+AACTAB = {}
+for cb in range(1, 12):
+    AACTAB[f"codes{cb}"] = (f"spectral_codes_{cb}", np.uint16)
+    AACTAB[f"bits{cb}"] = (f"spectral_bits_{cb}", np.uint8)
+AACTAB.update({
+    "ff_aac_spectral_sizes": ("spectral_sizes", np.uint16),
+    "ff_aac_scalefactor_code": ("scalefactor_codes", np.uint32),
+    "ff_aac_scalefactor_bits": ("scalefactor_bits", np.uint8),
+    "ff_aac_num_swb_960": ("num_swb_960", np.uint8),
+    "ff_aac_num_swb_1024": ("num_swb_1024", np.uint8),
+    "ff_aac_num_swb_120": ("num_swb_120", np.uint8),
+    "ff_aac_num_swb_128": ("num_swb_128", np.uint8),
+})
+# every local swb_offset_{960,1024}_* table is uint16
+AACSBR = {
+    "sbr_qmf_window_ds": ("sbr_qmf_window_ds", np.float32),
+    "sbr_qmf_window_us": ("sbr_qmf_window_us", np.float32),
+    "ff_sbr_noise_table": ("sbr_noise_table", np.float32),
+    "sbr_offset": ("sbr_offset", np.int8),
+    "limgain": ("sbr_limgain", np.float32),
+    "bw_tab": ("sbr_bw_tab", np.float32),
+}
+for dom in ("t", "f"):
+    for name in ("env_1_5dB", "env_bal_1_5dB", "env_3_0dB", "env_bal_3_0dB",
+                 "noise_3_0dB", "noise_bal_3_0dB"):
+        if dom == "f" and "noise" in name:
+            continue  # noise is time-domain coded only
+        AACSBR[f"{dom}_huffman_{name}_codes"] = (
+            f"sbr_{dom}_huff_{name}_codes", np.uint32)
+        AACSBR[f"{dom}_huffman_{name}_bits"] = (
+            f"sbr_{dom}_huff_{name}_bits", np.uint8)
+
+
+def load_object(ar_path: str, member: str) -> bytes:
+    return subprocess.run(["ar", "p", ar_path, member],
+                          check=True, capture_output=True).stdout
+
+
+class ObjectReader:
+    def __init__(self, data: bytes):
+        self.elf = ELFFile(io.BytesIO(data))
+        self.symtab = self.elf.get_section_by_name(".symtab")
+        self.by_name = {}
+        for i, sym in enumerate(self.symtab.iter_symbols()):
+            if sym["st_info"]["type"] == "STT_OBJECT" and sym.name:
+                self.by_name.setdefault(sym.name, (i, sym))
+        # index -> symbol for relocation resolution
+        self.by_index = {i: s for i, s in
+                         enumerate(self.symtab.iter_symbols())}
+        # section -> {offset: (target symbol name, addend)}
+        self.relocs = {}
+        for sec in self.elf.iter_sections():
+            if sec.name.startswith(".rela"):
+                target = sec.name[len(".rela"):]
+                m = self.relocs.setdefault(target, {})
+                for rel in sec.iter_relocations():
+                    tsym = self.by_index[rel["r_info_sym"]]
+                    m[rel["r_offset"]] = (tsym.name, tsym["st_value"],
+                                          rel["r_addend"],
+                                          tsym["st_shndx"])
+
+    def raw(self, name: str) -> bytes:
+        _, sym = self.by_name[name]
+        sec = self.elf.get_section(sym["st_shndx"])
+        off = sym["st_value"]
+        return sec.data()[off:off + sym["st_size"]]
+
+    def array(self, name: str, dtype) -> np.ndarray:
+        buf = self.raw(name)
+        item = np.dtype(dtype).itemsize
+        n = len(buf) // item
+        return np.frombuffer(buf[:n * item], dtype=dtype).copy()
+
+    def pointer_array(self, name: str):
+        """Resolve a pointer-array symbol into the list of local symbol
+        names each slot points at (via RELA relocations)."""
+        _, sym = self.by_name[name]
+        sec = self.elf.get_section(sym["st_shndx"])
+        secname = sec.name
+        rel = self.relocs.get(secname, {})
+        out = []
+        for slot in range(sym["st_size"] // 8):
+            off = sym["st_value"] + slot * 8
+            if off not in rel:
+                raise KeyError(f"{name}[{slot}]: no relocation at {off:#x}")
+            tname, tval, addend, tshndx = rel[off]
+            if not tname:  # section symbol: find covering object symbol
+                tname = self._sym_at(tshndx, tval + addend)
+            out.append(tname)
+        return out
+
+    def _sym_at(self, shndx: int, value: int) -> str:
+        for sym in self.symtab.iter_symbols():
+            if (sym["st_info"]["type"] == "STT_OBJECT"
+                    and sym["st_shndx"] == shndx
+                    and sym["st_value"] <= value
+                    < sym["st_value"] + max(sym["st_size"], 1)):
+                return sym.name
+        raise KeyError(f"no object symbol at section {shndx}+{value:#x}")
+
+
+def main():
+    tables = {}
+    manifest = {}
+
+    aactab = ObjectReader(load_object(ARCHIVE, "aactab.o"))
+    for sym, (name, dtype) in AACTAB.items():
+        tables[name] = aactab.array(sym, dtype)
+    for sym in aactab.by_name:
+        if sym.startswith("swb_offset_"):
+            tables[sym] = aactab.array(sym, np.uint16)
+    # pointer arrays: which per-rate table each sampling-frequency index uses
+    for parr in ("ff_swb_offset_960", "ff_swb_offset_1024",
+                 "ff_swb_offset_120", "ff_swb_offset_128"):
+        manifest[parr] = aactab.pointer_array(parr)
+
+    aacsbr = ObjectReader(load_object(ARCHIVE, "aacsbr.o"))
+    for sym, (name, dtype) in AACSBR.items():
+        # local-symbol suffixes like "bw_tab.1" — match by prefix
+        cands = [s for s in aacsbr.by_name
+                 if s == sym or s.startswith(sym + ".")]
+        assert len(cands) == 1, (sym, cands)
+        if name.endswith("_codes"):
+            # ffmpeg sizes each code table to the narrowest type that fits;
+            # entry count always equals the matching _bits table's length
+            raw = aacsbr.raw(cands[0])
+            nbits = len(aacsbr.raw(cands[0].replace("codes", "bits")))
+            dtype = {1: np.uint8, 2: np.uint16, 4: np.uint32}[
+                len(raw) // nbits]
+        tables[name] = aacsbr.array(cands[0], dtype).astype(np.uint32) \
+            if name.endswith("_codes") else aacsbr.array(cands[0], dtype)
+    tables["sbr_noise_table"] = tables["sbr_noise_table"][:1024].reshape(512, 2)
+    tables["sbr_offset"] = tables["sbr_offset"].reshape(6, 16)
+
+    tables["_manifest"] = np.frombuffer(
+        json.dumps(manifest).encode(), dtype=np.uint8)
+    np.savez_compressed(OUT, **tables)
+    print(f"wrote {OUT}: {len(tables)} tables, "
+          f"{os.path.getsize(OUT) / 1024:.1f} KiB")
+    for k in sorted(tables):
+        v = tables[k]
+        print(f"  {k}: shape={v.shape} dtype={v.dtype}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
