@@ -76,6 +76,12 @@ def codecs_lib():
                                ctypes.c_void_p, ctypes.c_int64,
                                ctypes.POINTER(ctypes.c_int32),
                                ctypes.POINTER(ctypes.c_int32)]
+    lib.dec_decode_f32.restype = ctypes.c_int64
+    lib.dec_decode_f32.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_int32, ctypes.c_void_p,
+                                   ctypes.c_int64,
+                                   ctypes.POINTER(ctypes.c_int32),
+                                   ctypes.POINTER(ctypes.c_int32)]
     lib.enc_open.restype = ctypes.c_void_p
     lib.enc_open.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
                              ctypes.c_int]

@@ -124,6 +124,63 @@ int64_t dec_decode(void* h, const uint8_t* data, int32_t nb_bytes,
     return total;
 }
 
+// Float-output variant (no int16 round-trip): used for the AAC-LC core that
+// feeds the SBR stage, where int16 quantization noise would otherwise be
+// amplified by envelope normalization in spectrally-empty source bands.
+// Output is at int16 scale (+-32768) to keep one convention downstream.
+int64_t dec_decode_f32(void* h, const uint8_t* data, int32_t nb_bytes,
+                       float* pcm_out, int64_t pcm_capacity,
+                       int32_t* sample_rate, int32_t* channels) {
+    auto* d = static_cast<Decoder*>(h);
+    if (!d) return -1;
+    if (av_new_packet(d->pkt, nb_bytes) < 0) return -2;
+    std::memcpy(d->pkt->data, data, size_t(nb_bytes));
+    int ret = avcodec_send_packet(d->ctx, d->pkt);
+    av_packet_unref(d->pkt);
+    if (ret < 0) return -3;
+    int64_t total = 0;
+    while (true) {
+        ret = avcodec_receive_frame(d->ctx, d->frame);
+        if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) break;
+        if (ret < 0) return -4;
+        const int ch = d->ctx->ch_layout.nb_channels;
+        const int ns = d->frame->nb_samples;
+        *sample_rate = d->ctx->sample_rate;
+        *channels = ch;
+        if (total + int64_t(ns) * ch > pcm_capacity) {
+            av_frame_unref(d->frame);
+            return -5;
+        }
+        const AVSampleFormat fmt = AVSampleFormat(d->frame->format);
+        if (fmt == AV_SAMPLE_FMT_FLTP) {
+            for (int s = 0; s < ns; s++)
+                for (int c = 0; c < ch; c++)
+                    pcm_out[total + int64_t(s) * ch + c] =
+                        reinterpret_cast<float*>(d->frame->data[c])[s]
+                        * 32768.0f;
+        } else if (fmt == AV_SAMPLE_FMT_FLT) {
+            const float* p = reinterpret_cast<float*>(d->frame->data[0]);
+            for (int64_t s = 0; s < int64_t(ns) * ch; s++)
+                pcm_out[total + s] = p[s] * 32768.0f;
+        } else if (fmt == AV_SAMPLE_FMT_S16) {
+            const int16_t* p = reinterpret_cast<int16_t*>(d->frame->data[0]);
+            for (int64_t s = 0; s < int64_t(ns) * ch; s++)
+                pcm_out[total + s] = float(p[s]);
+        } else if (fmt == AV_SAMPLE_FMT_S16P) {
+            for (int s = 0; s < ns; s++)
+                for (int c = 0; c < ch; c++)
+                    pcm_out[total + int64_t(s) * ch + c] = float(
+                        reinterpret_cast<int16_t*>(d->frame->data[c])[s]);
+        } else {
+            av_frame_unref(d->frame);
+            return -6;
+        }
+        total += int64_t(ns) * ch;
+        av_frame_unref(d->frame);
+    }
+    return total;
+}
+
 // ---- encoders (test fixtures + transmitter payloads) ----------------------
 //
 // The reference's closed-loop tests rely on simulate_transmitter filling

@@ -41,7 +41,8 @@ AACTAB.update({
 })
 # every local swb_offset_{960,1024}_* table is uint16
 AACSBR = {
-    "sbr_qmf_window_ds": ("sbr_qmf_window_ds", np.float32),
+    # NOTE: sbr_qmf_window_ds is .bss (runtime-decimated from _us) — derived
+    # in aac_tables.sbr_qmf_window instead of extracted
     "sbr_qmf_window_us": ("sbr_qmf_window_us", np.float32),
     "ff_sbr_noise_table": ("sbr_noise_table", np.float32),
     "sbr_offset": ("sbr_offset", np.int8),
