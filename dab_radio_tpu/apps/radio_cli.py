@@ -43,6 +43,10 @@ def summarize(rx: DabReceiver, file=sys.stderr):
             s_ = sf.stats
             err = (f" sf={s_['superframes']} fc_err={s_['firecode_errors']} "
                    f"rs_err={s_['rs_errors']} au_err={s_['au_crc_errors']}")
+        dec = getattr(ch, "_audio_decoder", None)
+        if dec is not None and dec.is_available:
+            err += (f" pcm_ok={dec.total_decoded}"
+                    f" pcm_err={dec.total_errors}")
         print(f"  subchannel {sub_id}: start={sub.start_address} "
               f"len={sub.length}CU {prot} type={kind}{err}", file=file)
 from ..utils.backend import add_backend_flag, apply_backend

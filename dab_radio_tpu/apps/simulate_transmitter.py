@@ -46,6 +46,9 @@ def main(argv=None):
                     help="amplitude headroom before quantization")
     ap.add_argument("--services", type=int, default=1,
                     help="(ensemble payload) number of DAB+ services")
+    ap.add_argument("--audio", default="tone", choices=["tone", "random"],
+                    help="(ensemble payload) AU content: real decodable "
+                         "tone audio (AAC+SBR / MP2) or random bytes")
     add_backend_flag(ap)
     args = ap.parse_args(argv)
     apply_backend(args)
@@ -61,6 +64,8 @@ def main(argv=None):
                         SubchannelConfig(48 * i, 48, False, eep_type="A",
                                          eep_prot_level=2))
             for i in range(args.services)])
+        if args.audio == "tone":
+            tx.enable_tone_audio()
         gen = tx.next_frame_iq
     else:
         mod = OFDMModulator(args.transmission_mode)

@@ -108,6 +108,98 @@ class ServiceSpec:
     packet_address: int = 2
 
 
+class ToneAudioSource:
+    """Valid DAB+ access units carrying a steady tone.
+
+    Replaces the random AU filler with real decodable audio: AAC-LC@960
+    spectral data (dab.aac_enc) plus, for SBR configs, a crafted SBR payload
+    (dab.sbr writer) and a DSE with F-PAD/X-PAD. Every AU slot is padded to
+    its superframe size (trailing bytes after END are legal and ignored)."""
+
+    def __init__(self, header: SuperFrameHeader, freq: float = 440.0,
+                 amp: int = 60, global_gain: int = 160,
+                 fpad: bytes = b"\x00\x00", xpad: bytes = b""):
+        from ..dab.aac import _SAMPLE_RATE_INDEX
+        from ..dab.aac_enc import encode_au_960, tone_coeffs
+        from ..dab import sbr as S
+        self.header = header
+        core = header.core_sample_rate
+        ch = 2 if (header.is_stereo and not header.ps) else 1
+        coeffs = tone_coeffs(core, freq, ch, amp)
+        sbr_payload, sbr_bits = None, 0
+        if header.sbr:
+            sh = S.SBRHeader(amp_res=1, start_freq=5, stop_freq=3,
+                             xover_band=0, freq_scale=2, alter_scale=1,
+                             noise_bands=2, limiter_bands=2, limiter_gains=2,
+                             interpol_freq=1, smoothing_mode=0)
+            ft = S.make_freq_tables(sh, header.sampling_rate)
+            env = np.full(ft.n[1], 48, np.int64)     # 1.5 dB: 2^(48/2+7)
+            noise = np.full(len(ft.f_noise) - 1, 13, np.int64)
+            sbr_payload, sbr_bits = S.build_sbr_payload(
+                sh, header.sampling_rate, 15,
+                [[env]] * ch, [[noise]] * ch, is_cpe=(ch == 2))
+        self._au = encode_au_960(
+            _SAMPLE_RATE_INDEX[core], coeffs, global_gain,
+            dse_payload=bytes(xpad) + bytes(fpad),
+            sbr_payload=sbr_payload, sbr_payload_bits=sbr_bits)
+
+    def __call__(self, cap: int, num: int) -> List[bytes]:
+        base = cap // num
+        sizes = [base] * (num - 1) + [cap - base * (num - 1)]
+        if any(len(self._au) > n for n in sizes):
+            raise ValueError(
+                f"tone AU ({len(self._au)}B) exceeds superframe slot "
+                f"{min(sizes)}B — lower the subchannel bitrate demands")
+        return [self._au + b"\x00" * (n - len(self._au)) for n in sizes]
+
+
+class MP2ToneSource:
+    """Real MP2 frames (libavcodec encoder) carrying a steady tone; the
+    last two bytes of each frame (the ancillary-data region Layer II
+    decoders ignore — where DAB carries F-PAD) are zeroed."""
+
+    def __init__(self, nb_frame_bytes: int, freq: float = 440.0):
+        from ..host.native import codecs_lib
+        self.nb = nb_frame_bytes
+        self._frames: List[bytes] = []
+        lib = codecs_lib()
+        kbps = nb_frame_bytes * 8 // 24
+        self._ok = False
+        if lib is not None:
+            h = lib.enc_open(1, 48000, 2, kbps * 1000)
+            if h:
+                fs = lib.enc_frame_size(h)
+                t = np.arange(fs * 40) / 48000.0
+                tone = (0.4 * np.sin(2 * np.pi * freq * t) * 32767)
+                pcm = np.stack([tone, tone], axis=1).astype(np.int16)
+                out = np.zeros(1 << 18, np.uint8)
+                sizes = np.zeros(256, np.int32)
+                for i in range(40):
+                    c = np.ascontiguousarray(pcm[i * fs:(i + 1) * fs])
+                    npk = lib.enc_encode(h, c.ctypes.data, fs,
+                                         out.ctypes.data, out.shape[0],
+                                         sizes.ctypes.data, 256)
+                    off = 0
+                    for k in range(max(npk, 0)):
+                        self._frames.append(out[off:off + sizes[k]].tobytes())
+                        off += sizes[k]
+                lib.enc_close(h)
+                self._frames = [f for f in self._frames
+                                if len(f) == nb_frame_bytes]
+                self._ok = len(self._frames) >= 4
+        self._i = 0
+
+    @property
+    def is_available(self) -> bool:
+        return self._ok
+
+    def __call__(self) -> bytes:
+        f = bytearray(self._frames[self._i % len(self._frames)])
+        self._i += 1
+        f[-1] = f[-2] = 0                   # F-PAD: none
+        return bytes(f)
+
+
 class EnsembleTransmitter:
     """Synthesizes IQ for a complete DAB ensemble (mode I-IV)."""
 
@@ -130,6 +222,7 @@ class EnsembleTransmitter:
         self.packet_encoders: Dict[int, object] = {}
         self._kinds: Dict[int, str] = {}
         self._mp2_rng = np.random.default_rng(1234)
+        self._mp2_sources: Dict[int, MP2ToneSource] = {}
         for s in self.services:
             enc = MSCEncoder(s.cfg)
             self.msc_encoders[s.subchannel_id] = enc
@@ -186,10 +279,27 @@ class EnsembleTransmitter:
     # ---- audio payload ----
 
     def set_au_source(self, subchannel_id: int, make_aus):
-        """make_aus(superframe_index, capacity, num_aus) -> list of AU payload
-        bytes that exactly fill the superframe (see SuperframeEncoder)."""
+        """make_aus(capacity, num_aus) -> list of AU payload bytes that
+        exactly fill the superframe (see SuperframeEncoder)."""
         self._au_source[subchannel_id] = make_aus
         self._sf_index = 0
+
+    def enable_tone_audio(self, base_freq: float = 440.0):
+        """Broadcast real decodable audio on every audio service: AAC tone
+        AUs (with SBR payloads for SBR configs) on DAB+ subchannels, real
+        MP2 frames on classic DAB subchannels. Each service gets its own
+        frequency (base * (1 + index/2))."""
+        for i, s in enumerate(self.services):
+            freq = base_freq * (1.0 + 0.5 * i)
+            if s.kind == "dab+":
+                self.set_au_source(
+                    s.subchannel_id,
+                    ToneAudioSource(s.superframe_header, freq=freq))
+            elif s.kind == "dab":
+                enc = self.msc_encoders[s.subchannel_id]
+                src = MP2ToneSource(enc.nb_data_bytes, freq=freq)
+                if src.is_available:
+                    self._mp2_sources[s.subchannel_id] = src
 
     def push_packet_data_group(self, subchannel_id: int, group: bytes):
         """Queue an MSC data group onto a packet service's carousel."""
@@ -216,6 +326,9 @@ class EnsembleTransmitter:
         kind = self._kinds.get(sub_id, "dab+")
         enc = self.msc_encoders[sub_id]
         if kind == "dab":
+            src = self._mp2_sources.get(sub_id)
+            if src is not None:
+                return src()
             return self._next_mp2_frame(enc.nb_data_bytes)
         if kind == "packet":
             return self.packet_encoders[sub_id].emit(enc.nb_data_bytes)

