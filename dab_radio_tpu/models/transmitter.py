@@ -368,16 +368,19 @@ class EnsembleTransmitter:
             self._cif_counter += 1
         return np.concatenate([fic, cifs.reshape(-1)])
 
-    def next_frame_iq(self) -> np.ndarray:
-        """One transmission frame of complex64 IQ samples."""
+    def modulate_frame_bits(self, soft: np.ndarray) -> np.ndarray:
+        """Frame soft bits -> one frame of complex64 IQ samples."""
         from ..ops.iq import pairs_to_complex_np
-        soft = self.next_frame_bits()
-        bits = (soft > 0).astype(np.uint8)
+        bits = (np.asarray(soft) > 0).astype(np.uint8)
         p = self.ofdm
         bits = bits.reshape(p.nb_data_symbols, 2 * p.nb_data_carriers)
         pairs = np.asarray(
             self.modulator.modulate_frame_pairs(jnp.asarray(bits[None]))[0])
         return pairs_to_complex_np(pairs)
+
+    def next_frame_iq(self) -> np.ndarray:
+        """One transmission frame of complex64 IQ samples."""
+        return self.modulate_frame_bits(self.next_frame_bits())
 
     def generate(self, nb_frames: int) -> np.ndarray:
         return np.concatenate([self.next_frame_iq() for _ in range(nb_frames)])

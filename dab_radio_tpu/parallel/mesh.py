@@ -108,14 +108,35 @@ def make_timesharded_demod(demod: OFDMDemodulator, mesh: Mesh,
 
 def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
                             frames_per_shard: int = 1,
-                            nb_subchannel_cu: int = 12):
-    """Build the full sharded receiver step used by dryrun_multichip:
-    time+ensemble-sharded OFDM demod, ensemble-sharded FIC Viterbi, and
-    subchannel-sharded MSC Viterbi, one jitted function.
+                            nb_subchannel_cu: int = 12,
+                            subchannels_per_shard: int = 2,
+                            ensembles_per_shard: int = 2):
+    """Full end-to-end sharded receiver step: IQ in, decoded bits out.
 
-    Returns (fn, example_args): fn(carry, iq, msc_soft) -> dict of outputs.
+    One jitted program over the ('ens','time','sub') mesh (the surface the
+    reference covers with threads + a pool, basic_radio.cpp:41-65, here
+    scaled across chips):
+
+      demod (ens x time, ppermute halo)
+        -> frame split (all-gather over 'time' via sharding constraint)
+        -> FIC: depuncture + Viterbi + energy-dispersal descramble (ens)
+        -> MSC: per-subchannel CIF slice (ens x sub) -> 16-CIF time
+           deinterleave (explicit carry) -> depuncture + Viterbi ->
+           descramble
+
+    Returns (fn, example_args). fn(demod_carry, deint_hist, iq) ->
+    (demod_carry, deint_hist, outputs) where outputs has:
+      fib_bits (B, F, n_groups, 768) descrambled FIB-group bits,
+      msc_bits (B, S, F*nb_cifs, nb_data) descrambled subchannel payload
+      bits (valid once the deinterleaver history is full - 16 CIFs).
+
+    Subchannel s occupies CUs [s*cu, (s+1)*cu) with identical EEP-A
+    protection; byte-level FIG/superframe parsing stays on host exactly as
+    in the single-chip receiver.
     """
     from ..ops import viterbi as vit
+    from ..ops.deinterleave import make_gather_index, deinterleave_push, DEPTH
+    from ..ops.scrambler import prbs_bytes
     from ..params import (fic_puncture_schedule, msc_puncture_schedule,
                           SubchannelConfig, get_dab_params)
 
@@ -124,39 +145,77 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
     n_ens = mesh.shape["ens"]
     n_time = mesh.shape["time"]
     n_sub = mesh.shape["sub"]
-    B = n_ens * 2                                   # 2 ensembles per dp shard
-    S = n_sub * 2                                   # 2 subchannels per shard
-
+    B = n_ens * ensembles_per_shard
+    S = n_sub * subchannels_per_shard
+    F = n_time * frames_per_shard
+    C = F * dab.nb_cifs                             # CIFs per step
     demod_fn = make_timesharded_demod(demod, mesh, frames_per_shard)
 
-    fic_spec = vit.ViterbiSpec.from_schedule(fic_puncture_schedule()) \
-        if dab.nb_fib_cif_bits == 2304 else None
+    fic_spec = vit.ViterbiSpec.from_schedule(fic_puncture_schedule())
     sub_cfg = SubchannelConfig(0, nb_subchannel_cu, False,
                                eep_type="A", eep_prot_level=2)
     msc_spec = vit.ViterbiSpec.from_schedule(msc_puncture_schedule(sub_cfg))
+    nb_sub_bits = sub_cfg.nb_cif_bits               # cu * 64
+    gather_idx = jnp.asarray(make_gather_index(nb_sub_bits))
+    assert S * nb_subchannel_cu * 64 <= dab.nb_cif_bits, \
+        "subchannels exceed CIF capacity"
 
-    ens_sh = NamedSharding(mesh, P("ens"))
+    fic_prbs = jnp.asarray(np.unpackbits(
+        prbs_bytes(fic_spec.nb_data_bits // 8)).astype(np.int8))
+    msc_prbs = jnp.asarray(np.unpackbits(
+        prbs_bytes(msc_spec.nb_data_bits // 8)).astype(np.int8))
+
     sub_sh = NamedSharding(mesh, P("ens", "sub"))
+    time_sh = NamedSharding(mesh, P("ens", "time"))
 
-    @partial(jax.jit,
-             out_shardings=None)
-    def step(carry, iq, fic_soft, msc_soft):
-        carry, bits = demod_fn(carry, iq)
-        fic_bits, fic_err = vit.viterbi_decode(fic_soft, fic_spec)
-        msc_bits, msc_err = vit.viterbi_decode(msc_soft, msc_spec)
-        return carry, {"ofdm_bits": bits, "fic_bits": fic_bits,
-                       "msc_bits": msc_bits,
-                       "errors": (fic_err, msc_err)}
+    @jax.jit
+    def step(carry, deint_hist, iq):
+        carry, bits = demod_fn(carry, iq)           # (B, n_time, f_loc, nb)
+        # gather the time shards: frames are decoded ensemble-parallel
+        frames = jax.lax.with_sharding_constraint(
+            bits.reshape(B, F, dab.nb_frame_bits),
+            NamedSharding(mesh, P("ens", None, None)))
+
+        # ---- FIC (reference fic_decoder.cpp:53-117, batched) ----
+        fic_soft = frames[:, :, :dab.nb_fic_bits].reshape(
+            B * F * dab.nb_cifs, fic_spec.nb_in).astype(jnp.int8)
+        fib_bits, fic_err = vit.viterbi_decode(fic_soft, fic_spec)
+        fib_bits = (fib_bits ^ fic_prbs[None, :]).reshape(
+            B, F, dab.nb_cifs, fic_spec.nb_data_bits)
+
+        # ---- MSC (reference msc_decoder.cpp:46-154, sharded over 'sub') --
+        cifs = frames[:, :, dab.nb_fic_bits:].reshape(
+            B, C, dab.nb_cif_bits)
+        subs = jnp.stack(
+            [cifs[:, :, s * nb_sub_bits:(s + 1) * nb_sub_bits]
+             for s in range(S)], axis=1)            # (B, S, C, nb_sub_bits)
+        subs = jax.lax.with_sharding_constraint(
+            subs.astype(jnp.int8),
+            NamedSharding(mesh, P("ens", "sub", None, None)))
+
+        def per_sub(hist, seq):
+            def body(h, cif):
+                nh, deint = deinterleave_push(h, cif, gather_idx)
+                return nh, deint[..., :msc_spec.nb_in]
+            return jax.lax.scan(body, hist, seq)
+
+        deint_hist, deints = jax.vmap(jax.vmap(per_sub))(deint_hist, subs)
+        msc_in = deints.reshape(B * S * C, msc_spec.nb_in)
+        msc_bits, msc_err = vit.viterbi_decode(msc_in, msc_spec)
+        msc_bits = (msc_bits ^ msc_prbs[None, :]).reshape(
+            B, S, C, msc_spec.nb_data_bits)
+        return carry, deint_hist, {
+            "fib_bits": fib_bits, "msc_bits": msc_bits,
+            "fic_err": fic_err, "msc_err": msc_err,
+        }
 
     fs = demod.params.nb_frame_samples
     T = n_time * frames_per_shard * fs
-    iq = jax.device_put(
-        jnp.zeros((B, T, 2), jnp.float32),
-        NamedSharding(mesh, P("ens", "time")))
+    iq = jax.device_put(jnp.zeros((B, T, 2), jnp.float32), time_sh)
     carry = DemodCarry.init((B, n_time))
-    carry = jax.device_put(carry, NamedSharding(mesh, P("ens", "time")))
-    fic_soft = jax.device_put(
-        jnp.zeros((B, dab.nb_cifs, fic_spec.nb_in), jnp.int8), ens_sh)
-    msc_soft = jax.device_put(
-        jnp.zeros((B, S, msc_spec.nb_in), jnp.int8), sub_sh)
-    return step, (carry, iq, fic_soft, msc_soft)
+    carry = carry._replace(
+        signal_l1_avg=jnp.full((B, n_time), 0.5, jnp.float32))
+    carry = jax.device_put(carry, time_sh)
+    deint_hist = jax.device_put(
+        jnp.zeros((B, S, DEPTH, nb_sub_bits), jnp.int8), sub_sh)
+    return step, (carry, deint_hist, iq)

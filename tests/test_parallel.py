@@ -74,9 +74,17 @@ def test_shard_demod_batch_runs():
     assert out["bits"].shape == (B, demod.params.nb_frame_bits)
 
 
-def test_multichip_receiver_step():
+def test_multichip_receiver_step_compiles_and_runs():
     mesh = make_receiver_mesh(8)
     step, args = multichip_receiver_step(mesh, transmission_mode=2)
-    carry, out = step(*args)
+    carry, hist, out = step(*args)
     jax.block_until_ready(out["msc_bits"])
-    assert out["fic_bits"].shape[-1] == 768
+    assert out["fib_bits"].shape[-1] == 768
+
+
+@pytest.mark.slow
+def test_multichip_end_to_end_bit_exact():
+    """The full dryrun contract: sharded demod->FIC->MSC over a real
+    modulated ensemble equals the single-device host path bit-for-bit."""
+    import __graft_entry__ as graft
+    graft.dryrun_multichip(8)
