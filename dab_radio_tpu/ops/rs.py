@@ -284,3 +284,69 @@ def rs_encode(msg: np.ndarray, nroots: int, pad: int) -> np.ndarray:
         rem ^= _gf_mul(g[1:][None, :], fb[:, None])
     out[:, k:] = rem
     return out.reshape(*batch_shape, k + nroots).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# device (XLA) syndrome path
+# ---------------------------------------------------------------------------
+#
+# GF(2^8) is an 8-dimensional vector space over GF(2) and multiplication by a
+# constant is linear, so the whole syndrome computation
+#   S_j = XOR_i c_i * alpha^{j*(n-1-i)}
+# is one fixed binary matrix applied to the codeword bits: on TPU that is a
+# single (B, n*8) @ (n*8, t*8) matmul (exact in f32 — column sums < 2^24)
+# followed by a parity reduction. The normal case (clean codeword, all
+# syndromes zero) therefore costs one MXU matmul on device; only rows whose
+# syndrome gate fires fall back to the host Berlekamp-Massey/Forney tail.
+# Matches the reference's decode loop entry (reed_solomon_decoder.cpp) which
+# always runs the full scalar syndrome loop per codeword on CPU.
+
+@functools.lru_cache(maxsize=None)
+def syndrome_bit_matrix(nroots: int, pad: int) -> np.ndarray:
+    """(n*8, nroots*8) GF(2) matrix: codeword bits (MSB-first per byte) ->
+    syndrome bits (MSB-first per byte)."""
+    exp, _ = _tables()
+    n = 255 - pad
+    M = np.zeros((n * 8, nroots * 8), dtype=np.int8)
+    for i in range(n):
+        p = n - 1 - i
+        for b in range(8):
+            v = 1 << (7 - b)
+            for j in range(nroots):
+                prod = _mul1(v, int(exp[(p * j) % 255]))
+                for ob in range(8):
+                    M[i * 8 + b, j * 8 + ob] = (prod >> (7 - ob)) & 1
+    return M
+
+
+def rs_syndromes_device(codewords, nroots: int, pad: int):
+    """Jittable syndrome computation: codewords (..., n) uint8 (device
+    array) -> syndromes (..., nroots) uint8. Use `.any(-1)` as the
+    corruption gate; equality with the NumPy path is tested."""
+    import jax.numpy as jnp
+    n = 255 - pad
+    M = jnp.asarray(syndrome_bit_matrix(nroots, pad), jnp.float32)
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = ((codewords[..., :, None].astype(jnp.uint8) >> shifts) & 1)
+    bits = bits.reshape(*codewords.shape[:-1], n * 8).astype(jnp.float32)
+    acc = bits @ M
+    syn_bits = acc.astype(jnp.int32) & 1
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    syn = (syn_bits.reshape(*codewords.shape[:-1], nroots, 8)
+           * weights).sum(axis=-1)
+    return syn.astype(jnp.uint8)
+
+
+def rs_syndromes_numpy(codewords: np.ndarray, nroots: int, pad: int):
+    """Host reference for rs_syndromes_device (same math as
+    ReedSolomonDecoder.decode's syndrome stage)."""
+    exp, _ = _tables()
+    n = 255 - pad
+    cw = np.asarray(codewords, np.int32).reshape(-1, n)
+    pw = np.arange(n)[::-1][None, :]
+    S = np.zeros((cw.shape[0], nroots), dtype=np.int32)
+    for j in range(nroots):
+        S[:, j] = np.bitwise_xor.reduce(
+            _gf_mul(cw, exp[(pw * j) % 255]), axis=1)
+    return S.reshape(*np.asarray(codewords).shape[:-1], nroots
+                     ).astype(np.uint8)
