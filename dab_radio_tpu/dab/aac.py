@@ -111,6 +111,11 @@ class SuperframeProcessor:
     @staticmethod
     def _firecode_ok(buf: bytes) -> bool:
         rx = (buf[0] << 8) | buf[1]
+        # all-zero header window: CRC16(init 0) of zeros is 0, which would
+        # false-sync inside zero padding regions; a real superframe header
+        # is never all-zero (byte 2 carries the audio params)
+        if rx == 0 and not any(buf[2:11]):
+            return False
         return firecode_crc16(buf[2:11]) == rx
 
     def _process_superframe(self, sf: bytearray):

@@ -97,13 +97,12 @@ class AACDecoder(_Decoder):
         self.core_channels = 2 if (header.is_stereo and not header.ps) else 1
         super().__init__(0, _core_lc_asc(header.core_sample_rate,
                                          self.core_channels))
-        self._walker = None
+        from ..dab.aac_bits import RawDataBlockWalker
+        self._walker = RawDataBlockWalker(
+            _SAMPLE_RATE_INDEX[header.core_sample_rate], 960)
         self._sbr = None
         if header.sbr:
-            from ..dab.aac_bits import RawDataBlockWalker
             from ..dab.sbr import SBRDecoder
-            self._walker = RawDataBlockWalker(
-                _SAMPLE_RATE_INDEX[header.core_sample_rate], 960)
             self._sbr = SBRDecoder(header.sampling_rate, num_time_slots=15,
                                    is_cpe=self.core_channels == 2)
 
@@ -111,6 +110,14 @@ class AACDecoder(_Decoder):
         if self._h is None:
             return None
         if self._sbr is None:
+            # trim any slot padding after the END element (broadcast AUs
+            # fill fixed superframe slots; trailing bytes confuse
+            # libavcodec's raw-AAC multi-frame parsing)
+            try:
+                walk = self._walker.walk(au)
+                au = au[:(walk.end_bit + 7) // 8]
+            except (ValueError, EOFError):
+                pass
             out = self.decode(au)
             if out is None or not self.header.ps:
                 return out

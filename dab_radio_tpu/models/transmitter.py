@@ -150,6 +150,9 @@ class ToneAudioSource:
             raise ValueError(
                 f"tone AU ({len(self._au)}B) exceeds superframe slot "
                 f"{min(sizes)}B — lower the subchannel bitrate demands")
+        # zero padding after END (libavcodec's raw-AAC parser chokes on
+        # non-zero trailing bytes); the superframe firecode guard rejects
+        # the degenerate all-zero sync window this creates
         return [self._au + b"\x00" * (n - len(self._au)) for n in sizes]
 
 
