@@ -29,15 +29,18 @@ BASELINE_MSPS = 2.048
 WORKER_TIMEOUT_S = 420
 
 
-def worker(batch: int, iters: int) -> None:
-    """Run one measurement; prints a JSON dict on success."""
+def worker(batch: int, iters: int, symbol_chunk: int = 0) -> None:
+    """Run one measurement; prints a JSON dict on success. symbol_chunk
+    tiles the frame-body FFT (DemodConfig.symbol_chunk) — the large-batch
+    VMEM ablation."""
     import numpy as np
     import jax
     import jax.numpy as jnp
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from dab_radio_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
-    from dab_radio_tpu.models.demodulator import OFDMDemodulator, DemodCarry
+    from dab_radio_tpu.models.demodulator import (OFDMDemodulator,
+                                                   DemodCarry, DemodConfig)
 
     class Timeout(Exception):
         pass
@@ -47,7 +50,7 @@ def worker(batch: int, iters: int) -> None:
 
     signal.signal(signal.SIGALRM, _alarm)
 
-    demod = OFDMDemodulator(1)
+    demod = OFDMDemodulator(1, DemodConfig(symbol_chunk=symbol_chunk))
     rng = np.random.default_rng(0)
     # f32 IQ pairs: complex64 transfers are UNIMPLEMENTED on the axon relay
     win = rng.normal(0, 0.5, (batch, demod.window_len, 2)).astype(np.float32)
@@ -113,6 +116,7 @@ def worker(batch: int, iters: int) -> None:
         "batch": batch, "iters": iters, "seconds": round(dt, 4),
         "enqueue_seconds": round(enqueue_s, 4),
         "msps": round(msps, 2),
+        "symbol_chunk": symbol_chunk,
         "sync": "fetch_verified" if verified else "dispatch_only",
     }))
 
@@ -163,7 +167,8 @@ def viterbi_worker(batch: int, iters: int, mode: str = "tiled") -> None:
 
 def main():
     if len(sys.argv) >= 2 and sys.argv[1] == "--worker":
-        worker(int(sys.argv[2]), int(sys.argv[3]))
+        worker(int(sys.argv[2]), int(sys.argv[3]),
+               int(sys.argv[4]) if len(sys.argv) > 4 else 0)
         return
     if len(sys.argv) >= 2 and sys.argv[1] == "--viterbi-worker":
         viterbi_worker(int(sys.argv[2]), int(sys.argv[3]),
@@ -172,17 +177,19 @@ def main():
 
     results = []
     deadline = time.time() + 1200          # cap total bench time at 20 min
-    # throughput plateaus ~1.5 GSPS around batch 64-128; batch >=256 risks
-    # relay compile timeouts, so the ladder tops out at 128
-    for batch, iters in ((128, 30), (64, 50), (32, 50), (16, 50), (8, 50),
-                         (1, 50)):
+    # ladder: the plateau sat ~1.5 GSPS at batch 64-128 in round 1; large
+    # batches re-enter the ladder with the chunked-symbol FFT (symbol_chunk
+    # 19) that bounds fused working sets (round-1 batch-512 VMEM collapse)
+    for batch, iters, chunk in ((256, 15, 19), (128, 30, 0), (512, 8, 19),
+                                (64, 50, 0), (128, 30, 19), (32, 50, 0),
+                                (16, 50, 0), (8, 50, 0), (1, 50, 0)):
         if time.time() > deadline:
             print("# bench deadline reached", file=sys.stderr)
             break
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker",
-                 str(batch), str(iters)],
+                 str(batch), str(iters), str(chunk)],
                 capture_output=True, timeout=WORKER_TIMEOUT_S,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             got = False
