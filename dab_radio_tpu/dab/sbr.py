@@ -540,6 +540,7 @@ class SBRFrame:
     header: Optional[SBRHeader]
     channels: List[ChannelData]
     coupling: bool = False
+    ps: object = None        # parsed dab.ps.PSData when the stream carries PS
 
 
 class SBRBitstream:
@@ -556,6 +557,8 @@ class SBRBitstream:
         self.prev_env = [None, None]
         self.prev_noise = [None, None]
         self.prev_cd: List[Optional[ChannelData]] = [None, None]
+        self._ps_bitstream = None
+        self._frame = None
 
     def parse(self, payload: bytes, nbits: int, has_crc: bool) -> Optional[SBRFrame]:
         br = BitReader(payload)
@@ -591,7 +594,7 @@ class SBRBitstream:
         self.prev_noise[0] = read_sbr_noise(br, cd, self.ft,
                                             self.prev_noise[0], False)
         self._harmonics(br, cd)
-        self._extended(br)
+        self._extended(br, frame)
         frame.channels = [cd]
         self.prev_cd[0] = cd
 
@@ -633,7 +636,7 @@ class SBRBitstream:
                 br, cd1, self.ft, self.prev_noise[1], False)
         self._harmonics(br, cd0)
         self._harmonics(br, cd1)
-        self._extended(br)
+        self._extended(br, frame)
         frame.channels = [cd0, cd1]
         self.prev_cd = [cd0, cd1]
 
@@ -653,14 +656,27 @@ class SBRBitstream:
         else:
             cd.add_harmonic = np.zeros(n_high, np.int64)
 
-    def _extended(self, br):
+    def _extended(self, br, frame=None):
         if br.bits_left < 1:
             return
         if br.read1():
             cnt = br.read(4)
             if cnt == 15:
                 cnt += br.read(8)
-            br.skip(min(8 * cnt, br.bits_left))
+            end = min(br.pos + 8 * cnt, br.nbits)
+            while br.pos + 2 <= end:
+                ext_id = br.read(2)
+                if ext_id == 2 and frame is not None:   # EXTENSION_ID_PS
+                    from .ps import PSBitstream
+                    if self._ps_bitstream is None:
+                        self._ps_bitstream = PSBitstream(2 * self.nts)
+                    try:
+                        frame.ps = self._ps_bitstream.parse(br)
+                    except (EOFError, ValueError):
+                        frame.ps = None
+                    break
+                break
+            br.pos = end
 
 
 # --------------------------------------------------------------------------
@@ -1021,7 +1037,8 @@ class SBRDecoder:
 def build_sbr_payload(header: SBRHeader, fs: int, nts: int,
                       env_rows_per_ch, noise_rows_per_ch,
                       invf_modes=None, is_cpe: bool = False,
-                      freq_res: int = 1, send_header: bool = True) -> tuple:
+                      freq_res: int = 1, send_header: bool = True,
+                      ps_data=None, ps_send_header: bool = True) -> tuple:
     """Serialize one frame of SBR data (FIXFIX grid, delta-freq coding).
 
     env_rows_per_ch: per channel, a list of n_env quantized envelope rows
@@ -1101,7 +1118,22 @@ def build_sbr_payload(header: SBRHeader, fs: int, nts: int,
         envelope(env_rows_per_ch[0])
         noise(noise_rows_per_ch[0])
         bw.write(0, 1)
-    bw.write(0, 1)                        # bs_extended_data
+    if ps_data is not None:
+        from .ps import write_ps_data
+        pw = BitWriter()
+        write_ps_data(pw, ps_data, nts=2 * nts, send_header=ps_send_header)
+        n_bytes = -(-(2 + len(pw)) // 8)     # ext id + ps bits, byte count
+        bw.write(1, 1)                       # bs_extended_data
+        if n_bytes >= 15:
+            bw.write(15, 4)
+            bw.write(n_bytes - 15, 8)
+        else:
+            bw.write(n_bytes, 4)
+        bw.write(2, 2)                       # EXTENSION_ID_PS
+        bw.extend(pw)
+        bw.write(0, 8 * n_bytes - 2 - len(pw))
+    else:
+        bw.write(0, 1)                       # bs_extended_data
     return bw.tobytes(), len(bw)
 
 

@@ -161,6 +161,41 @@ def main():
     tables["sbr_noise_table"] = tables["sbr_noise_table"][:1024].reshape(512, 2)
     tables["sbr_offset"] = tables["sbr_offset"].reshape(6, 16)
 
+    # ---- parametric stereo (aacps_float.o + aacps_common.o) ----
+    ps_float = ObjectReader(load_object(ARCHIVE, "aacps_float.o"))
+    ps_common = ObjectReader(load_object(ARCHIVE, "aacps_common.o"))
+    PS_FLOAT = {
+        "phi_fract": np.float32, "Q_fract_allpass": np.float32,
+        "HA": np.float32, "HB": np.float32,
+        "pd_re_smooth": np.float32, "pd_im_smooth": np.float32,
+        "f34_0_12": np.float32, "f34_1_8": np.float32,
+        "f34_2_4": np.float32, "f20_0_8": np.float32,
+        "ipdopd_cos": np.float32, "ipdopd_sin": np.float32,
+        "iid_par_dequant": np.float32, "acos_icc_invq": np.float32,
+        "icc_invq": np.float32, "f_center_20": np.float32,
+        "f_center_34": np.float32, "fractional_delay_links": np.float32,
+        "g0_Q8": np.float32, "g0_Q12": np.float32, "g1_Q8": np.float32,
+        "g2_Q4": np.float32,
+    }
+    for sym, dtype in PS_FLOAT.items():
+        cands = [s for s in ps_float.by_name
+                 if s == sym or s.startswith(sym + ".")]
+        assert len(cands) == 1, (sym, cands)
+        tables[f"ps_{sym}"] = ps_float.array(cands[0], dtype)
+    PS_HUFF = ["iid_df1", "iid_dt1", "iid_df0", "iid_dt0", "icc_df",
+               "icc_dt", "ipd_df", "ipd_dt", "opd_df", "opd_dt"]
+    for name in PS_HUFF:
+        bits = ps_common.array(f"huff_{name}_bits", np.uint8)
+        raw = ps_common.raw(f"huff_{name}_codes")
+        item = len(raw) // len(bits)
+        dtype = {1: np.uint8, 2: np.uint16, 4: np.uint32}[item]
+        tables[f"ps_huff_{name}_codes"] = ps_common.array(
+            f"huff_{name}_codes", dtype).astype(np.uint32)
+        tables[f"ps_huff_{name}_bits"] = bits
+    for sym in ("num_env_tab", "nr_iidicc_par_tab", "nr_iidopd_par_tab",
+                "huff_offset", "huff_iid", "ff_k_to_i_34", "ff_k_to_i_20"):
+        tables[f"ps_{sym}"] = ps_common.array(sym, np.uint8)
+
     tables["_manifest"] = np.frombuffer(
         json.dumps(manifest).encode(), dtype=np.uint8)
     np.savez_compressed(OUT, **tables)
