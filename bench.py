@@ -144,9 +144,10 @@ def viterbi_worker(batch: int, iters: int, mode: str = "tiled") -> None:
     rng = np.random.default_rng(0)
     soft = jnp.asarray(rng.integers(-127, 128, (batch, spec.nb_in),
                                     dtype=np.int32).astype(np.int8))
-    if mode == "tiled":
+    if mode.startswith("tiled"):
+        chunk = int(mode[5:]) if len(mode) > 5 else 512
         fn = jax.jit(lambda x: vit.viterbi_decode_tiled(
-            x, spec, chunk=512, overlap=64)[0])
+            x, spec, chunk=chunk, overlap=64)[0])
     else:
         fn = jax.jit(lambda x: vit.viterbi_decode(x, spec)[0])
     signal.alarm(300)
@@ -234,9 +235,9 @@ def main():
     # retry ladder to ride out relay session variance (round-1 VERDICT
     # weak #1); the record value is the best fetch-verified measurement
     vit_deadline = time.time() + 600
-    for vb, vi, mode in ((4096, 15, "tiled"), (8192, 10, "tiled"),
-                         (4096, 15, "tiled"), (2048, 20, "tiled"),
-                         (8192, 10, "tiled"), (4096, 10, "exact")):
+    for vb, vi, mode in ((4096, 15, "tiled512"), (8192, 10, "tiled256"),
+                         (4096, 15, "tiled256"), (2048, 20, "tiled512"),
+                         (8192, 10, "tiled512"), (4096, 10, "exact")):
         if time.time() > max(deadline, vit_deadline - 300) \
                 or time.time() > vit_deadline:
             break

@@ -78,7 +78,33 @@ def constellation_ascii(demod, sd, width=48, height=12):
     return ["".join(row) for row in grid]
 
 
-def render_lines(demod, sd, rx, stats, nb_frames, t0, show_constellation=True):
+def _controls_tag(ch):
+    c = getattr(ch, "controls", None)
+    if c is None:
+        return ""
+    return ("[" + ("A" if c.decode_audio else "-")
+            + ("D" if c.decode_data else "-")
+            + ("P" if c.play_audio else "-") + "]")
+
+
+def _codec_tag(ch):
+    hdr = getattr(ch, "header", None)
+    if hdr is None:
+        return ""
+    tag = f" {hdr.sampling_rate // 1000}k"
+    tag += "st" if hdr.is_stereo else "mo"
+    if hdr.sbr:
+        tag += "+SBR"
+    if hdr.ps:
+        tag += "+PS"
+    dec = getattr(ch, "_audio_decoder", None)
+    if dec is not None and dec.is_available:
+        tag += f" pcm={dec.total_decoded}/{dec.total_errors}e"
+    return tag
+
+
+def render_lines(demod, sd, rx, stats, nb_frames, t0, show_constellation=True,
+                 selected=None):
     lines = []
     c = sd.carry
     freq = (float(c.freq_coarse) + float(c.freq_fine)) * SAMPLE_RATE \
@@ -110,8 +136,11 @@ def render_lines(demod, sd, rx, stats, nb_frames, t0, show_constellation=True):
             label = getattr(st.ch, "dynamic_label", "")
             mgr = getattr(st.ch, "slideshows", None)
             n_ss = len(mgr.slideshows) if mgr is not None else 0
-            extra = (f" aus={st.access_units} frames={st.frames}"
+            extra = (f" {_controls_tag(st.ch)}{_codec_tag(st.ch)}"
+                     f" aus={st.access_units} frames={st.frames}"
                      f" ss={n_ss} label='{label[:32]}'")
+            if selected is not None and comp.subchannel_id == selected:
+                extra += "  <SEL"
             sf = getattr(st.ch, "superframe", None)
             if sf is not None:
                 s_ = sf.stats
@@ -194,6 +223,40 @@ def main(argv=None):
 
     import curses
 
+    sel = [None]                  # selected subchannel id (Tab cycles)
+
+    def _selected_channel():
+        if sel[0] is None and stats:
+            sel[0] = sorted(stats)[0]
+        st = stats.get(sel[0])
+        return st.ch if st is not None else None
+
+    def handle_key(key):
+        """Audio-control hotkeys (reference GUI channel controls):
+        Tab cycle channel, a/d/p toggle decode-audio/decode-data/play,
+        r run_all, s stop_all."""
+        if key == 9 and stats:    # Tab
+            ids = sorted(stats)
+            cur = ids.index(sel[0]) if sel[0] in ids else -1
+            sel[0] = ids[(cur + 1) % len(ids)]
+            return
+        ch = _selected_channel()
+        c = getattr(ch, "controls", None)
+        if c is None:
+            return
+        if key == ord("a"):
+            c.decode_audio = not c.decode_audio
+            if c.decode_audio and hasattr(ch, "enable_audio_decode"):
+                ch.enable_audio_decode()
+        elif key == ord("d"):
+            c.decode_data = not c.decode_data
+        elif key == ord("p"):
+            c.play_audio = not c.play_audio
+        elif key == ord("r"):
+            c.run_all()
+        elif key == ord("s"):
+            c.stop_all()
+
     def run(scr):
         nonlocal nb_frames
         curses.curs_set(0)
@@ -202,16 +265,22 @@ def main(argv=None):
         alive = True
         while alive and (not args.max_frames or nb_frames < args.max_frames):
             alive = pump()
-            if scr.getch() in (ord("q"), 27):
+            key = scr.getch()
+            if key in (ord("q"), 27):
                 break
+            if key != -1:
+                handle_key(key)
             now = time.time()
             if now - last < args.refresh and alive:
                 continue
             last = now
             scr.erase()
             maxy, maxx = scr.getmaxyx()
-            for y, line in enumerate(render_lines(demod, sd, rx, stats,
-                                                  nb_frames, t0)):
+            lines = render_lines(demod, sd, rx, stats, nb_frames, t0,
+                                 selected=sel[0])
+            lines.append("keys: Tab=select  a/d/p=toggle controls  "
+                         "r=run_all s=stop_all q=quit")
+            for y, line in enumerate(lines):
                 if y >= maxy - 1:
                     break
                 scr.addnstr(y, 0, line, maxx - 1)
