@@ -268,7 +268,10 @@ def main():
     # audio on host; realtime_ensembles = aggregate MSPS / 2.048. The run is
     # end-to-end-verified (asserts decoded access units > 0).
     fleet_deadline = time.time() + 600
-    for streams, fps in ((16, 4), (8, 4)):
+    for extra in (["--fused", "--frames", "80", "--frames-per-step", "8"],
+                  ["--fused", "--frames", "40", "--frames-per-step", "4"],
+                  ["--pipeline-depth", "2", "--viterbi", "tiled",
+                   "--frames", "24", "--frames-per-step", "4"]):
         if time.time() > fleet_deadline:
             break
         try:
@@ -276,9 +279,7 @@ def main():
                 [sys.executable,
                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "tools", "bench_fleet.py"),
-                 "--streams", str(streams), "--frames", "24",
-                 "--pipeline-depth", "2", "--frames-per-step", str(fps),
-                 "--viterbi", "tiled"],
+                 "--streams", "16"] + extra,
                 capture_output=True, timeout=WORKER_TIMEOUT_S,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             for ln in r.stdout.decode().splitlines():
@@ -291,11 +292,9 @@ def main():
                             rt > line.get("fleet_rt_ensembles", 0.0):
                         line["fleet_rt_ensembles"] = rt
                         line["fleet_streams"] = res["streams"]
-            if line.get("fleet_rt_ensembles"):
-                break
+                        line["fleet_mode"] = res.get("mode", "pipelined")
         except Exception as e:
-            print(f"# fleet aux failed (streams={streams}): {e}",
-                  file=sys.stderr)
+            print(f"# fleet aux failed: {e}", file=sys.stderr)
     print(json.dumps(line))
 
 

@@ -118,11 +118,14 @@ class MSCDecodeGroup:
         self.hist = jnp.stack([d.history for d in self.decoders])
 
     def dispatch(self, cifs_list):
-        subs = np.stack([
-            np.asarray(c)[:, d.cfg.start_address * CU_BITS:
-                          d.cfg.start_address * CU_BITS + d.nb_bits]
+        # generic over host (np) and device (jnp) CIF arrays: slicing stays
+        # lazy on device, so a device-resident demod output chains into the
+        # MSC decode without a host round trip
+        subs = jnp.stack([
+            c[:, d.cfg.start_address * CU_BITS:
+               d.cfg.start_address * CU_BITS + d.nb_bits]
             for d, c in zip(self.decoders, cifs_list)])
-        self.hist, bits, _err = self._frame_batch(self.hist, jnp.asarray(subs))
+        self.hist, bits, _err = self._frame_batch(self.hist, subs)
         pushed0 = []
         nb_cifs = subs.shape[1]
         for d in self.decoders:

@@ -58,19 +58,29 @@ class ReceiverFleet:
 
     # ---- pipelined rounds ----
 
+    def _split(self, frame):
+        """split_frame generic over host (np) and device (jnp) rows —
+        device rows slice lazily, so demod output chains into FIC/MSC
+        decode without fetching the 230k soft bits per frame to host."""
+        bits = frame.reshape(-1)
+        fic = bits[: self.dab.nb_fic_bits]
+        cifs = bits[self.dab.nb_fic_bits:].reshape(
+            self.dab.nb_cifs, self.dab.nb_cif_bits)
+        return fic, cifs
+
     def _dispatch(self, frames):
         idxs = [i for i, _ in frames]
         assert len(set(idxs)) == len(idxs), "one frame per receiver per round"
 
         fics, all_cifs = [], {}
         for i, frame in frames:
-            fic, cifs = self.receivers[i].split_frame(frame)
+            fic, cifs = self._split(frame)
             fics.append(fic.reshape(self.receivers[i].fic.nb_groups, -1))
             all_cifs[i] = cifs
         groups_per_rx = [f.shape[0] for f in fics]
         with profile_scope("fleet/fic_dispatch"):
-            stacked = np.concatenate(fics, axis=0)
-            fic_bits, _err = self._fic_decode(jnp.asarray(stacked))
+            stacked = jnp.concatenate(fics, axis=0)
+            fic_bits, _err = self._fic_decode(stacked)
 
         # MSC jobs use the channel set as of the last finalized round
         jobs: Dict[object, list] = {}
@@ -132,12 +142,12 @@ class ReceiverFleet:
                 "one frame per receiver per round"
             fics, all_cifs = [], {}
             for i, frame in frames:
-                fic, cifs = self.receivers[i].split_frame(frame)
+                fic, cifs = self._split(frame)
                 fics.append(fic.reshape(self.receivers[i].fic.nb_groups, -1))
                 all_cifs[i] = cifs
             with profile_scope("fleet/fic_decode"):
-                stacked = np.concatenate(fics, axis=0)
-                fic_bits, _err = self._fic_decode(jnp.asarray(stacked))
+                stacked = jnp.concatenate(fics, axis=0)
+                fic_bits, _err = self._fic_decode(stacked)
                 bits = np.asarray(fic_bits, dtype=np.uint8)
             ofs = 0
             for (i, _), f in zip(frames, fics):

@@ -22,23 +22,47 @@ from ..ops.iq import iq_pairs
 
 
 class MultiStreamDemodulator:
-    """B concurrent streams over one OFDMDemodulator."""
+    """B concurrent streams over one OFDMDemodulator.
+
+    ingest="u8" keeps the raw RTL-SDR byte stream end to end: host buffers
+    hold interleaved uint8 IQ and dequantization ((x-127.5)/127.5, the
+    QuantisedIQ convention) happens ON DEVICE inside the jitted round — a
+    4x cut in host->device upload, the dominant cost on a tunneled
+    accelerator (2.048 MSPS x 8 B/sample as f32 pairs vs 2 B as u8)."""
 
     def __init__(self, demod: OFDMDemodulator, nb_streams: int,
-                 sharding=None, frames_per_step: int = 1):
+                 sharding=None, frames_per_step: int = 1,
+                 ingest: str = "c64", fetch_bits: bool = True):
+        assert ingest in ("c64", "u8")
+        # fetch_bits=False keeps each round's soft bits on device (rows of
+        # the batched output); pair with ReceiverFleet's device path so the
+        # only host traffic is decoded bytes
+        self.fetch_bits = fetch_bits
         self.demod = demod
         self.B = nb_streams
-        self.bufs: List[np.ndarray] = [np.zeros(0, np.complex64)
+        self.ingest = ingest
+        empty = (np.zeros(0, np.complex64) if ingest == "c64"
+                 else np.zeros(0, np.uint8))
+        self.bufs: List[np.ndarray] = [empty.copy()
                                        for _ in range(nb_streams)]
         self.tracking = np.zeros(nb_streams, dtype=bool)
         self.l1 = np.zeros(nb_streams, dtype=np.float32)
         self.carry = DemodCarry.init((nb_streams,))
         self.sharding = sharding
         self.frames_emitted = 0
+
+        def _dequant(raw):
+            # (B, n*2) uint8 -> (B, n, 2) f32 pairs on device
+            x = raw.astype(jnp.float32)
+            return ((x - 127.5) * (1.0 / 127.5)).reshape(
+                raw.shape[0], -1, 2)
+
         # one jit call per round: vmapped step + ready-mask carry merge
         # fused on device (eager per-field merges cost a round trip each on
         # a tunneled accelerator)
         def _masked(carry, wins, mask):
+            if ingest == "u8":
+                wins = _dequant(wins)
             new_c, out = jax.vmap(demod._frame_step_impl)(carry, wins)
             merged = jax.tree.map(
                 lambda n, o: jnp.where(
@@ -51,6 +75,8 @@ class MultiStreamDemodulator:
         K = self.frames_per_step
 
         def _masked_scan(carry, bufs, mask):
+            if ingest == "u8":
+                bufs = _dequant(bufs)
             new_c, consumed, outs = jax.vmap(
                 lambda c, b: demod._frame_scan_impl(K, c, b))(carry, bufs)
             merged = jax.tree.map(
@@ -61,15 +87,44 @@ class MultiStreamDemodulator:
             return merged, consumed, valid, outs["bits"]
         self._masked_scan = jax.jit(_masked_scan) if K > 1 else None
 
+    # ---- ingest-format helpers (sample units; u8 stores 2 bytes/sample) --
+
+    def _n_samples(self, i: int) -> int:
+        n = self.bufs[i].shape[0]
+        return n // 2 if self.ingest == "u8" else n
+
+    def _slice_raw(self, i: int, nb_samples: int) -> np.ndarray:
+        if self.ingest == "u8":
+            return self.bufs[i][:2 * nb_samples]
+        return self.bufs[i][:nb_samples]
+
+    def _slice_c64(self, i: int, nb_samples: int) -> np.ndarray:
+        raw = self._slice_raw(i, nb_samples)
+        if self.ingest == "u8":
+            x = (raw.astype(np.float32) - 127.5) / np.float32(127.5)
+            return x.view(np.complex64) if x.size % 2 == 0 else \
+                x[:x.size // 2 * 2].view(np.complex64)
+        return raw
+
+    def _advance(self, i: int, nb_samples: int):
+        k = 2 * nb_samples if self.ingest == "u8" else nb_samples
+        self.bufs[i] = self.bufs[i][k:]
+
     def push(self, stream_idx: int, iq: np.ndarray):
+        """c64 mode: complex64 samples. u8 mode: raw interleaved uint8 IQ
+        bytes (2 per sample)."""
+        if self.ingest == "u8":
+            arr = np.frombuffer(iq, np.uint8) if isinstance(iq, bytes) \
+                else np.asarray(iq, np.uint8)
+        else:
+            arr = np.asarray(iq, np.complex64)
         self.bufs[stream_idx] = np.concatenate(
-            [self.bufs[stream_idx], np.asarray(iq, np.complex64)])
+            [self.bufs[stream_idx], arr])
 
     def _acquire_stream(self, i: int) -> bool:
         d = self.demod
-        buf = self.bufs[i]
-        while buf.shape[0] >= d.window_len:
-            block = jnp.asarray(iq_pairs(buf[:d.window_len]))
+        while self._n_samples(i) >= d.window_len:
+            block = jnp.asarray(iq_pairs(self._slice_c64(i, d.window_len)))
             if self.l1[i] == 0.0:
                 self.l1[i] = float(d._l1(block))
             found, end_idx = d._acquire(block, jnp.float32(self.l1[i]))
@@ -77,11 +132,9 @@ class MultiStreamDemodulator:
             if bool(found):
                 rewind = 2 * d.cfg.null_search_nb_samples
                 start = max(int(end_idx) - d.params.nb_null_period - rewind, 0)
-                buf = buf[start:]
-                self.bufs[i] = buf
+                self._advance(i, start)
                 return True
-            buf = buf[d.window_len - d.params.nb_null_period:]
-            self.bufs[i] = buf
+            self._advance(i, d.window_len - d.params.nb_null_period)
         return False
 
     def step(self):
@@ -109,43 +162,61 @@ class MultiStreamDemodulator:
         if K > 1:
             ready = [i for i in range(self.B)
                      if self.tracking[i]
-                     and self.bufs[i].shape[0] >= scan_len]
+                     and self._n_samples(i) >= scan_len]
             if not ready:
                 return []
-            bufs = np.zeros((self.B, scan_len), np.complex64)
-            for i in ready:
-                bufs[i] = self.bufs[i][:scan_len]
+            if self.ingest == "u8":
+                bufs = np.full((self.B, 2 * scan_len), 127, np.uint8)
+                for i in ready:
+                    bufs[i] = self._slice_raw(i, scan_len)
+                dev_in = jnp.asarray(bufs)
+            else:
+                bufs = np.zeros((self.B, scan_len), np.complex64)
+                for i in ready:
+                    bufs[i] = self._slice_raw(i, scan_len)
+                dev_in = jnp.asarray(iq_pairs(bufs))
             mask = np.zeros(self.B, dtype=bool)
             mask[ready] = True
             self.carry, consumed, valid, bits = self._masked_scan(
-                self.carry, jnp.asarray(iq_pairs(bufs)), jnp.asarray(mask))
-            consumed, valid, bits = jax.device_get((consumed, valid, bits))
+                self.carry, dev_in, jnp.asarray(mask))
+            if self.fetch_bits:
+                consumed, valid, bits_h = jax.device_get(
+                    (consumed, valid, bits))
+            else:
+                consumed, valid = jax.device_get((consumed, valid))
+                bits_h = bits           # device array; rows stay on device
             results = []
             for k in range(K):
                 for i in ready:
                     if valid[i, k]:
-                        results.append((i, bits[i, k]))
+                        results.append((i, bits_h[i, k]))
             for i in ready:
                 nb_ok = int(valid[i].sum())
-                self.bufs[i] = self.bufs[i][int(consumed[i]):]
+                self._advance(i, int(consumed[i]))
                 if nb_ok < K:
                     self.tracking[i] = False
-                    self.bufs[i] = self.bufs[i][d.params.nb_null_period:]
+                    self._advance(i, d.params.nb_null_period)
             self.frames_emitted += len(results)
             return results
 
         ready = [i for i in range(self.B)
-                 if self.tracking[i] and self.bufs[i].shape[0] >= d.window_len]
+                 if self.tracking[i] and self._n_samples(i) >= d.window_len]
         if not ready:
             return []
 
         # batch: ready streams contribute real windows; others get zeros
         # (their carry is restored afterwards, so the wasted lanes only cost
         # FLOPs — acquisition gaps are rare in steady state)
-        windows = np.zeros((self.B, d.window_len), np.complex64)
-        for i in ready:
-            windows[i] = self.bufs[i][:d.window_len]
-        wins = jnp.asarray(iq_pairs(windows))
+        if self.ingest == "u8":
+            windows = np.full((self.B, 2 * d.window_len), 127, np.uint8)
+            for i in ready:
+                windows[i] = self._slice_raw(i, d.window_len)
+            wins = jnp.asarray(windows)
+        else:
+            windows = np.zeros((self.B, d.window_len), np.complex64)
+            for i in ready:
+                windows[i] = self._slice_raw(i, d.window_len)
+            wins = jnp.asarray(iq_pairs(windows))
         if self.sharding is not None:
             wins = jax.device_put(wins, self.sharding)
         ready_mask = np.zeros(self.B, dtype=bool)
@@ -153,19 +224,25 @@ class MultiStreamDemodulator:
         self.carry, out = self._masked_step(self.carry, wins,
                                             jnp.asarray(ready_mask))
 
-        # single bulk fetch of the round's outputs (per-stream fetches are
-        # one round trip each)
-        sync_ok, offsets, bits = jax.device_get(
-            (out["sync_ok"], out["offset"], out["bits"]))
+        # single bulk fetch of the round's control outputs (per-stream
+        # fetches are one round trip each); frame bits stay on device when
+        # fetch_bits is off (the fleet decodes them there)
+        if self.fetch_bits:
+            sync_ok, offsets, bits = jax.device_get(
+                (out["sync_ok"], out["offset"], out["bits"]))
+        else:
+            sync_ok, offsets = jax.device_get(
+                (out["sync_ok"], out["offset"]))
+            bits = out["bits"]
         results = []
         for i in ready:
             if sync_ok[i]:
                 results.append((i, bits[i]))
                 adv = int(offsets[i]) + d.frame_advance
-                self.bufs[i] = self.bufs[i][adv:]
+                self._advance(i, adv)
             else:
                 self.tracking[i] = False
-                self.bufs[i] = self.bufs[i][d.params.nb_null_period:]
+                self._advance(i, d.params.nb_null_period)
         self.frames_emitted += len(results)
         return results
 

@@ -110,7 +110,8 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
                             frames_per_shard: int = 1,
                             nb_subchannel_cu: int = 12,
                             subchannels_per_shard: int = 2,
-                            ensembles_per_shard: int = 2):
+                            ensembles_per_shard: int = 2,
+                            ingest: str = "pairs"):
     """Full end-to-end sharded receiver step: IQ in, decoded bits out.
 
     One jitted program over the ('ens','time','sub') mesh (the surface the
@@ -170,6 +171,11 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
 
     @jax.jit
     def step(carry, deint_hist, iq):
+        if ingest == "u8":
+            # raw interleaved uint8 IQ -> f32 pairs on device (QuantisedIQ
+            # convention); 4x less host->device traffic than f32 pairs
+            iq = ((iq.astype(jnp.float32) - 127.5) * (1.0 / 127.5)
+                  ).reshape(iq.shape[0], -1, 2)
         carry, bits = demod_fn(carry, iq)           # (B, n_time, f_loc, nb)
         # gather the time shards: frames are decoded ensemble-parallel
         frames = jax.lax.with_sharding_constraint(
@@ -211,7 +217,11 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
 
     fs = demod.params.nb_frame_samples
     T = n_time * frames_per_shard * fs
-    iq = jax.device_put(jnp.zeros((B, T, 2), jnp.float32), time_sh)
+    if ingest == "u8":
+        iq = jax.device_put(
+            jnp.full((B, 2 * T), 127, jnp.uint8), time_sh)
+    else:
+        iq = jax.device_put(jnp.zeros((B, T, 2), jnp.float32), time_sh)
     carry = DemodCarry.init((B, n_time))
     carry = carry._replace(
         signal_l1_avg=jnp.full((B, n_time), 0.5, jnp.float32))

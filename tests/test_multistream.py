@@ -78,3 +78,44 @@ def test_multistream_fused_frames():
         assert n >= 4
         for x, y in zip(a[i][:n], b[i][:n]):
             np.testing.assert_array_equal(x > 0, y > 0)
+
+
+def test_u8_ingest_and_device_bits_match_c64():
+    """u8 ingest (device-side dequantization) + fetch_bits=False (device-
+    resident frame bits) must produce the same hard decisions as the c64
+    host path — the transfer-optimised fleet configuration."""
+    import jax
+    from dab_radio_tpu.host.native import iq_quantize_u8
+    mode = 2
+    mod = OFDMModulator(mode)
+    demod = OFDMDemodulator(mode)
+    rng = np.random.default_rng(11)
+    p = mod.params
+    bits_tx = rng.integers(0, 2, (4, p.nb_data_symbols,
+                                  2 * p.nb_data_carriers)).astype(np.uint8)
+    iq = np.asarray(mod.modulate_stream(jnp.asarray(bits_tx)))
+    iq = iq / (np.abs(iq).max() * 2.0)          # headroom like the apps
+    lead = (rng.normal(0, 0.005, 1000)
+            + 1j * rng.normal(0, 0.005, 1000)).astype(np.complex64)
+    stream_c64 = np.concatenate([lead, iq])
+    stream_u8 = np.frombuffer(iq_quantize_u8(stream_c64), np.uint8)
+    # c64 reference path (u8 round trip so quantization noise matches)
+    from dab_radio_tpu.host.native import iq_convert
+    stream_rt = iq_convert(stream_u8.tobytes(), "u8")
+
+    ms_a = MultiStreamDemodulator(demod, 2, frames_per_step=2)
+    ms_b = MultiStreamDemodulator(demod, 2, frames_per_step=2,
+                                  ingest="u8", fetch_bits=False)
+    for k in range(2):
+        ms_a.push(k, stream_rt)
+        ms_b.push(k, stream_u8)
+    got_a, got_b = [], []
+    for _ in range(8):
+        got_a.extend(ms_a.step())
+        got_b.extend(ms_b.step())
+    assert len(got_a) == len(got_b) >= 4
+    for (ia, ba), (ib, bb) in zip(got_a, got_b):
+        assert ia == ib
+        a = np.asarray(ba)
+        b = np.asarray(jax.device_get(bb))      # device-resident row
+        np.testing.assert_array_equal(a > 0, b > 0)
