@@ -180,3 +180,24 @@ def test_ber_sweep_waterfall():
     assert float(high["raw_ber"]) < 1e-2
     assert float(high["vit_byte_err"]) == 0.0
     assert float(high["fib_crc_rate"]) == 1.0
+
+
+@pytest.mark.slow
+def test_bench_fleet_fused_end_to_end(tmp_path):
+    """The fused single-dispatch fleet round (demod+FIC+MSC in one jitted
+    program) decodes ensembles end to end on the CPU backend."""
+    import json
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "bench_fleet.py"),
+         "--fused", "--streams", "2", "--frames", "14", "--backend", "cpu",
+         "--frames-per-step", "4"],
+        capture_output=True, timeout=500, cwd=root)
+    assert r.returncode == 0, r.stderr.decode()[-400:]
+    res = None
+    for ln in r.stdout.decode().splitlines():
+        if ln.strip().startswith("{"):
+            res = json.loads(ln)
+    assert res is not None and res["mode"] == "fused"
+    # 2 streams x 2 services per synthetic ensemble
+    assert res["access_units"] > 0 and res["services"] == 4
