@@ -238,9 +238,9 @@ def main():
     # exact (full radix-4) wins in healthy relay sessions (172 Mbit/s at
     # B=16384 measured); tiled wins when per-call overhead dominates
     # (degraded sessions) — the ladder tries both and keeps the best
-    for vb, vi, mode in ((16384, 6, "exact"), (8192, 10, "exact"),
-                         (4096, 15, "tiled512"), (16384, 6, "exact"),
-                         (8192, 10, "tiled256"), (4096, 10, "exact")):
+    for vb, vi, mode in ((20480, 5, "exact"), (16384, 6, "exact"),
+                         (4096, 15, "tiled512"), (20480, 5, "exact"),
+                         (8192, 10, "tiled256"), (8192, 10, "exact")):
         if time.time() > max(deadline, vit_deadline - 300) \
                 or time.time() > vit_deadline:
             break
