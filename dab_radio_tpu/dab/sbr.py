@@ -383,7 +383,9 @@ def read_sbr_grid(br: BitReader, nts: int, amp_res: int) -> ChannelData:
         cd.t_env = t
         cd.pointer = br.read(_ceil_log2(cd.n_env + 1))
         cd.freq_res = [br.read1() for _ in range(cd.n_env)]
-        cd.l_a = -1 if cd.pointer == 0 else cd.pointer - 1
+        # conformant decoders (ffmpeg aacsbr, faad2) treat bs_pointer<=1 as
+        # "no transient envelope" for VARFIX: l_a = pointer-1 only if >1
+        cd.l_a = cd.pointer - 1 if cd.pointer > 1 else -1
     else:  # VARVAR
         bord0 = br.read(2)
         bord1 = br.read(2)
@@ -413,7 +415,9 @@ def read_sbr_grid(br: BitReader, nts: int, amp_res: int) -> ChannelData:
         if cd.frame_class == FIXFIX:
             mid = cd.n_env // 2
         elif cd.frame_class == VARFIX:
-            mid = 1 if cd.pointer <= 1 else cd.pointer - 1
+            # faad2 middleBorder: ptr 0 -> 1, ptr 1 -> L_E-1, else ptr-1
+            mid = (1 if cd.pointer == 0 else
+                   cd.n_env - 1 if cd.pointer == 1 else cd.pointer - 1)
         else:
             mid = cd.n_env - 1 if cd.pointer <= 1 else cd.n_env + 1 - cd.pointer
         cd.t_q = [cd.t_env[0], cd.t_env[mid], cd.t_env[-1]]
@@ -457,20 +461,24 @@ def _noise_tables(coupled_ch: bool):
 def read_sbr_envelope(br: BitReader, cd: ChannelData, ft: FreqTables,
                       prev_last: Optional[np.ndarray], coupled_ch: bool):
     t_huff, f_huff, lav, start_bits = _env_tables(cd.amp_res, coupled_ch)
+    # coupled (balance) channel values are stored doubled: start values and
+    # huffman deltas are scaled by 2 before dequant with pan offset 12/24
+    # (ffmpeg aacsbr read_sbr_envelope `delta`, faad2 equivalent)
+    delta = 2 if coupled_ch else 1
     envs = []
     prev = prev_last  # quantized values of previous envelope (high-res grid)
     for e in range(cd.n_env):
         nb = _num_env_bands(cd.freq_res[e], ft)
         row = np.zeros(nb, np.int64)
         if cd.df_env[e] == 0:
-            row[0] = br.read(start_bits)
+            row[0] = delta * br.read(start_bits)
             for b in range(1, nb):
-                row[b] = row[b - 1] + f_huff.decode(br) - lav
+                row[b] = row[b - 1] + delta * (f_huff.decode(br) - lav)
         else:
             pm = _map_res(prev, cd.freq_res[e], ft) if prev is not None \
                 else np.zeros(nb, np.int64)
             for b in range(nb):
-                row[b] = pm[b] + t_huff.decode(br) - lav
+                row[b] = pm[b] + delta * (t_huff.decode(br) - lav)
         envs.append(row)
         prev = _to_high(row, cd.freq_res[e], ft)
     cd.env_q = envs
@@ -480,19 +488,20 @@ def read_sbr_envelope(br: BitReader, cd: ChannelData, ft: FreqTables,
 def read_sbr_noise(br: BitReader, cd: ChannelData, ft: FreqTables,
                    prev_last: Optional[np.ndarray], coupled_ch: bool):
     t_huff, f_huff, lav, start_bits = _noise_tables(coupled_ch)
+    delta = 2 if coupled_ch else 1   # balance values stored doubled (ffmpeg)
     rows = []
     nq = len(ft.f_noise) - 1
     prev = prev_last
     for q in range(cd.n_q):
         row = np.zeros(nq, np.int64)
         if cd.df_noise[q] == 0:
-            row[0] = br.read(start_bits)
+            row[0] = delta * br.read(start_bits)
             for b in range(1, nq):
-                row[b] = row[b - 1] + f_huff.decode(br) - lav
+                row[b] = row[b - 1] + delta * (f_huff.decode(br) - lav)
         else:
             pm = prev if prev is not None else np.zeros(nq, np.int64)
             for b in range(nq):
-                row[b] = pm[b] + t_huff.decode(br) - lav
+                row[b] = pm[b] + delta * (t_huff.decode(br) - lav)
         rows.append(row)
         prev = row
     cd.noise_q = rows
@@ -1038,12 +1047,17 @@ def build_sbr_payload(header: SBRHeader, fs: int, nts: int,
                       env_rows_per_ch, noise_rows_per_ch,
                       invf_modes=None, is_cpe: bool = False,
                       freq_res: int = 1, send_header: bool = True,
-                      ps_data=None, ps_send_header: bool = True) -> tuple:
-    """Serialize one frame of SBR data (FIXFIX grid, delta-freq coding).
+                      ps_data=None, ps_send_header: bool = True,
+                      frame_class: int = FIXFIX, pointer: int = 0,
+                      var_bord: int = 0, rel_bords=(),
+                      coupling: bool = False) -> tuple:
+    """Serialize one frame of SBR data (delta-freq coding).
 
     env_rows_per_ch: per channel, a list of n_env quantized envelope rows
-    (high-res grid when freq_res=1). Returns (payload bytes, nbits).
-    """
+    (high-res grid when freq_res=1); with coupling=True (CPE only), channel
+    1 rows are quantized *balance* values. Grids: FIXFIX (default), FIXVAR
+    and VARFIX (var_bord + rel_bords, len(rel_bords) == n_env-1, and
+    pointer). Returns (payload bytes, nbits)."""
     from .bits import BitWriter
     ft = make_freq_tables(header, fs)
     bw = BitWriter()
@@ -1055,7 +1069,8 @@ def build_sbr_payload(header: SBRHeader, fs: int, nts: int,
     n_env = len(env_rows_per_ch[0])
     # single-envelope FIXFIX frames use 1.5 dB quantization regardless of
     # the header's bs_amp_res
-    eff_amp_res = 0 if n_env == 1 else header.amp_res
+    eff_amp_res = 0 if (n_env == 1 and frame_class == FIXFIX) \
+        else header.amp_res
     nq_bands = len(ft.f_noise) - 1
     nq = 1 if n_env == 1 else 2
     if invf_modes is None:
@@ -1063,14 +1078,24 @@ def build_sbr_payload(header: SBRHeader, fs: int, nts: int,
 
     bw.write(0, 1)                        # bs_data_extra
     if is_cpe:
-        bw.write(0, 1)                    # bs_coupling = 0
-
-    cd_stub = ChannelData(amp_res=eff_amp_res)
+        bw.write(1 if coupling else 0, 1)
 
     def grid():
-        bw.write(FIXFIX, 2)
-        bw.write({1: 0, 2: 1, 4: 2}[n_env], 2)
-        bw.write(freq_res, 1)
+        bw.write(frame_class, 2)
+        if frame_class == FIXFIX:
+            bw.write({1: 0, 2: 1, 4: 2}[n_env], 2)
+            bw.write(freq_res, 1)
+        elif frame_class in (FIXVAR, VARFIX):
+            assert len(rel_bords) == n_env - 1
+            bw.write(var_bord, 2)
+            bw.write(n_env - 1, 2)
+            for r in rel_bords:
+                bw.write(r, 2)
+            bw.write(pointer, _ceil_log2(n_env + 1))
+            for _ in range(n_env):        # same res every env (either order)
+                bw.write(freq_res, 1)
+        else:
+            raise NotImplementedError("VARVAR writer")
 
     def dtdf():
         for _ in range(n_env):
@@ -1082,23 +1107,38 @@ def build_sbr_payload(header: SBRHeader, fs: int, nts: int,
         for m in invf_modes:
             bw.write(m, 2)
 
-    def envelope(rows):
-        t_huff, f_huff, lav, start_bits = _env_tables(cd_stub.amp_res, False)
+    def envelope(rows, coupled_ch=False):
+        t_huff, f_huff, lav, start_bits = _env_tables(eff_amp_res, coupled_ch)
+        delta = 2 if coupled_ch else 1   # balance rows are stored-domain
         for row in rows:
             row = [int(v) for v in row]
-            bw.write(row[0], start_bits)
+            assert all(v % delta == 0 for v in row), "balance values even"
+            bw.write(row[0] // delta, start_bits)
             for a, b in zip(row[:-1], row[1:]):
-                f_huff.encode(bw, b - a + lav)
+                f_huff.encode(bw, (b - a) // delta + lav)
 
-    def noise(rows):
-        t_huff, f_huff, lav, start_bits = _noise_tables(False)
+    def noise(rows, coupled_ch=False):
+        t_huff, f_huff, lav, start_bits = _noise_tables(coupled_ch)
+        delta = 2 if coupled_ch else 1
         for row in rows:
             row = [int(v) for v in row]
-            bw.write(row[0], start_bits)
+            assert all(v % delta == 0 for v in row), "balance values even"
+            bw.write(row[0] // delta, start_bits)
             for a, b in zip(row[:-1], row[1:]):
-                f_huff.encode(bw, b - a + lav)
+                f_huff.encode(bw, (b - a) // delta + lav)
 
-    if is_cpe:
+    if is_cpe and coupling:
+        grid()                            # one shared grid (ch1 copies it)
+        dtdf()
+        dtdf()
+        invf()                            # one shared invf
+        envelope(env_rows_per_ch[0])
+        noise(noise_rows_per_ch[0])
+        envelope(env_rows_per_ch[1], coupled_ch=True)
+        noise(noise_rows_per_ch[1], coupled_ch=True)
+        bw.write(0, 1)                    # add_harmonic ch0
+        bw.write(0, 1)                    # add_harmonic ch1
+    elif is_cpe:
         grid()
         grid()
         dtdf()

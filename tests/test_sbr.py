@@ -150,11 +150,15 @@ def test_freq_tables_sane():
     np.testing.assert_array_equal(cd.noise_q[0], noise)
 
 
-@pytest.mark.parametrize("stereo", [False, True])
-def test_sbr_differential_vs_libavcodec_1024(stereo):
+@pytest.mark.parametrize("variant", ["mono", "stereo", "coupled",
+                                     "fixfix2", "fixvar", "varfix"])
+def test_sbr_differential_vs_libavcodec_1024(variant):
     """Full-chain oracle: our SBR stage must match libavcodec's conformant
-    HE-AAC@1024 decode within 1% RMS on a realistic signal."""
+    HE-AAC@1024 decode within 1% RMS on a realistic signal. Variants cover
+    the FIXVAR/VARFIX grids (transient frames, round-2 ADVICE medium) and
+    the coupled CPE balance path (round-2 ADVICE low)."""
     lib = _lib()
+    stereo = variant in ("stereo", "coupled")
     ch = 2 if stereo else 1
     rng = np.random.default_rng(3)
     n = 24000 * 2
@@ -177,8 +181,35 @@ def test_sbr_differential_vs_libavcodec_1024(stereo):
     env = np.full(ft.n[1], 27, np.int64)
     noise = np.full(len(ft.f_noise) - 1, 14, np.int64)
     walker = RawDataBlockWalker(6, 1024)
-    payload, nbits = S.build_sbr_payload(
-        hdr, 48000, 16, [[env]] * ch, [[noise]] * ch, is_cpe=stereo)
+    if variant == "coupled":
+        # ch1 carries stored-domain balance rows (even; env center=12 at
+        # amp_res 1, noise center=12): a slight right pan
+        bal_env = np.full(ft.n[1], 16, np.int64)
+        bal_noise = np.full(len(ft.f_noise) - 1, 14, np.int64)
+        payload, nbits = S.build_sbr_payload(
+            hdr, 48000, 16, [[env], [bal_env]], [[noise], [bal_noise]],
+            is_cpe=True, coupling=True)
+    elif variant == "fixfix2":
+        # 2-envelope FIXFIX: exercises the multi-envelope 3.0 dB path
+        env3 = np.full(ft.n[1], 13, np.int64)
+        payload, nbits = S.build_sbr_payload(
+            hdr, 48000, 16, [[env3, env3 + 1]], [[noise, noise]])
+    elif variant in ("fixvar", "varfix"):
+        fc = S.FIXVAR if variant == "fixvar" else S.VARFIX
+        # n_env=2; VARFIX pointer=1 exercises the l_a<=1 -> -1 rule and the
+        # middleBorder=n_env-1 case; FIXVAR pointer=2 puts l_a at env 1.
+        # Multi-envelope frames use the header amp_res (3.0 dB): env 13 =
+        # 2^20 target, same level as the single-envelope config (values
+        # >~20 make the int16 oracle clip and the differential meaningless)
+        env3 = np.full(ft.n[1], 13, np.int64)
+        ptr = 2 if variant == "fixvar" else 1
+        payload, nbits = S.build_sbr_payload(
+            hdr, 48000, 16, [[env3, env3 + 1]], [[noise, noise]],
+            is_cpe=False, frame_class=fc, pointer=ptr, var_bord=0,
+            rel_bords=[1])
+    else:
+        payload, nbits = S.build_sbr_payload(
+            hdr, 48000, 16, [[env]] * ch, [[noise]] * ch, is_cpe=stereo)
     aus_sbr = [S.add_sbr_fill_to_au(au, payload, nbits, walker)
                for au in aus]
 
