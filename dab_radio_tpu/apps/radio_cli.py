@@ -20,6 +20,8 @@ from ..host.io import IQReader
 from ..models.demodulator import OFDMDemodulator, StreamingDemodulator
 from ..models.receiver import DabReceiver
 from ..dab.database import STREAM_AUDIO
+from ..params.tables import (country_label, language_label,
+                             programme_type_label)
 
 
 def summarize(rx: DabReceiver, file=sys.stderr):
@@ -28,7 +30,17 @@ def summarize(rx: DabReceiver, file=sys.stderr):
           f"services={len(db.services)} subchannels={len(db.subchannels)}",
           file=file)
     for sid, svc in sorted(db.services.items()):
-        print(f"  service {sid:04X}: '{svc.label}'", file=file)
+        # country/language/programme-type labels, as the reference's service
+        # view renders them (examples/gui/basic_radio/formatters.cpp)
+        extra = ""
+        if svc.extended_country_code or svc.country_id:
+            extra += " " + country_label(svc.extended_country_code,
+                                         svc.country_id)
+        if svc.language:
+            extra += f" lang={language_label(svc.language)}"
+        if svc.programme_type:
+            extra += f" pty={programme_type_label(svc.programme_type)}"
+        print(f"  service {sid:04X}: '{svc.label}'{extra}", file=file)
     for sub_id, sub in sorted(db.subchannels.items()):
         comp = db.component_by_subchannel(sub_id)
         kind = "?"

@@ -150,8 +150,15 @@ def render_lines(demod, sd, rx, stats, nb_frames, t0, show_constellation=True,
                     extra += (f" ERR fc={errs[0]} rs={errs[1]} au={errs[2]}")
                 elif s_["rs_corrected_bytes"]:
                     extra += f" rs_fixed={s_['rs_corrected_bytes']}B"
+        meta = ""
+        if svc.extended_country_code or svc.country_id:
+            from ..params.tables import country_label
+            meta += f" {country_label(svc.extended_country_code, svc.country_id)}"
+        if svc.language:
+            from ..params.tables import language_label
+            meta += f" {language_label(svc.language)}"
         lines.append(f"  {sid:04X} '{svc.label:<16s}' {kind:5s} {prot:8s}"
-                     f"{extra}")
+                     f"{meta}{extra}")
     if show_constellation:
         lines.append("constellation (sym1 x PRS, DQPSK):")
         lines.extend("  " + r for r in constellation_ascii(demod, sd))

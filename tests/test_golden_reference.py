@@ -1057,3 +1057,42 @@ def test_iq_readers_match_reference(iq_harness):
                                    atol=1e-9, err_msg=fmt)
         np.testing.assert_allclose(ours.imag, ref.imag, rtol=2e-6,
                                    atol=1e-9, err_msg=fmt)
+
+
+# ---------------------------------------------------------------------------
+# label tables (TS 101 756): full-table equality with the reference headers
+# ---------------------------------------------------------------------------
+
+def test_language_table_matches_reference():
+    import re
+    from dab_radio_tpu.params.tables import LANGUAGES
+    txt = open(f"{REF}/dab/constants/language_table.h").read()
+    ref = {int(m.group(1), 16): m.group(2) for m in re.finditer(
+        r'\{\s*0x([0-9A-Fa-f]+),\s*"([^"]*)"\s*\}', txt)}
+    assert LANGUAGES == ref
+
+
+def test_country_table_matches_reference():
+    import re
+    from dab_radio_tpu.params.tables import COUNTRIES
+    txt = open(f"{REF}/dab/constants/country_table.h").read()
+    ref = {}
+    for m in re.finditer(
+            r'\{\s*CODE\(0x([0-9A-Fa-f]+),\s*0x([0-9A-Fa-f]+)\),'
+            r'\s*"([^"]*)"\s*\}', txt):
+        key = (int(m.group(1), 16), int(m.group(2), 16))
+        ref.setdefault(key, m.group(3))   # unordered_map: first entry wins
+    assert COUNTRIES == ref
+
+
+def test_programme_type_tables_match_reference():
+    import re
+    from dab_radio_tpu.params.tables import (PROGRAMME_TYPES_EU,
+                                             PROGRAMME_TYPES_NA)
+    txt = open(f"{REF}/dab/constants/programme_type_table.h").read()
+    for name, ours in (("DAB_PROGRAMME_TYPE_TABLE_0", PROGRAMME_TYPES_EU),
+                       ("DAB_PROGRAMME_TYPE_TABLE_1", PROGRAMME_TYPES_NA)):
+        m = re.search(name + r' = std::vector<DAB_Programme_Label>\{(.*?)\};',
+                      txt, re.S)
+        ref = re.findall(r'\{\s*"([^"]*)",\s*"([^"]*)"\s*\}', m.group(1))
+        assert [tuple(p) for p in ours] == ref, name
