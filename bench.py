@@ -179,25 +179,30 @@ def viterbi_worker(batch: int, inner: int, mode: str = "exact",
     else:
         decode = lambda x: vit.viterbi_decode(x, spec)[0]
 
-    def run(x0):
-        def body(x, _):
-            bits = decode(x)                          # (B, nb_data) int8 0/1
-            # fold one decoded bit back into the input: serializes the scan
-            fb = (bits[:, :1] & 1).astype(jnp.int8)
-            x = jax.lax.dynamic_update_slice(x, x[:, :1] ^ fb, (0, 0))
-            return x, bits[:, ::97].astype(jnp.int32).sum()
-        x, sums = jax.lax.scan(body, x0, None, length=inner)
-        return sums.sum() + x[:, 0].astype(jnp.int32).sum()
+    # One jitted step: decode + device-side scalar digest + fold one decoded
+    # bit back into the input (serializes successive calls on device). A
+    # scan-over-decodes inside one jit would amortize dispatch further, but
+    # its compile blows the relay's budget at production batches; per-call
+    # dispatch of a compiled fn stays fast even in degraded sessions
+    # (degradation hits compile, not steady-state dispatch).
+    @jax.jit
+    def step(x):
+        bits = decode(x)                              # (B, nb_data) int8 0/1
+        digest = bits[:, ::97].astype(jnp.int32).sum()
+        fb = (bits[:, :1] & 1).astype(jnp.int8)
+        x2 = jax.lax.dynamic_update_slice(x, x[:, :1] ^ fb, (0, 0))
+        return x2, digest
 
-    fn = jax.jit(run)
     signal.alarm(420)
-    fn(soft)                      # compile (async dispatch)
-    float(np.asarray(fn(soft)))   # warm run, fetch-verified
+    x, d = step(soft)
+    float(np.asarray(d))          # compile + fetch-verified warm run
     signal.alarm(0)
     for rep in range(reps):
         signal.alarm(300)
         t0 = time.time()
-        float(np.asarray(fn(soft)))   # scalar fetch: data-dep on all iters
+        for _ in range(inner):
+            x, d = step(x)
+        float(np.asarray(d))      # scalar fetch: data-dep on every call
         dt = time.time() - t0
         signal.alarm(0)
         mbps = batch * spec.nb_data_bits * inner / dt / 1e6

@@ -1,0 +1,381 @@
+"""Parametric stereo synthesis (HE-AAC v2, ISO/IEC 14496-3 8.6.4.6).
+
+Turns the SBR-reconstructed mono QMF signal into stereo using the decoded
+IID/ICC(/IPD/OPD) parameters from dab.ps. 20-stereo-band configuration (the
+one DAB+ broadcasts use; 34-band streams are reported unsupported and fall
+back to mono duplication upstream).
+
+Structure mirrors the conformant float decoders (ffmpeg aacps, faad2
+ps_dec): hybrid analysis filterbank over the 3 lowest QMF bands (8-band
+complex filter on band 0, 2-band real on bands 1-2, 71 hybrid channels
+total), transient-ducked 3-link allpass decorrelation, per-parameter-band
+2x2 mixing with per-slot linear interpolation between envelope borders, and
+hybrid synthesis by summation. All filter/decorrelator/mixing constants are
+the exact float tables libavcodec generates at runtime, captured by running
+its own ff_ps_init tablegen (tools/extract_aac_tables.py); this module is
+differentially validated against libavcodec's HE-AAC v2 decode at 1024
+(tests/test_ps.py) and then runs unchanged at 960 for DAB+.
+
+The hybrid analysis uses a 13-tap zero-delay (symmetric, 6-slot lookahead)
+filter, so synthesis carries ONE FRAME of latency: process(X, params)
+returns the stereo QMF for the *previous* frame (None on the first call).
+
+Parity surface: the reference decodes PS via faad2 when built with PS
+support (src/dab/audio/aac_audio_decoder.cpp:86-251 builds the HE-AAC v2
+AudioSpecificConfig).
+"""
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from . import aac_tables as T
+
+# 2-band hybrid prototype for QMF bands 1-2 (ISO 14496-3 table 8.34; ffmpeg
+# g1_Q2 — inlined as immediates in libavcodec, so stated here; even taps
+# are zero by construction, center 0.5)
+_G1_Q2 = np.array([0.0, 0.01899487526049, 0.0, -0.07293139167538,
+                   0.0, 0.30596630545168, 0.5], np.float64)
+
+# 20-band configuration constants (libavcodec aacps_float.o .rodata:
+# NR_BANDS/NR_PAR_BANDS/NR_ALLPASS_BANDS/NR_IPDOPD_BANDS/DECAY_CUTOFF/
+# SHORT_DELAY_BAND = [71,91]/[20,34]/[30,50]/[11,17]/[10,32]/[42,62])
+_NB = 71            # hybrid channels
+_NPAR = 20          # stereo parameter bands
+_NAP = 30           # allpass-decorrelated channels
+_NIPD = 11          # ipd/opd parameter bands
+_DECAY_CUTOFF = 10
+_SHORT_DELAY_BAND = 42
+_AP_LINKS = 3
+_MAX_DELAY = 14
+_AP_DELAY = 5
+_DECAY_SLOPE = 0.05
+_PEAK_DECAY_FACTOR = 0.76592833836465
+_A_SMOOTH = 0.25
+_TRANSIENT_IMPACT = 1.5
+# allpass link feedback gains (spec 8.6.4.6.4)
+_A_LINK = np.array([0.65143905753106, 0.56471812200776, 0.48954165955695])
+# link delays {3,4,5} slots -> read offset n+2-m into a 5-slot history
+_LINK_DELAY = np.array([3, 4, 5])
+
+
+def _map_idx_10_to_20(par: np.ndarray, full: bool = True) -> np.ndarray:
+    """5/10/11-band coded resolution -> 10/20-band internal (ffmpeg
+    map_idx_10_to_20): each coded band covers two internal bands."""
+    n = 20 if full else 11
+    out = np.zeros(n, np.int64)
+    top = 10 if full else 5
+    out[:2 * top] = np.repeat(par[:top], 2)
+    return out
+
+
+@dataclass
+class _Params:
+    """One frame's mapped stereo parameters."""
+    ends: List[int]                  # envelope end slots (exclusive)
+    iid: np.ndarray                  # (n_env, 20) int indices
+    icc: np.ndarray
+    ipd: Optional[np.ndarray]        # (n_env, 11) or None
+    opd: Optional[np.ndarray]
+    fine_iid: bool
+    use_hb: bool                     # mixing procedure B (icc_mode >= 3)
+
+
+class PSSynthesis:
+    def __init__(self, n_slots: int = 32):
+        npz = T._npz()
+        f20 = npz["ps_f20_0_8"].astype(np.float64)         # (band, tap, 2)
+        F = np.zeros((8, 13), np.complex128)
+        F[:, :6] = f20[:, :6, 0] + 1j * f20[:, :6, 1]
+        F[:, 6] = f20[:, 6, 0]
+        F[:, 7:] = np.conj(F[:, 5::-1])    # conj-symmetric tail
+        self.F8 = F
+        pf = npz["ps_phi_fract"].astype(np.float64)
+        self.phi = pf[0, :, 0] + 1j * pf[0, :, 1]          # (50,)
+        qf = npz["ps_Q_fract_allpass"].astype(np.float64)
+        self.Q = qf[0, :, :, 0] + 1j * qf[0, :, :, 1]      # (50, 3)
+        self.HA = npz["ps_HA"].astype(np.float64)          # (46, 8, 4)
+        self.HB = npz["ps_HB"].astype(np.float64)
+        self.pd = (npz["ps_pd_re_smooth"].astype(np.float64)
+                   + 1j * npz["ps_pd_im_smooth"].astype(np.float64))
+        self.k_to_i = npz["ps_ff_k_to_i_20"].astype(np.int64)   # (71,)
+        self.n_slots = n_slots
+        # per-band gathering masks for power accumulation
+        self._band_masks = [np.where(self.k_to_i == i)[0] for i in
+                            range(_NPAR)]
+        self.reset()
+
+    def reset(self):
+        n = self.n_slots
+        self.x_prev = None               # (n, 64) prev frame's mono QMF
+        self.pending: Optional[_Params] = None
+        self.lookback = np.zeros((6, 64), np.complex128)
+        self.delay = np.zeros((_NB, _MAX_DELAY), np.complex128)
+        self.ap_delay = np.zeros((_NAP, _AP_LINKS, _AP_DELAY), np.complex128)
+        self.peak_decay_nrg = np.zeros(_NPAR)
+        self.power_smooth = np.zeros(_NPAR)
+        self.peak_decay_diff_smooth = np.zeros(_NPAR)
+        self.H_state = np.zeros((4, _NPAR), np.complex128)
+        self.opd_hist = np.zeros(_NIPD, np.int64)
+        self.ipd_hist = np.zeros(_NIPD, np.int64)
+        self.last_iid = np.zeros(_NPAR, np.int64)
+        self.last_icc = np.zeros(_NPAR, np.int64)
+        self.last_ipd = np.zeros(_NIPD, np.int64)
+        self.last_opd = np.zeros(_NIPD, np.int64)
+        self.last_fine = False
+        self.last_use_hb = False
+
+    # -- parameter mapping --------------------------------------------------
+
+    def map_params(self, d) -> Optional[_Params]:
+        """dab.ps.PSData -> internal 20-band parameters. None if the frame
+        is unusable (34-band modes)."""
+        if d is None:
+            return None
+        if (d.enable_iid and d.iid_mode in (2, 5)) or \
+                (d.enable_icc and d.icc_mode in (2, 5)):
+            raise NotImplementedError("34-band PS")
+        n_env = d.num_env
+        ends = [int(b) + 1 for b in d.border_position[:n_env]]
+        fine = d.iid_mode > 2
+        use_hb = d.icc_mode >= 3
+
+        def rows(par, n_coded, full=True):
+            n = _NPAR if full else _NIPD
+            if par is None:
+                return np.zeros((n_env, n), np.int64)
+            out = []
+            for e in range(min(n_env, par.shape[0])):
+                row = par[e]
+                if n_coded in (10, 5):
+                    row = _map_idx_10_to_20(row, full)
+                out.append(row[:n].astype(np.int64))
+            return np.stack(out) if out else np.zeros((0, n), np.int64)
+
+        from . import ps as _ps
+        iid = rows(d.iid_par, _ps.nr_par(d.iid_mode)) if d.enable_iid \
+            else np.zeros((n_env, _NPAR), np.int64)
+        icc = rows(d.icc_par, _ps.nr_par(d.icc_mode)) if d.enable_icc \
+            else np.zeros((n_env, _NPAR), np.int64)
+        ipd = opd = None
+        if d.enable_ipdopd and d.ipd_par is not None:
+            nipd = int(T._npz()["ps_nr_iidopd_par_tab"][d.iid_mode])
+            ipd = rows(d.ipd_par, nipd, full=False)
+            opd = rows(d.opd_par, nipd, full=False)
+        p = _Params(ends, iid, icc, ipd, opd, fine, use_hb)
+        self._finalize_envelopes(p)
+        return p
+
+    def _finalize_envelopes(self, p: _Params):
+        """Append the constant tail envelope when the last border stops
+        short of the frame (ffmpeg's fake-envelope logic), or synthesize a
+        single envelope from the previous frame's rows when num_env==0."""
+        n = self.n_slots
+        if p.iid.shape[0] == 0:
+            p.iid = self.last_iid[None].copy()
+            p.icc = self.last_icc[None].copy()
+            if p.ipd is not None:
+                p.ipd = self.last_ipd[None].copy()
+                p.opd = self.last_opd[None].copy()
+            p.ends = [n]
+            return
+        if p.ends[-1] < n:
+            p.ends.append(n)
+            p.iid = np.concatenate([p.iid, p.iid[-1:]])
+            p.icc = np.concatenate([p.icc, p.icc[-1:]])
+            if p.ipd is not None:
+                p.ipd = np.concatenate([p.ipd, p.ipd[-1:]])
+                p.opd = np.concatenate([p.opd, p.opd[-1:]])
+        p.ends[-1] = n                   # clamp overlong borders
+
+    # -- filterbanks --------------------------------------------------------
+
+    def hybrid_analysis(self, W: np.ndarray) -> np.ndarray:
+        """W: (n_slots+12, 64) windowed mono QMF (6 history + frame + 6
+        lookahead). Returns s: (71, n_slots) hybrid-domain signal."""
+        n = self.n_slots
+        s = np.empty((_NB, n), np.complex128)
+        # band 0 -> 8 complex sub-bands -> 6 channels
+        win = np.lib.stride_tricks.sliding_window_view(
+            W[:, 0], 13)[:n]                         # (n, 13)
+        Tq = win @ self.F8.T                          # (n, 8)
+        s[0] = Tq[:, 6]
+        s[1] = Tq[:, 7]
+        s[2] = Tq[:, 0]
+        s[3] = Tq[:, 1]
+        s[4] = Tq[:, 2] + Tq[:, 5]
+        s[5] = Tq[:, 3] + Tq[:, 4]
+        # bands 1, 2 -> 2 real-modulated sub-bands each
+        for qmf_band, base, reverse in ((1, 6, True), (2, 8, False)):
+            win = np.lib.stride_tricks.sliding_window_view(
+                W[:, qmf_band], 13)[:n]
+            inphase = _G1_Q2[6] * win[:, 6]
+            op = (win[:, 1::2] + win[:, 11::-2][:, :3]) @ _G1_Q2[1::2]
+            plus, minus = inphase + op, inphase - op
+            if reverse:
+                s[base], s[base + 1] = minus, plus
+            else:
+                s[base], s[base + 1] = plus, minus
+        # bands 3..63: pass-through (zero-delay filter => center tap)
+        s[10:] = W[6:6 + n, 3:64].T
+        return s
+
+    @staticmethod
+    def hybrid_synthesis(s: np.ndarray) -> np.ndarray:
+        """(71, n_slots) hybrid -> (n_slots, 64) QMF by summation."""
+        n = s.shape[1]
+        X = np.zeros((n, 64), np.complex128)
+        X[:, 0] = s[0:6].sum(axis=0)
+        X[:, 1] = s[6] + s[7]
+        X[:, 2] = s[8] + s[9]
+        X[:, 3:] = s[10:].T
+        return X
+
+    # -- decorrelation ------------------------------------------------------
+
+    def decorrelate(self, s: np.ndarray) -> np.ndarray:
+        n = self.n_slots
+        power = np.zeros((_NPAR, n))
+        mag2 = (s.real ** 2 + s.imag ** 2)
+        for i, idx in enumerate(self._band_masks):
+            power[i] = mag2[idx].sum(axis=0)
+        # transient ducker (sequential IIR over slots, vector over bands)
+        gain = np.empty((_NPAR, n))
+        pk, psm, pdds = (self.peak_decay_nrg, self.power_smooth,
+                         self.peak_decay_diff_smooth)
+        for t in range(n):
+            p = power[:, t]
+            pk = np.maximum(_PEAK_DECAY_FACTOR * pk, p)
+            psm = psm + _A_SMOOTH * (p - psm)
+            pdds = pdds + _A_SMOOTH * (pk - p - pdds)
+            denom = _TRANSIENT_IMPACT * pdds
+            gain[:, t] = np.where(denom > psm,
+                                  psm / np.maximum(denom, 1e-30), 1.0)
+        self.peak_decay_nrg, self.power_smooth = pk, psm
+        self.peak_decay_diff_smooth = pdds
+        gain_k = gain[self.k_to_i]                    # (71, n)
+
+        d = np.empty_like(s)
+        # allpass channels
+        ks = np.arange(_NAP)
+        g_decay = np.clip(1.0 - _DECAY_SLOPE * (ks - _DECAY_CUTOFF), 0., 1.)
+        ag = _A_LINK[None, :] * g_decay[:, None]      # (30, 3)
+        dl = np.concatenate([self.delay[:_NAP], s[:_NAP]], axis=1)
+        v_in = dl[:, _MAX_DELAY - 2:_MAX_DELAY - 2 + n] * \
+            self.phi[:_NAP, None]                     # (30, n)
+        ap = np.concatenate([self.ap_delay,
+                             np.zeros((_NAP, _AP_LINKS, n), np.complex128)],
+                            axis=2)
+        Q = self.Q[:_NAP]                             # (30, 3)
+        out_ap = np.empty((_NAP, n), np.complex128)
+        for t in range(n):
+            v = v_in[:, t]
+            for m in range(_AP_LINKS):
+                a = ag[:, m] * v
+                link = ap[:, m, t + _AP_DELAY - _LINK_DELAY[m]]
+                nv = link * Q[:, m] - a
+                ap[:, m, t + _AP_DELAY] = v + ag[:, m] * nv
+                v = nv
+            out_ap[:, t] = v
+        d[:_NAP] = out_ap * gain_k[:_NAP]
+        self.ap_delay = ap[:, :, n:n + _AP_DELAY].copy()
+        # short-delay channels (delay 14) and tail (delay 1)
+        dm = np.concatenate([self.delay[_NAP:], s[_NAP:]], axis=1)
+        d[_NAP:_SHORT_DELAY_BAND] = \
+            dm[:_SHORT_DELAY_BAND - _NAP, :n] * \
+            gain_k[_NAP:_SHORT_DELAY_BAND]
+        d[_SHORT_DELAY_BAND:] = \
+            dm[_SHORT_DELAY_BAND - _NAP:, _MAX_DELAY - 1:_MAX_DELAY - 1 + n] \
+            * gain_k[_SHORT_DELAY_BAND:]
+        self.delay = np.concatenate([self.delay, s], axis=1)[:, n:]
+        return d
+
+    # -- stereo mixing ------------------------------------------------------
+
+    def _h_target(self, p: _Params, e: int):
+        """Per-band 2x2 mixing coefficients for envelope e (complex)."""
+        lut = self.HB if p.use_hb else self.HA
+        iid_idx = np.clip(p.iid[e] + 7 + (23 if p.fine_iid else 0), 0, 45)
+        icc_idx = np.clip(p.icc[e], 0, 7)
+        h = lut[iid_idx, icc_idx].T.astype(np.complex128)  # (4, 20)
+        if p.ipd is not None:
+            b = np.arange(_NIPD)
+            opd_idx = self.opd_hist * 8 + np.clip(p.opd[e], 0, 7)
+            ipd_idx = self.ipd_hist * 8 + np.clip(p.ipd[e], 0, 7)
+            opd_c = self.pd[opd_idx]
+            ipd_c = self.pd[ipd_idx]
+            self.opd_hist = opd_idx & 0x3F
+            self.ipd_hist = ipd_idx & 0x3F
+            ipd_adj = opd_c * np.conj(ipd_c)
+            h[0, b] = h[0, b].real * opd_c
+            h[2, b] = h[2, b].real * opd_c
+            h[1, b] = h[1, b].real * ipd_adj
+            h[3, b] = h[3, b].real * ipd_adj
+        return h
+
+    def stereo_process(self, s: np.ndarray, d: np.ndarray, p: _Params):
+        n = self.n_slots
+        # per-slot interpolated H (4, 20, n)
+        Hs = np.empty((4, _NPAR, n), np.complex128)
+        h_prev = self.H_state
+        start = 0
+        for e in range(len(p.ends)):
+            stop = min(p.ends[e], n)
+            h_tgt = self._h_target(p, e)
+            width = max(stop - start, 1)
+            step = (h_tgt - h_prev) / width
+            if stop > start:
+                j = np.arange(1, stop - start + 1)
+                Hs[:, :, start:stop] = h_prev[:, :, None] + \
+                    step[:, :, None] * j[None, None, :]
+            h_prev = h_tgt
+            start = stop
+        if start < n:                     # borders fell short (clamped)
+            Hs[:, :, start:] = h_prev[:, :, None]
+        self.H_state = h_prev
+        Hk = Hs[:, self.k_to_i]           # (4, 71, n)
+        if p.ipd is not None:
+            # hybrid channels 0,1 are negative-frequency: conjugate phase
+            Hk = Hk.copy()
+            Hk[:, :2] = Hk[:, :2].real - 1j * Hk[:, :2].imag
+        L = Hk[0] * s + Hk[2] * d
+        R = Hk[1] * s + Hk[3] * d
+        return L, R
+
+    # -- top level ----------------------------------------------------------
+
+    def process(self, X: np.ndarray, ps_data):
+        """Feed this frame's mono QMF (n_slots, 64) + its PSData; returns
+        the *previous* frame's stereo QMF (L, R) or None on the first call.
+        ps_data may be None (parameters then hold from the last frame)."""
+        params = None
+        if ps_data is not None:
+            params = self.map_params(ps_data)
+        if params is None:
+            hold = _Params([self.n_slots], self.last_iid[None].copy(),
+                           self.last_icc[None].copy(), None, None,
+                           self.last_fine, self.last_use_hb)
+            params = hold
+        else:
+            self.last_iid = params.iid[-1].copy()
+            self.last_icc = params.icc[-1].copy()
+            if params.ipd is not None:
+                self.last_ipd = params.ipd[-1].copy()
+                self.last_opd = params.opd[-1].copy()
+            self.last_fine = params.fine_iid
+            self.last_use_hb = params.use_hb
+
+        if self.x_prev is None:
+            self.x_prev = X.copy()
+            self.pending = params
+            return None
+        W = np.concatenate([self.lookback, self.x_prev, X[:6]], axis=0)
+        s = self.hybrid_analysis(W)
+        d = self.decorrelate(s)
+        L, R = self.stereo_process(s, d, self.pending)
+        out = (self.hybrid_synthesis(L), self.hybrid_synthesis(R))
+        self.lookback = self.x_prev[-6:].copy()
+        self.x_prev = X.copy()
+        self.pending = params
+        return out

@@ -128,6 +128,67 @@ class ObjectReader:
         raise KeyError(f"no object symbol at section {shndx}+{value:#x}")
 
 
+# (name, shape): the .bss tables ff_ps_init fills, in dump order
+_PS_BSS = [
+    ("f20_0_8", (8, 8, 2)), ("f34_0_12", (8, 12, 2)),
+    ("f34_1_8", (8, 8, 2)), ("f34_2_4", (8, 4, 2)),
+    ("Q_fract_allpass", (2, 50, 3, 2)), ("phi_fract", (2, 50, 2)),
+    ("HA", (46, 8, 4)), ("HB", (46, 8, 4)),
+    ("pd_re_smooth", (512,)), ("pd_im_smooth", (512,)),
+]
+
+_PS_DUMP_C = """
+#include <stdio.h>
+extern void ff_ps_init(void);
+%s
+int main(void) {
+    ff_ps_init();
+%s
+    return 0;
+}
+"""
+
+_PS_STUB_C = """
+int ff_init_vlc_sparse(void) { return 0; }
+void av_log(void) {}
+void ff_psdsp_init(void) {}
+const unsigned char ff_log2_tab[256] = {0};
+"""
+
+
+def _run_ps_tablegen():
+    with tempfile.TemporaryDirectory() as td:
+        for member in ("aacps_float.o", "aacps_common.o"):
+            with open(os.path.join(td, member), "wb") as f:
+                f.write(load_object(ARCHIVE, member))
+        glob_flags = [f"--globalize-symbol={n}" for n, _ in _PS_BSS]
+        subprocess.run(["objcopy", *glob_flags, "aacps_float.o",
+                        "aacps_float_g.o"], cwd=td, check=True)
+        decls, writes = [], []
+        for name, shape in _PS_BSS:
+            dims = "".join(f"[{d}]" for d in shape)
+            decls.append(f"extern float {name}{dims};")
+            writes.append(f"    fwrite({name}, sizeof({name}), 1, stdout);")
+        with open(os.path.join(td, "dump.c"), "w") as f:
+            f.write(_PS_DUMP_C % ("\n".join(decls), "\n".join(writes)))
+        with open(os.path.join(td, "stub.c"), "w") as f:
+            f.write(_PS_STUB_C)
+        subprocess.run(["gcc", "-no-pie", "-o", "dump", "dump.c",
+                        "aacps_float_g.o", "aacps_common.o", "stub.c", "-lm"],
+                       cwd=td, check=True)
+        raw = subprocess.run([os.path.join(td, "dump")], check=True,
+                             capture_output=True).stdout
+    buf = np.frombuffer(raw, np.float32)
+    out, off = {}, 0
+    for name, shape in _PS_BSS:
+        n = int(np.prod(shape))
+        out[name] = buf[off:off + n].reshape(shape).copy()
+        assert np.count_nonzero(out[name]) > 0, f"ps tablegen: {name} empty"
+        off += n
+    assert off == buf.shape[0], (off, buf.shape)
+    return out
+
+
 def main():
     tables = {}
     manifest = {}
@@ -172,8 +233,8 @@ def main():
         "f34_2_4": np.float32, "f20_0_8": np.float32,
         "ipdopd_cos": np.float32, "ipdopd_sin": np.float32,
         "iid_par_dequant": np.float32, "acos_icc_invq": np.float32,
-        "icc_invq": np.float32, "f_center_20": np.float32,
-        "f_center_34": np.float32, "fractional_delay_links": np.float32,
+        "icc_invq": np.float32, "f_center_20": np.int8,
+        "f_center_34": np.int8, "fractional_delay_links": np.float32,
         "g0_Q8": np.float32, "g0_Q12": np.float32, "g1_Q8": np.float32,
         "g2_Q4": np.float32,
     }
@@ -195,6 +256,13 @@ def main():
     for sym in ("num_env_tab", "nr_iidicc_par_tab", "nr_iidopd_par_tab",
                 "huff_offset", "huff_iid", "ff_k_to_i_34", "ff_k_to_i_20"):
         tables[f"ps_{sym}"] = ps_common.array(sym, np.uint8)
+
+    # The PS filterbank / decorrelator / mixing tables live in .bss and are
+    # generated at runtime by ff_ps_init (aacps_tablegen): link the archive
+    # objects into a dump executable, RUN the real tablegen, and capture the
+    # exact float tables libavcodec uses.
+    for name, arr in _run_ps_tablegen().items():
+        tables[f"ps_{name}"] = arr
 
     tables["_manifest"] = np.frombuffer(
         json.dumps(manifest).encode(), dtype=np.uint8)
