@@ -59,6 +59,9 @@ def summarize(rx: DabReceiver, file=sys.stderr):
         if dec is not None and dec.is_available:
             err += (f" pcm_ok={dec.total_decoded}"
                     f" pcm_err={dec.total_errors}")
+            mode = getattr(dec, "pcm_mode", None)
+            if mode:        # "ps-stereo" | degraded "ps-mono-dup"
+                err += f" pcm_mode={mode}"
         print(f"  subchannel {sub_id}: start={sub.start_address} "
               f"len={sub.length}CU {prot} type={kind}{err}", file=file)
 from ..utils.backend import add_backend_flag, apply_backend

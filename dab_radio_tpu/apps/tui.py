@@ -47,35 +47,107 @@ class ChannelStats:
         self.frames += 1
 
 
-def constellation_ascii(demod, sd, width=48, height=12):
-    """DQPSK constellation of the PRS->symbol-1 transition of the last
-    window (cheap, no full re-demod)."""
+def constellation_ascii(demod, sd, width=48, height=12, nb_transitions=8):
+    """DQPSK constellation sampled from symbol transitions across the WHOLE
+    frame (the reference plots every demodulated symbol,
+    render_ofdm_demod.cpp:149-214; here every ~10th transition keeps the
+    per-frame numpy cost negligible)."""
     if sd.last_window is None:
         return ["(no frame yet)"]
     p = demod.params
     w = sd.last_window
     if w.shape[0] < p.nb_null_period + 2 * p.nb_symbol_period:
         return ["(window too short)"]
-    f0 = np.fft.fft(w[p.nb_null_period + p.nb_cyclic_prefix:
-                      p.nb_null_period + p.nb_cyclic_prefix + p.nb_fft])
-    s1 = p.nb_null_period + p.nb_symbol_period
-    f1 = np.fft.fft(w[s1 + p.nb_cyclic_prefix:
-                      s1 + p.nb_cyclic_prefix + p.nb_fft])
-    d = f1 * np.conj(f0)
     bins = np.concatenate([np.arange(1, p.nb_data_carriers // 2 + 1),
                            np.arange(p.nb_fft - p.nb_data_carriers // 2,
                                      p.nb_fft)])
-    pts = d[bins]
+    last_sym = p.nb_frame_symbols - 2
+    syms = sorted(set(np.linspace(0, last_sym, nb_transitions).astype(int)))
+    pts = []
+    for k in syms:
+        s0 = p.nb_null_period + k * p.nb_symbol_period + p.nb_cyclic_prefix
+        s1 = s0 + p.nb_symbol_period
+        if s1 + p.nb_fft > w.shape[0]:
+            break
+        f0 = np.fft.fft(w[s0:s0 + p.nb_fft])
+        f1 = np.fft.fft(w[s1:s1 + p.nb_fft])
+        pts.append((f1 * np.conj(f0))[bins])
+    if not pts:
+        return ["(window too short)"]
+    pts = np.concatenate(pts)
     m = np.abs(pts).max() or 1.0
     pts = pts / m
     grid = [[" "] * width for _ in range(height)]
-    for z in pts[:: max(1, pts.shape[0] // 512)]:
+    for z in pts[:: max(1, pts.shape[0] // 2048)]:
         x = int((z.real * 0.45 + 0.5) * (width - 1))
         y = int((-z.imag * 0.45 + 0.5) * (height - 1))
         if 0 <= x < width and 0 <= y < height:
             grid[y][x] = "."
     grid[height // 2][width // 2] = "+"
     return ["".join(row) for row in grid]
+
+
+_BLOCKS = " ▁▂▃▄▅▆▇█"
+
+
+def _spark(vals, width=56):
+    """One-line block-character sparkline (max-pooled to width)."""
+    v = np.asarray(vals, np.float64)
+    v = np.where(np.isfinite(v), v, np.nanmin(v[np.isfinite(v)])
+                 if np.isfinite(v).any() else 0.0)
+    if v.size == 0:
+        return "(no data)"
+    if v.size >= width:
+        k = v.size // width
+        v = v[:k * width].reshape(width, k).max(axis=1)
+    lo, hi = float(v.min()), float(v.max())
+    span = max(hi - lo, 1e-9)
+    idx = np.clip(((v - lo) / span * 8).astype(int), 0, 8)
+    return "".join(_BLOCKS[i] for i in idx)
+
+
+def diagnostics_lines(demod, sd, width=56):
+    """Live per-frame sparkline panels of every render_ofdm_demod.cpp plot:
+    fine-time impulse response, coarse-frequency PRS correlation, and the
+    null/data symbol spectra (reference
+    examples/gui/ofdm/render_ofdm_demod.cpp:39-336), recomputed in numpy
+    from the last frame window each refresh."""
+    if sd.last_window is None:
+        return []
+    from ..ops.iq import pairs_to_complex_np
+    p = demod.params
+    w = np.asarray(sd.last_window)
+    if w.shape[0] < p.nb_null_period + 2 * p.nb_symbol_period:
+        return []
+    c = sd.carry
+    freq = float(c.freq_coarse) + float(c.freq_fine) \
+        if np.ndim(c.freq_coarse) == 0 else 0.0
+    prs = w[p.nb_null_period:p.nb_null_period + p.nb_fft]
+    prs = prs * np.exp(2j * np.pi * freq * np.arange(p.nb_fft))
+    # fine-time PRS matched-filter impulse (ops/sync.py fine_time_offset)
+    ref = pairs_to_complex_np(demod.prs_fft_conj)
+    imp_db = 20 * np.log10(
+        np.abs(np.fft.ifft(np.fft.fft(prs) * ref)) + 1e-12)
+    # coarse-frequency response (relative-phase correlation spectrum)
+    spec = np.fft.fft(prs)
+    rel = np.conj(spec[:-1]) * spec[1:]
+    rel = np.concatenate([rel, np.zeros(1, rel.dtype)])
+    corr = np.fft.fft(np.fft.ifft(rel)
+                      * pairs_to_complex_np(demod.prs_time_corr_ref))
+    fr_db = 20 * np.log10(np.abs(np.fft.fftshift(corr)) + 1e-12)
+    null_db = 20 * np.log10(
+        np.abs(np.fft.fftshift(np.fft.fft(w[:p.nb_fft]))) + 1e-12)
+    s2 = p.nb_null_period + p.nb_symbol_period + p.nb_cyclic_prefix
+    data_db = 20 * np.log10(np.abs(np.fft.fftshift(
+        np.fft.fft(w[s2:s2 + p.nb_fft]))) + 1e-12)
+    lines = []
+    for name, arr in (("fine-time impulse", imp_db),
+                      ("coarse-freq corr", fr_db),
+                      ("null symbol PSD", null_db),
+                      ("data symbol PSD", data_db)):
+        lines.append(f"  {name:<18s}[{arr.min():7.1f},{arr.max():7.1f}]dB "
+                     + _spark(arr, width))
+    return lines
 
 
 def _controls_tag(ch):
@@ -100,6 +172,8 @@ def _codec_tag(ch):
     dec = getattr(ch, "_audio_decoder", None)
     if dec is not None and dec.is_available:
         tag += f" pcm={dec.total_decoded}/{dec.total_errors}e"
+        if getattr(dec, "pcm_mode", None) == "ps-mono-dup":
+            tag += " [PS DEGRADED: mono-dup]"
     return tag
 
 
@@ -160,8 +234,12 @@ def render_lines(demod, sd, rx, stats, nb_frames, t0, show_constellation=True,
         lines.append(f"  {sid:04X} '{svc.label:<16s}' {kind:5s} {prot:8s}"
                      f"{meta}{extra}")
     if show_constellation:
-        lines.append("constellation (sym1 x PRS, DQPSK):")
+        lines.append("constellation (DQPSK, whole frame):")
         lines.extend("  " + r for r in constellation_ascii(demod, sd))
+        diag = diagnostics_lines(demod, sd)
+        if diag:
+            lines.append("sync diagnostics (live, per frame):")
+            lines.extend(diag)
     table = get_profiler().table()
     if table:
         lines.append("profiler (per stage):")

@@ -211,7 +211,8 @@ class PSSynthesis:
             win = np.lib.stride_tricks.sliding_window_view(
                 W[:, qmf_band], 13)[:n]
             inphase = _G1_Q2[6] * win[:, 6]
-            op = (win[:, 1::2] + win[:, 11::-2][:, :3]) @ _G1_Q2[1::2]
+            # symmetric odd-tap pairs (1,11),(3,9),(5,7); even taps are zero
+            op = (win[:, [1, 3, 5]] + win[:, [11, 9, 7]]) @ _G1_Q2[[1, 3, 5]]
             plus, minus = inphase + op, inphase - op
             if reverse:
                 s[base], s[base + 1] = minus, plus

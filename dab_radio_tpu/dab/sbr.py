@@ -746,6 +746,9 @@ class SBRDecoder:
         self.dsp = [_ChannelDSP(num_time_slots) for _ in range(nch)]
         self._ft_seen = None
         self._align = None
+        self._ps = None                 # ps_synth.PSSynthesis when active
+        self._ps_syn = None
+        self.ps_unsupported = False     # 34-band PS seen: mono fallback
 
     # -- public ------------------------------------------------------------
 
@@ -766,8 +769,8 @@ class SBRDecoder:
             for d in self.dsp:
                 d.reset(len(ft.f_noise) - 1)
         nch = core_pcm.shape[1]
-        out = np.zeros((core_pcm.shape[0] * 2, nch), np.float64)
         e_origs = self._dequant(frame) if frame is not None else None
+        Xs = []
         for c in range(nch):
             d = self.dsp[min(c, len(self.dsp) - 1)]
             W = d.analysis.process(core_pcm[:, c])
@@ -777,7 +780,15 @@ class SBRDecoder:
             if frame is None or ft is None:
                 X = np.zeros((2 * self.nts, 64), np.complex128)
                 X[:, :32] = x[_T_HF_ADJ:_T_HF_ADJ + 2 * self.nts]
-                out[:, c] = d.synthesis.process(X)
+                # an unparseable frame right after an envelope that spilled
+                # past the frame boundary still owes the carried high-band
+                # slots (round-2 ADVICE #4)
+                if d.spill and ft is not None:
+                    kx_ = ft.kx
+                    X[:d.spill, kx_:] = d.y_prev[
+                        2 * self.nts:2 * self.nts + d.spill, kx_:]
+                    d.spill = 0
+                Xs.append(X)
                 continue
             cd = frame.channels[min(c, len(frame.channels) - 1)]
             e_orig, q_orig = e_origs[min(c, len(e_origs) - 1)]
@@ -793,7 +804,36 @@ class SBRDecoder:
             X[spill:, kx:] = Y[spill:2 * self.nts, kx:]
             d.y_prev = Y
             d.spill = max(0, 2 * cd.t_env[-1] - 2 * self.nts)
-            out[:, c] = d.synthesis.process(X)
+            Xs.append(X)
+
+        # parametric stereo: mono SCE + PS params -> true stereo (one frame
+        # of filterbank latency; ps_synth.py). 34-band PS streams fall back
+        # to duplicated mono and raise the ps_unsupported flag.
+        ps_data = frame.ps if frame is not None else None
+        if not self.is_cpe and (self._ps is not None or ps_data is not None):
+            if self._ps is None:
+                from .ps_synth import PSSynthesis
+                self._ps = PSSynthesis(2 * self.nts)
+                self._ps_syn = [SynthesisQMF(), SynthesisQMF()]
+            try:
+                res = self._ps.process(Xs[0], ps_data)
+                out = np.zeros((core_pcm.shape[0] * 2, 2), np.float64)
+                if res is not None:
+                    out[:, 0] = self._ps_syn[0].process(res[0])
+                    out[:, 1] = self._ps_syn[1].process(res[1])
+                nch = 2
+            except NotImplementedError:
+                self.ps_unsupported = True
+                self._ps = None
+                out = np.zeros((core_pcm.shape[0] * 2, nch), np.float64)
+                for c in range(nch):
+                    out[:, c] = self.dsp[min(c, len(self.dsp) - 1)] \
+                        .synthesis.process(Xs[c])
+        else:
+            out = np.zeros((core_pcm.shape[0] * 2, nch), np.float64)
+            for c in range(nch):
+                out[:, c] = self.dsp[min(c, len(self.dsp) - 1)] \
+                    .synthesis.process(Xs[c])
         # one-sample delay matching the conformant decoder's output timing
         # (measured against libavcodec HE-AAC@1024: lag exactly -1)
         if self._align is None or self._align.shape[1] != nch:

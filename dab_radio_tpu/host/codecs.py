@@ -93,7 +93,8 @@ class AACDecoder(_Decoder):
 
     def __init__(self, header: SuperFrameHeader):
         self.header = header
-        # PS streams carry a mono SCE core; output duplicates to stereo
+        self.pcm_mode = None      # "ps-stereo" | "ps-mono-dup" once decoding
+        # PS streams carry a mono SCE core; ps_synth reconstructs stereo
         self.core_channels = 2 if (header.is_stereo and not header.ps) else 1
         super().__init__(0, _core_lc_asc(header.core_sample_rate,
                                          self.core_channels))
@@ -123,6 +124,7 @@ class AACDecoder(_Decoder):
                 return out
             pcm, rate, ch = out
             if ch == 1:
+                self.pcm_mode = "ps-mono-dup"
                 pcm = np.repeat(pcm.reshape(-1, 1), 2, axis=1).reshape(-1)
                 ch = 2
             return pcm, rate, ch
@@ -150,7 +152,16 @@ class AACDecoder(_Decoder):
             up = self._sbr.decode_frame(core, None)
         self.total_decoded += 1
         out16 = np.clip(up, -32768, 32767).astype(np.int16)
-        if self.header.ps or (self.header.is_stereo and ch == 1):
+        if self.header.ps:
+            # true parametric-stereo synthesis gives 2 channels from the
+            # mono core (dab/ps_synth.py); mono duplication only remains
+            # for unsupported 34-band PS streams — surfaced via pcm_mode
+            if out16.shape[1] == 2:
+                self.pcm_mode = "ps-stereo"
+            else:
+                self.pcm_mode = "ps-mono-dup"
+                out16 = np.repeat(out16[:, :1], 2, axis=1)
+        elif self.header.is_stereo and ch == 1:
             out16 = np.repeat(out16[:, :1], 2, axis=1)
         return out16.reshape(-1), self.header.sampling_rate, out16.shape[1] \
             if out16.ndim > 1 else 1

@@ -135,9 +135,17 @@ class ToneAudioSource:
             ft = S.make_freq_tables(sh, header.sampling_rate)
             env = np.full(ft.n[1], 48, np.int64)     # 1.5 dB: 2^(48/2+7)
             noise = np.full(len(ft.f_noise) - 1, 13, np.int64)
+            ps_data = None
+            if header.ps:
+                # HE-AAC v2: IID left-pan so receivers can assert true
+                # stereo reconstruction (dab/ps_synth.py)
+                from ..dab.ps import PSData, nr_par
+                ps_data = PSData(enable_iid=True, iid_mode=1, num_env=1)
+                ps_data.iid_par = np.full((1, nr_par(1)), 4, np.int64)
             sbr_payload, sbr_bits = S.build_sbr_payload(
                 sh, header.sampling_rate, 15,
-                [[env]] * ch, [[noise]] * ch, is_cpe=(ch == 2))
+                [[env]] * ch, [[noise]] * ch, is_cpe=(ch == 2),
+                ps_data=ps_data)
         self._au = encode_au_960(
             _SAMPLE_RATE_INDEX[core], coeffs, global_gain,
             dse_payload=bytes(xpad) + bytes(fpad),

@@ -162,6 +162,11 @@ def test_tui_plain_dashboard(tmp_path):
     assert "Radio TPU 1" in out and "Radio TPU 2" in out
     assert "aus=" in out
     assert "constellation" in out
+    # live sync-diagnostic sparklines (all render_ofdm_demod views)
+    assert "fine-time impulse" in out
+    assert "coarse-freq corr" in out
+    assert "null symbol PSD" in out
+    assert "data symbol PSD" in out
 
 
 @pytest.mark.slow

@@ -111,3 +111,26 @@ def test_sbr_high_band_energy_present():
     # the crafted envelope places audible energy in the SBR band
     tone = F[(fr > 400) & (fr < 700)].sum()
     assert hi > 1e-6 * tone
+
+
+def test_dab_plus_he_aac_v2_ps_tone_to_true_stereo():
+    """HE-AAC v2 (SBR + parametric stereo): mono core + IID pan must decode
+    to TRUE stereo (not duplicated mono) via dab/ps_synth.py. The
+    transmitter writes a left-leaning IID pan (iid index 4 ~ +10 dB L/R)."""
+    svc = ServiceSpec(
+        service_id=0xF125, subchannel_id=5, label="Radio TPU PS",
+        cfg=SubchannelConfig(0, 48, False, eep_type="A", eep_prot_level=2),
+        superframe_header=SuperFrameHeader(48000, False, True, True, 0))
+    pcm_chunks, meta = _run_chain(svc, nb_frames=30)
+    assert pcm_chunks, "no PCM decoded"
+    assert meta["nch"] == 2
+    pcm = np.concatenate(pcm_chunks).reshape(-1, 2).astype(np.float64)
+    pcm = pcm[len(pcm) // 2:]
+    l_rms = pcm[:, 0].std()
+    r_rms = pcm[:, 1].std()
+    assert l_rms > 100, "left channel silent"
+    # true stereo: the IID pan makes L distinctly louder than R, and the
+    # channels are not byte-identical duplicates
+    assert l_rms > 1.5 * r_rms, (l_rms, r_rms)
+    diff = np.abs(pcm[:, 0] - pcm[:, 1]).max()
+    assert diff > 100, "channels are duplicated mono"

@@ -142,3 +142,75 @@ def test_coldstart_timesharded_acquisition():
         assert len(mesh_frames) >= len(seq_frames) - 2
         for mf, sf in zip(mesh_frames, seq_frames):
             np.testing.assert_array_equal(mf > 0, np.asarray(sf) > 0)
+
+
+def test_multichip_heterogeneous_subchannels_bit_exact():
+    """ONE padded sharded program decodes mixed EEP-A / UEP / EEP-B
+    subchannels bit-identically to the per-subchannel host decoders
+    (round-2 VERDICT #5; reference msc_decoder.cpp:77-154)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dab_radio_tpu.parallel.mesh import (make_receiver_mesh,
+                                             multichip_receiver_step)
+    from dab_radio_tpu.models.transmitter import (EnsembleTransmitter,
+                                                  ServiceSpec)
+    from dab_radio_tpu.params import SubchannelConfig, get_dab_params
+    from dab_radio_tpu.dab.msc import MSCDecoder
+    from dab_radio_tpu.ops.iq import iq_pairs
+
+    mode = 2
+    dab = get_dab_params(mode)
+    mesh = make_receiver_mesh(4, axis_sizes=(1, 2, 2))
+    F = 20
+    shapes = [
+        SubchannelConfig(0, 12, False, eep_type="A", eep_prot_level=2),
+        SubchannelConfig(12, 16, True, uep_table_index=0),
+        SubchannelConfig(28, 21, False, eep_type="B", eep_prot_level=1),
+        SubchannelConfig(49, 12, False, eep_type="A", eep_prot_level=0),
+    ]
+    step, (carry, hist, _) = multichip_receiver_step(
+        mesh, mode, F // 2, subchannels_per_shard=2,
+        ensembles_per_shard=1, subchannel_cfgs=shapes)
+
+    tx = EnsembleTransmitter(
+        mode, ensemble_id=0xC0AA, ensemble_label="HET",
+        services=[ServiceSpec(0xF000 + s, s, f"S{s}", shapes[s])
+                  for s in range(4)])
+    fb, fi = [], []
+    for _ in range(F):
+        fb.append(np.asarray(tx.next_frame_bits()))
+        fi.append(tx.modulate_frame_bits(fb[-1]))
+    frame_bits = np.stack(fb)[None]
+    iq = np.concatenate(fi)[None]
+
+    iq_sharded = jax.device_put(jnp.asarray(iq_pairs(iq)),
+                                NamedSharding(mesh, P("ens", "time")))
+    carry, hist, out = step(carry, hist, iq_sharded)
+    msc_bits = np.asarray(jax.device_get(out["msc_bits"]))
+
+    warm = 16
+    for s, cfg in enumerate(shapes):
+        dec = MSCDecoder(cfg)
+        cifs = frame_bits[0, :, dab.nb_fic_bits:].reshape(
+            F * dab.nb_cifs, dab.nb_cif_bits)
+        nb = step.msc_nb_data_bits[s]
+        for c in range(F * dab.nb_cifs):
+            ref = dec.decode_cif(cifs[c])
+            if c < warm:
+                continue
+            got = np.packbits(msc_bits[0, s, c][:nb].astype(np.uint8)
+                              ).tobytes()
+            assert got == ref, (s, c)
+
+
+def test_make_receiver_mesh_factorisation_policy():
+    """Published policy: 'sub' and 'time' each take one factor of 2 when
+    available, the rest is 'ens' (the north-star data-parallel axis);
+    odd/prime counts are pure 'ens'."""
+    from dab_radio_tpu.parallel.mesh import make_receiver_mesh
+    expect = {1: (1, 1, 1), 2: (1, 1, 2), 3: (3, 1, 1), 4: (1, 2, 2),
+              5: (5, 1, 1), 6: (3, 1, 2), 7: (7, 1, 1), 8: (2, 2, 2)}
+    for n, (ens, time, sub) in expect.items():
+        m = make_receiver_mesh(n)
+        assert (m.shape["ens"], m.shape["time"], m.shape["sub"]) == \
+            (ens, time, sub), (n, dict(m.shape))

@@ -241,8 +241,9 @@ def run_fused(args, iq):
                             fibs.append(bytes(fib[:30]))
                 rx[b].ingest_fibs(fibs)
             for s_ in range(S):
+                nb = step.msc_nb_data_bits[s_] // 8
                 for c in range(msc_bytes.shape[2]):
-                    payload = msc_bytes[b, s_, c].tobytes()
+                    payload = msc_bytes[b, s_, c][:nb].tobytes()
                     res = sfp[b][s_].process_frame(payload)
                     if res is not None:
                         aus[0] += len(res[1])
