@@ -131,14 +131,19 @@ class RawDataBlockWalker:
         return bw.tobytes()
 
     def _is_sbr_fill(self, au: bytes, el: Element) -> bool:
+        """True if ANY extension_payload in this FIL is SBR (it may sit
+        after a data-element/DRC extension)."""
+        class _Probe:
+            sbr = None
+        probe = _Probe()
+        probe.sbr = []
         br = BitReader(au, el.bit_start)
         br.skip(3)
-        cnt = br.read(4)
-        if cnt == 15:
-            cnt += br.read(8) - 1
-        if cnt == 0:
+        try:
+            self._fill(br, probe, last_audio=None)
+        except Exception:
             return False
-        return br.read(4) in (EXT_SBR_DATA, EXT_SBR_DATA_CRC)
+        return bool(probe.sbr)
 
     # ---- element parsers ----
 
@@ -153,6 +158,10 @@ class RawDataBlockWalker:
             raise WalkError("fill element overrun")
 
     def _extension_payload(self, br: BitReader, nbits: int, res, last_audio):
+        """Parse one extension_payload with its spec length so an
+        EXT_SBR_DATA is found at any position within a FIL, even after a
+        data-element or DRC extension (round-2 ADVICE: consuming the whole
+        fill for any non-SBR type silently dropped trailing SBR)."""
         ext = br.read(4)
         if ext in (EXT_SBR_DATA, EXT_SBR_DATA_CRC):
             payload_bits = nbits - 4
@@ -165,12 +174,43 @@ class RawDataBlockWalker:
                 bw.write(br.read(rem), rem)
             res.sbr.append(SBRPayload(bw.tobytes(), payload_bits,
                                       ext == EXT_SBR_DATA_CRC, last_audio))
+        elif ext == EXT_DATA_ELEMENT:
+            # data_element_version(4); v0 has an explicit byte length —
+            # consume exactly it so later extensions in this FIL survive
+            if br.read(4) == 0:
+                ln = 0
+                while True:
+                    part = br.read(8)
+                    ln += part
+                    if part != 255:
+                        break
+                br.skip(8 * ln)
+            else:
+                br.skip(nbits - 8)
         elif ext == EXT_DYNAMIC_RANGE:
-            # skip: parse-free byte skip is unsafe (variable length), but DRC
-            # payload always fills the remainder of this extension
-            br.skip(nbits - 4)
+            self._dynamic_range_info(br)
         else:
+            # EXT_FILL / EXT_FILL_DATA / unknown: pads the remainder
             br.skip(nbits - 4)
+
+    @staticmethod
+    def _dynamic_range_info(br: BitReader):
+        """dynamic_range_info() (ISO 14496-3 4.5.2.7): definite length."""
+        drc_num_bands = 1
+        if br.read1():                     # pce instance tag present
+            br.skip(8)
+        if br.read1():                     # excluded channels present
+            while True:
+                br.skip(7)
+                if not br.read1():
+                    break
+        if br.read1():                     # band info present
+            drc_num_bands += br.read(4)
+            br.skip(4)                     # interpolation scheme
+            br.skip(8 * drc_num_bands)     # band tops
+        if br.read1():                     # prog ref level present
+            br.skip(8)
+        br.skip(8 * drc_num_bands)         # dyn_rng_sgn/ctl per band
 
     def _dse(self, br: BitReader):
         byte_align = br.read1()

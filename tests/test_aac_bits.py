@@ -141,3 +141,45 @@ def test_bitreader_writer_roundtrip():
     br = BitReader(data)
     for v, n in vals:
         assert br.read(n) == v
+
+
+def test_sbr_found_after_other_extensions_in_fil():
+    """A FIL whose SBR extension sits AFTER a data-element and a DRC
+    extension must still yield the SBR payload (round-2 ADVICE: the old
+    parser consumed the whole fill on the first non-SBR type)."""
+    from dab_radio_tpu.dab.aac_bits import EXT_DATA_ELEMENT, EXT_DYNAMIC_RANGE
+    bw = BitWriter()
+    bw.write(CPE, 3).write(0, 4)
+    bw.write(0, 1)
+    for _ in range(2):
+        bw.write(100, 8)
+        bw.write(0, 1).write(0, 2).write(0, 1)
+        bw.write(0, 6).write(0, 1)
+        bw.write(0, 1).write(0, 1).write(0, 1)
+    payload = bytes([0xA5, 0x5A, 0xC3, 0x3C, 0x81])
+    # extensions: data_element(v0, 2 bytes) + DRC(minimal) + SBR
+    ext = BitWriter()
+    ext.write(EXT_DATA_ELEMENT, 4).write(0, 4)    # version 0
+    ext.write(2, 8)                               # 2 data bytes
+    ext.write(0xDE, 8).write(0xAD, 8)
+    ext.write(EXT_DYNAMIC_RANGE, 4)
+    ext.write(0, 1).write(0, 1).write(0, 1).write(0, 1)  # no optional parts
+    ext.write(0x42, 8)                            # one band's dyn_rng
+    ext.write(EXT_SBR_DATA, 4)
+    for b in payload:
+        ext.write(b, 8)
+    cnt = (len(ext) + 7) // 8
+    bw.write(FIL, 3).write(cnt, 4)
+    nbits = len(ext)
+    bw.extend(ext)
+    bw.write(0, 8 * cnt - nbits)
+    bw.write(7, 3)
+    bw.align()
+    au = bw.tobytes()
+
+    w = RawDataBlockWalker(sampling_index=6, frame_len=960)
+    res = w.walk(au)
+    assert res.has_sbr and len(res.sbr) == 1
+    assert res.sbr[0].data[:5] == payload
+    core = w.strip_sbr(au, res)
+    assert not w.walk(core).has_sbr
