@@ -297,8 +297,8 @@ def main():
 
     # Stage 3: fleet — resident (chip-bound) then honest-ingest (link-bound)
     fleet_tool = os.path.join(here, "tools", "bench_fleet.py")
-    for extra, key in ((["--fused", "--resident", "--frames", "80",
-                         "--frames-per-step", "8"], "fleet_resident_rt"),
+    for extra, key in ((["--fused", "--resident", "--frames", "160",
+                         "--frames-per-step", "16"], "fleet_resident_rt"),
                        (["--fused", "--frames", "80",
                          "--frames-per-step", "8"], "fleet_rt_ensembles"),
                        (["--fused", "--frames", "40",

@@ -47,6 +47,27 @@ def crc16_check(data_with_crc) -> bool:
     return crc16(buf[:-2]) == rx
 
 
+def crc16_batch(data: np.ndarray, poly: int = 0x1021, init: int = 0xFFFF,
+                final_xor: int = 0xFFFF) -> np.ndarray:
+    """Vectorized CRC16 over rows: (B, L) uint8 -> (B,) uint16. The byte
+    loop runs L numpy steps over all rows at once (the serving fleet checks
+    thousands of FIBs per round; scalar crc16 was the host hot spot)."""
+    d = np.asarray(data, dtype=np.uint8)
+    lut = _crc16_table(poly)
+    crc = np.full(d.shape[0], init, np.uint32)
+    for i in range(d.shape[1]):
+        crc = ((crc << 8) & 0xFFFF) ^ lut[((crc >> 8) ^ d[:, i]) & 0xFF]
+    return (crc ^ final_xor).astype(np.uint16)
+
+
+def crc16_check_batch(data_with_crc: np.ndarray) -> np.ndarray:
+    """(B, L) rows whose last two bytes are the big-endian CRC16 ->
+    (B,) bool validity mask."""
+    d = np.asarray(data_with_crc, dtype=np.uint8)
+    rx = (d[:, -2].astype(np.uint32) << 8) | d[:, -1]
+    return crc16_batch(d[:, :-2]) == rx
+
+
 def firecode_crc16(data) -> int:
     """DAB+ firecode (ETSI TS 102 563): poly 0x782F, init 0, no final xor."""
     return crc16(data, poly=0x782F, init=0x0000, final_xor=0x0000)

@@ -230,16 +230,16 @@ def run_fused(args, iq):
     pack = jax.jit(lambda o: (_pack(o["fib_bits"]), _pack(o["msc_bits"])))
 
     def consume(fib_bytes, msc_bytes):
+        from dab_radio_tpu.ops.crc import crc16_check_batch
+        B2, F2, G2, nbytes = fib_bytes.shape
+        fibs_all = fib_bytes.reshape(B2, F2, -1, 32)
+        ok = crc16_check_batch(fibs_all.reshape(-1, 32)) \
+            .reshape(B2, F2, fibs_all.shape[2])
         for b in range(N):
-            for f in range(fib_bytes.shape[1]):
-                fibs = []
-                for g in range(fib_bytes.shape[2]):
-                    data = fib_bytes[b, f, g]
-                    for k2 in range(dab.nb_fibs_per_cif):
-                        fib = data[k2 * 32:(k2 + 1) * 32]
-                        if crc16_check(fib):
-                            fibs.append(bytes(fib[:30]))
-                rx[b].ingest_fibs(fibs)
+            for f in range(F2):
+                rx[b].ingest_fibs(
+                    [bytes(fib[:30]) for fib, o
+                     in zip(fibs_all[b, f], ok[b, f]) if o])
             for s_ in range(S):
                 nb = step.msc_nb_data_bits[s_] // 8
                 for c in range(msc_bytes.shape[2]):
