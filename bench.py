@@ -271,29 +271,27 @@ def main():
                         batch=best["batch"], sync=best["sync"])
             emit()
 
+    def viterbi_stage(configs):
+        for vb, vi, mode, reps in configs:
+            if _remaining() < 90:
+                break
+            if mode.startswith("tiled") and line.get("viterbi_mbps", 0) > 0:
+                break            # tiled is only the no-exact-result fallback
+            for res in _run_sub([me, "--viterbi-worker", str(vb), str(vi),
+                                 mode, str(reps)],
+                                timeout=min(420, max(_remaining(), 90))):
+                if res["viterbi_mbps"] > line.get("viterbi_mbps", 0.0):
+                    line["viterbi_mbps"] = res["viterbi_mbps"]
+                    line["viterbi_mode"] = res["mode"]
+                    line["viterbi_batch"] = res["batch"]
+            emit()
+
     # Stage 1: one demod rung -> headline value on record ASAP
     demod_stage(128, 30, 0, cap=300)
 
-    # Stage 2: Viterbi ladder (exact first; tiled fallback only if exact
-    # failed to produce a number)
-    for vb, vi, mode, reps in ((16384, 8, "exact", 3),
-                               (20480, 6, "exact", 2),
-                               (8192, 10, "tiled512", 2)):
-        if _remaining() < 90:
-            break
-        if mode.startswith("tiled") and line.get("viterbi_mbps", 0) > 0:
-            break
-        if line.get("viterbi_mbps", 0) >= 150 and vb == 20480 and \
-                _remaining() < 240:
-            break
-        for res in _run_sub([me, "--viterbi-worker", str(vb), str(vi), mode,
-                             str(reps)],
-                            timeout=min(420, max(_remaining(), 90))):
-            if res["viterbi_mbps"] > line.get("viterbi_mbps", 0.0):
-                line["viterbi_mbps"] = res["viterbi_mbps"]
-                line["viterbi_mode"] = res["mode"]
-                line["viterbi_batch"] = res["batch"]
-        emit()
+    # Stage 2: one Viterbi config (more only if budget survives stage 3 —
+    # each new batch shape costs a fresh relay compile)
+    viterbi_stage([(16384, 8, "exact", 3), (8192, 10, "tiled512", 2)])
 
     # Stage 3: fleet — resident (chip-bound) then honest-ingest (link-bound)
     fleet_tool = os.path.join(here, "tools", "bench_fleet.py")
@@ -318,9 +316,11 @@ def main():
                     line["fleet_resident_mode"] = res.get("mode", "fused")
         emit()
 
-    # Stage 4: extra demod rungs with whatever budget is left
+    # Stage 4: spend any leftover budget widening the ladders
+    if _remaining() > 300 and line.get("viterbi_mbps", 0) < 150:
+        viterbi_stage([(20480, 6, "exact", 2)])
     for batch, iters, chunk in ((64, 50, 0), (256, 15, 19)):
-        if _remaining() < 90:
+        if _remaining() < 150:
             break
         demod_stage(batch, iters, chunk, cap=240)
 
