@@ -178,7 +178,8 @@ def _huff_offset(h: Huffman) -> int:
 
 def write_ps_data(bw: BitWriter, d: PSData, nts: int = 32,
                   send_header: bool = True):
-    """Serialize one PS frame (delta-freq coding, FIX grid)."""
+    """Serialize one PS frame (delta-freq coding; FIX grid, or VAR when
+    d.frame_class=1 with explicit d.border_position end slots)."""
     bw.write(1 if send_header else 0, 1)
     if send_header:
         bw.write(int(d.enable_iid), 1)
@@ -188,10 +189,15 @@ def write_ps_data(bw: BitWriter, d: PSData, nts: int = 32,
         if d.enable_icc:
             bw.write(d.icc_mode, 3)
         bw.write(0, 1)                       # enable_ext
-    bw.write(0, 1)                           # frame_class FIX
+    bw.write(d.frame_class, 1)
     num_env_tab = T._npz()["ps_num_env_tab"]
-    idx = [i for i in range(4) if num_env_tab[i] == d.num_env][0]
+    base = 4 * d.frame_class
+    idx = [i for i in range(4)
+           if num_env_tab[base + i] == d.num_env][0]
     bw.write(idx, 2)
+    if d.frame_class:
+        for b in d.border_position[:d.num_env]:
+            bw.write(int(b), 5)
 
     def pars(rows, huff_df):
         offset = _huff_offset(huff_df)

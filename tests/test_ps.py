@@ -137,7 +137,8 @@ def _encode_mono_lc(lib, sig, rate=24000):
     return aus, fs
 
 
-@pytest.mark.parametrize("variant", ["pan", "icc", "ipdopd", "fine"])
+@pytest.mark.parametrize("variant", ["pan", "icc", "ipdopd", "fine",
+                                     "coarse10", "vargrid"])
 def test_ps_synthesis_differential_vs_libavcodec_1024(variant):
     """Full-chain stereo oracle: our PS synthesis (LC core via libavcodec +
     own SBR + own PS reconstruction) must match libavcodec's conformant
@@ -168,6 +169,20 @@ def test_ps_synthesis_differential_vs_libavcodec_1024(variant):
                    num_env=1)
         d.iid_par = (np.arange(nr_par(4)) % 11 - 5).reshape(1, -1) * 2
         d.icc_par = (np.arange(nr_par(1)) % 4).reshape(1, -1)
+    elif variant == "coarse10":
+        # 10-parameter modes exercise the 10->20 band upsampling
+        d = PSData(enable_iid=True, iid_mode=0, enable_icc=True, icc_mode=0,
+                   num_env=1)
+        d.iid_par = (np.arange(nr_par(0)) % 9 - 4).reshape(1, -1)
+        d.icc_par = (np.arange(nr_par(0)) % 5).reshape(1, -1)
+    elif variant == "vargrid":
+        # VAR frame class: explicit envelope borders + per-envelope rows
+        d = PSData(enable_iid=True, iid_mode=1, enable_icc=True, icc_mode=1,
+                   num_env=2, frame_class=1, border_position=[13, 31])
+        d.iid_par = np.stack([(np.arange(nr_par(1)) % 9 - 4),
+                              (np.arange(nr_par(1)) % 7 - 3)])
+        d.icc_par = np.stack([(np.arange(nr_par(1)) % 4),
+                              (np.arange(nr_par(1)) % 3)])
     else:
         d = PSData(enable_iid=True, iid_mode=1, enable_icc=True, icc_mode=1,
                    num_env=1)
