@@ -17,8 +17,13 @@ from ..dab.aac import adts_header
 
 
 class ChannelScraper:
-    def __init__(self, root: str, subchannel_id: int, kind: str):
-        self.dir = os.path.join(root, f"subchannel_{subchannel_id}")
+    def __init__(self, root: str, subchannel_id: int, kind: str,
+                 dirname: str = None):
+        # reference tree: service_<sid:X>_component_<cid:X>
+        # (basic_scraper.cpp:63); subchannel_<id> when the component is not
+        # yet in the database
+        self.dir = os.path.join(root,
+                                dirname or f"subchannel_{subchannel_id}")
         os.makedirs(self.dir, exist_ok=True)
         self.kind = kind
         self._wav: Optional[WavFileSink] = None
@@ -92,14 +97,25 @@ class Scraper:
         self.channels: Dict[int, ChannelScraper] = {}
 
     def attach(self, receiver):
+        self._receiver = receiver
         receiver.on_audio_channel.append(self._on_channel)
         receiver.on_data_channel.append(self._on_channel)
         # channels may already exist (snapshot restore): hook them now
         for sub_id, ch in receiver.channels.items():
             self._on_channel(sub_id, ch)
 
+    def _dirname(self, sub_id: int):
+        rx = getattr(self, "_receiver", None)
+        if rx is None:
+            return None
+        comp = rx.db.component_by_subchannel(sub_id)
+        if comp is None:
+            return None
+        return f"service_{comp.service_id:X}_component_{comp.component_id:X}"
+
     def _on_channel(self, sub_id: int, ch):
-        cs = ChannelScraper(self.root, sub_id, ch.kind)
+        cs = ChannelScraper(self.root, sub_id, ch.kind,
+                            dirname=self._dirname(sub_id))
         self.channels[sub_id] = cs
         if ch.kind == "dab+":
             ch.events.on_access_unit.append(cs.on_access_unit)

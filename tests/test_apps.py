@@ -87,9 +87,10 @@ def test_tx_rx_pipeline(tmp_path):
     assert "TPU Ensemble" in err
     assert "Radio TPU" in err
     assert "subchannel 3" in err
-    # scraper wrote the channel dir (superframes may not complete in 8 frames,
-    # but the tree is created when the channel appears)
-    assert (scrape_dir / "subchannel_3").is_dir()
+    # scraper wrote the channel dir in the reference's naming
+    # (service_<sid:X>_component_<cid:X>, basic_scraper.cpp:63)
+    assert (scrape_dir / "service_F123_component_0").is_dir(), \
+        list(scrape_dir.iterdir())
 
 
 @pytest.mark.slow
