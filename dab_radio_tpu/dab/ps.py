@@ -199,16 +199,29 @@ def write_ps_data(bw: BitWriter, d: PSData, nts: int = 32,
         for b in d.border_position[:d.num_env]:
             bw.write(int(b), 5)
 
-    def pars(rows, huff_df):
-        offset = _huff_offset(huff_df)
-        for row in rows:
-            bw.write(0, 1)                   # delta-freq
-            acc = 0
-            for v in row:
-                huff_df.encode(bw, int(v) - acc + offset)
-                acc = int(v)
+    def pars(rows, huff_df, huff_dt, dts=None, prev=None):
+        off_f = _huff_offset(huff_df)
+        off_t = _huff_offset(huff_dt)
+        last = prev
+        for e, row in enumerate(rows):
+            dt = bool(dts[e]) if dts is not None else False
+            bw.write(1 if dt else 0, 1)
+            if dt:
+                assert last is not None, "dt=1 needs a previous row"
+                for a, b in zip(last, row):
+                    huff_dt.encode(bw, int(b) - int(a) + off_t)
+            else:
+                acc = 0
+                for v in row:
+                    huff_df.encode(bw, int(v) - acc + off_f)
+                    acc = int(v)
+            last = row
 
     if d.enable_iid:
-        pars(d.iid_par, _huff("iid_df1" if d.iid_mode > 2 else "iid_df0"))
+        fine = d.iid_mode > 2
+        pars(d.iid_par, _huff("iid_df1" if fine else "iid_df0"),
+             _huff("iid_dt1" if fine else "iid_dt0"),
+             getattr(d, "iid_dt", None), getattr(d, "prev_iid", None))
     if d.enable_icc:
-        pars(d.icc_par, _huff("icc_df"))
+        pars(d.icc_par, _huff("icc_df"), _huff("icc_dt"),
+             getattr(d, "icc_dt", None), getattr(d, "prev_icc", None))

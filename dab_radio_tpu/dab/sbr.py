@@ -1090,7 +1090,10 @@ def build_sbr_payload(header: SBRHeader, fs: int, nts: int,
                       ps_data=None, ps_send_header: bool = True,
                       frame_class: int = FIXFIX, pointer: int = 0,
                       var_bord: int = 0, rel_bords=(),
-                      coupling: bool = False) -> tuple:
+                      coupling: bool = False,
+                      env_df=None, noise_df=None,
+                      prev_env_rows_per_ch=None,
+                      prev_noise_rows_per_ch=None) -> tuple:
     """Serialize one frame of SBR data (delta-freq coding).
 
     env_rows_per_ch: per channel, a list of n_env quantized envelope rows
@@ -1137,45 +1140,75 @@ def build_sbr_payload(header: SBRHeader, fs: int, nts: int,
         else:
             raise NotImplementedError("VARVAR writer")
 
+    e_df = list(env_df) if env_df is not None else [0] * n_env
+    q_df = list(noise_df) if noise_df is not None else [0] * nq
+    assert len(e_df) == n_env and len(q_df) == nq
+
     def dtdf():
-        for _ in range(n_env):
-            bw.write(0, 1)
-        for _ in range(nq):
-            bw.write(0, 1)
+        for f in e_df:
+            bw.write(f, 1)
+        for f in q_df:
+            bw.write(f, 1)
 
     def invf():
         for m in invf_modes:
             bw.write(m, 2)
 
-    def envelope(rows, coupled_ch=False):
+    def envelope(rows, coupled_ch=False, prev=None):
+        """df=0 rows delta-freq code; df=1 rows delta-TIME code against the
+        previous envelope (caller supplies the previous frame's final
+        envelope as `prev`; constant freq_res keeps the grid mapping the
+        identity)."""
         t_huff, f_huff, lav, start_bits = _env_tables(eff_amp_res, coupled_ch)
         delta = 2 if coupled_ch else 1   # balance rows are stored-domain
-        for row in rows:
+        last = prev
+        for e, row in enumerate(rows):
             row = [int(v) for v in row]
             assert all(v % delta == 0 for v in row), "balance values even"
-            bw.write(row[0] // delta, start_bits)
-            for a, b in zip(row[:-1], row[1:]):
-                f_huff.encode(bw, (b - a) // delta + lav)
+            if e_df[e]:
+                assert last is not None, "df=1 needs a previous envelope"
+                for a, b in zip(last, row):
+                    t_huff.encode(bw, (b - int(a)) // delta + lav)
+            else:
+                bw.write(row[0] // delta, start_bits)
+                for a, b in zip(row[:-1], row[1:]):
+                    f_huff.encode(bw, (b - a) // delta + lav)
+            last = row
 
-    def noise(rows, coupled_ch=False):
+    def noise(rows, coupled_ch=False, prev=None):
         t_huff, f_huff, lav, start_bits = _noise_tables(coupled_ch)
         delta = 2 if coupled_ch else 1
-        for row in rows:
+        last = prev
+        for q, row in enumerate(rows):
             row = [int(v) for v in row]
             assert all(v % delta == 0 for v in row), "balance values even"
-            bw.write(row[0] // delta, start_bits)
-            for a, b in zip(row[:-1], row[1:]):
-                f_huff.encode(bw, (b - a) // delta + lav)
+            if q_df[q]:
+                assert last is not None, "df=1 needs a previous noise floor"
+                for a, b in zip(last, row):
+                    t_huff.encode(bw, (b - int(a)) // delta + lav)
+            else:
+                bw.write(row[0] // delta, start_bits)
+                for a, b in zip(row[:-1], row[1:]):
+                    f_huff.encode(bw, (b - a) // delta + lav)
+            last = row
+
+    def _pe(ch):
+        return None if prev_env_rows_per_ch is None \
+            else prev_env_rows_per_ch[ch]
+
+    def _pn(ch):
+        return None if prev_noise_rows_per_ch is None \
+            else prev_noise_rows_per_ch[ch]
 
     if is_cpe and coupling:
         grid()                            # one shared grid (ch1 copies it)
         dtdf()
         dtdf()
         invf()                            # one shared invf
-        envelope(env_rows_per_ch[0])
-        noise(noise_rows_per_ch[0])
-        envelope(env_rows_per_ch[1], coupled_ch=True)
-        noise(noise_rows_per_ch[1], coupled_ch=True)
+        envelope(env_rows_per_ch[0], prev=_pe(0))
+        noise(noise_rows_per_ch[0], prev=_pn(0))
+        envelope(env_rows_per_ch[1], coupled_ch=True, prev=_pe(1))
+        noise(noise_rows_per_ch[1], coupled_ch=True, prev=_pn(1))
         bw.write(0, 1)                    # add_harmonic ch0
         bw.write(0, 1)                    # add_harmonic ch1
     elif is_cpe:
@@ -1185,18 +1218,18 @@ def build_sbr_payload(header: SBRHeader, fs: int, nts: int,
         dtdf()
         invf()
         invf()
-        envelope(env_rows_per_ch[0])
-        envelope(env_rows_per_ch[1])
-        noise(noise_rows_per_ch[0])
-        noise(noise_rows_per_ch[1])
+        envelope(env_rows_per_ch[0], prev=_pe(0))
+        envelope(env_rows_per_ch[1], prev=_pe(1))
+        noise(noise_rows_per_ch[0], prev=_pn(0))
+        noise(noise_rows_per_ch[1], prev=_pn(1))
         bw.write(0, 1)                    # add_harmonic ch0
         bw.write(0, 1)                    # add_harmonic ch1
     else:
         grid()
         dtdf()
         invf()
-        envelope(env_rows_per_ch[0])
-        noise(noise_rows_per_ch[0])
+        envelope(env_rows_per_ch[0], prev=_pe(0))
+        noise(noise_rows_per_ch[0], prev=_pn(0))
         bw.write(0, 1)
     if ps_data is not None:
         from .ps import write_ps_data

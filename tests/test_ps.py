@@ -138,7 +138,7 @@ def _encode_mono_lc(lib, sig, rate=24000):
 
 
 @pytest.mark.parametrize("variant", ["pan", "icc", "ipdopd", "fine",
-                                     "coarse10", "vargrid"])
+                                     "coarse10", "vargrid", "deltatime"])
 def test_ps_synthesis_differential_vs_libavcodec_1024(variant):
     """Full-chain stereo oracle: our PS synthesis (LC core via libavcodec +
     own SBR + own PS reconstruction) must match libavcodec's conformant
@@ -175,6 +175,13 @@ def test_ps_synthesis_differential_vs_libavcodec_1024(variant):
                    num_env=1)
         d.iid_par = (np.arange(nr_par(0)) % 9 - 4).reshape(1, -1)
         d.icc_par = (np.arange(nr_par(0)) % 5).reshape(1, -1)
+    elif variant == "deltatime":
+        # inter-frame delta-time coded IID/ICC (df=1 was writer-unreachable
+        # before round 3); handled below with alternating payloads
+        d = PSData(enable_iid=True, iid_mode=1, enable_icc=True, icc_mode=1,
+                   num_env=1)
+        d.iid_par = (np.arange(nr_par(1)) % 9 - 4).reshape(1, -1)
+        d.icc_par = (np.arange(nr_par(1)) % 4).reshape(1, -1)
     elif variant == "vargrid":
         # VAR frame class: explicit envelope borders + per-envelope rows
         d = PSData(enable_iid=True, iid_mode=1, enable_icc=True, icc_mode=1,
@@ -253,7 +260,30 @@ def test_ps_synthesis_differential_vs_libavcodec_1024(variant):
             ps_mod.write_ps_data = orig
 
     walker = RawDataBlockWalker(6, 1024)
-    aus_ps = [S.add_sbr_fill_to_au(au, payload, nbits, walker) for au in aus]
+    if variant == "deltatime":
+        iid_b = d.iid_par + 1
+        icc_b = np.clip(d.icc_par + 1, 0, 7)
+        d_up = PSData(enable_iid=True, iid_mode=1, enable_icc=True,
+                      icc_mode=1, num_env=1)
+        d_up.iid_par, d_up.icc_par = iid_b, icc_b
+        d_up.iid_dt, d_up.icc_dt = [1], [1]
+        d_up.prev_iid, d_up.prev_icc = d.iid_par[0], d.icc_par[0]
+        d_dn = PSData(enable_iid=True, iid_mode=1, enable_icc=True,
+                      icc_mode=1, num_env=1)
+        d_dn.iid_par, d_dn.icc_par = d.iid_par, d.icc_par
+        d_dn.iid_dt, d_dn.icc_dt = [1], [1]
+        d_dn.prev_iid, d_dn.prev_icc = iid_b[0], icc_b[0]
+        p_up = S.build_sbr_payload(hdr, 48000, 16, [[env]], [[noise]],
+                                   ps_data=d_up, ps_send_header=False)
+        p_dn = S.build_sbr_payload(hdr, 48000, 16, [[env]], [[noise]],
+                                   ps_data=d_dn, ps_send_header=False)
+        seq = [(payload, nbits)] + [p_up if k % 2 == 0 else p_dn
+                                    for k in range(len(aus) - 1)]
+        aus_ps = [S.add_sbr_fill_to_au(au, p[0], p[1], walker)
+                  for au, p in zip(aus, seq)]
+    else:
+        aus_ps = [S.add_sbr_fill_to_au(au, payload, nbits, walker)
+                  for au in aus]
 
     def asc_hev2(fs_core, ch, fs_out):
         bw = BitWriter()

@@ -151,7 +151,8 @@ def test_freq_tables_sane():
 
 
 @pytest.mark.parametrize("variant", ["mono", "stereo", "coupled",
-                                     "fixfix2", "fixvar", "varfix"])
+                                     "fixfix2", "fixvar", "varfix",
+                                     "deltatime"])
 def test_sbr_differential_vs_libavcodec_1024(variant):
     """Full-chain oracle: our SBR stage must match libavcodec's conformant
     HE-AAC@1024 decode within 1% RMS on a realistic signal. Variants cover
@@ -207,11 +208,34 @@ def test_sbr_differential_vs_libavcodec_1024(variant):
             hdr, 48000, 16, [[env3, env3 + 1]], [[noise, noise]],
             is_cpe=False, frame_class=fc, pointer=ptr, var_bord=0,
             rel_bords=[1])
+    elif variant == "deltatime":
+        # delta-TIME coded envelopes/noise (real broadcasts inter-frame
+        # code constantly; df=1 was writer-unreachable before round 3):
+        # frame 0 df=0 at env 26, then alternating df=1 frames 28 <-> 26
+        e_lo = np.full(ft.n[1], 26, np.int64)
+        e_hi = np.full(ft.n[1], 28, np.int64)
+        n_lo = np.full(len(ft.f_noise) - 1, 14, np.int64)
+        n_hi = np.full(len(ft.f_noise) - 1, 16, np.int64)
+        p0 = S.build_sbr_payload(hdr, 48000, 16, [[e_lo]], [[n_lo]])
+        p_up = S.build_sbr_payload(
+            hdr, 48000, 16, [[e_hi]], [[n_hi]], env_df=[1], noise_df=[1],
+            prev_env_rows_per_ch=[e_lo], prev_noise_rows_per_ch=[n_lo],
+            send_header=False)
+        p_dn = S.build_sbr_payload(
+            hdr, 48000, 16, [[e_lo]], [[n_lo]], env_df=[1], noise_df=[1],
+            prev_env_rows_per_ch=[e_hi], prev_noise_rows_per_ch=[n_hi],
+            send_header=False)
+        seq = [p0] + [p_up if k % 2 == 0 else p_dn
+                      for k in range(len(aus) - 1)]
+        aus_sbr = [S.add_sbr_fill_to_au(au, p[0], p[1], walker)
+                   for au, p in zip(aus, seq)]
+        payload = None
     else:
         payload, nbits = S.build_sbr_payload(
             hdr, 48000, 16, [[env]] * ch, [[noise]] * ch, is_cpe=stereo)
-    aus_sbr = [S.add_sbr_fill_to_au(au, payload, nbits, walker)
-               for au in aus]
+    if variant != "deltatime":
+        aus_sbr = [S.add_sbr_fill_to_au(au, payload, nbits, walker)
+                   for au in aus]
 
     hd = _open(lib, _asc_he(6, ch, 3))
     ref = []
