@@ -293,27 +293,26 @@ def main():
     # each new batch shape costs a fresh relay compile)
     viterbi_stage([(16384, 8, "exact", 3), (8192, 10, "tiled512", 2)])
 
-    # Stage 3: fleet — resident (chip-bound) then honest-ingest (link-bound)
+    # Stage 3: fleet — resident (chip-bound) and honest-ingest (link-bound)
+    # measured in ONE process sharing the compiled program (--both)
     fleet_tool = os.path.join(here, "tools", "bench_fleet.py")
-    for extra, key in ((["--fused", "--resident", "--frames", "160",
-                         "--frames-per-step", "16"], "fleet_resident_rt"),
-                       (["--fused", "--frames", "80",
-                         "--frames-per-step", "8"], "fleet_rt_ensembles"),
-                       (["--fused", "--frames", "40",
-                         "--frames-per-step", "4"], "fleet_rt_ensembles")):
+    for extra in (["--fused", "--both", "--frames", "160",
+                   "--frames-per-step", "16"],
+                  ["--fused", "--both", "--frames", "80",
+                   "--frames-per-step", "8"]):
         if _remaining() < 120:
             break
-        if key == "fleet_rt_ensembles" and \
+        if line.get("fleet_resident_rt", 0) > 0 and \
                 line.get("fleet_rt_ensembles", 0) > 0:
-            continue
+            break
         for res in _run_sub([fleet_tool, "--streams", "16"] + extra,
                             timeout=min(420, max(_remaining(), 120))):
             rt = res.get("realtime_ensembles", 0.0)
+            key = ("fleet_resident_rt" if res.get("mode") == "fused-resident"
+                   else "fleet_rt_ensembles")
             if res.get("access_units", 0) > 0 and rt > line.get(key, 0.0):
                 line[key] = rt
                 line["fleet_streams"] = res["streams"]
-                if key == "fleet_resident_rt":
-                    line["fleet_resident_mode"] = res.get("mode", "fused")
         emit()
 
     # Stage 4: spend any leftover budget widening the ladders

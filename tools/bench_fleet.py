@@ -48,6 +48,11 @@ def main(argv=None):
     ap.add_argument("--ingest", default="u8", choices=["u8", "c64"],
                     help="u8 uploads raw bytes and dequantizes on device "
                          "(4x less host->device traffic)")
+    ap.add_argument("--both", action="store_true",
+                    help="(fused only) measure resident (chip-bound) AND "
+                         "u8-ingest (link-bound) modes in one process, "
+                         "sharing the compiled program — prints two JSON "
+                         "lines")
     ap.add_argument("--resident", action="store_true",
                     help="(fused only) pre-stage the whole IQ capture on "
                          "device before timing: measures the CHIP-bound "
@@ -248,61 +253,71 @@ def run_fused(args, iq):
                     if res is not None:
                         aus[0] += len(res[1])
 
-    if args.resident:
+    use_resident = args.resident or args.both
+    if use_resident:
         # stage the whole capture on device ONCE (~0.4 MB/frame u8,
         # un-replicated: all N streams decode the same broadcast), then
         # slice + broadcast on device each round
         dev_iq = jax.device_put(jnp.asarray(iq[:rounds * chunk]))
         prep = jax.jit(lambda a, r: jnp.broadcast_to(
             jax.lax.dynamic_slice(a, (r,), (chunk,))[None], (N, chunk)))
-        get_blk = lambda r: prep(dev_iq, jnp.int32(r * chunk))
-    else:
-        get_blk = lambda r: jnp.asarray(
-            np.tile(iq[r * chunk:(r + 1) * chunk][None], (N, 1)))
+
+    def get_blk(r, resident):
+        if resident:
+            return prep(dev_iq, jnp.int32(r * chunk))
+        return jnp.asarray(np.tile(iq[r * chunk:(r + 1) * chunk][None],
+                                   (N, 1)))
 
     # warmup/compile + deinterleaver fill
     t0 = _time.time()
-    carry, hist, out = step(carry, hist, get_blk(0))
+    carry, hist, out = step(carry, hist, get_blk(0, use_resident))
     fib0, msc0 = [np.asarray(x) for x in pack(out)]
     print(f"# fused compile {_time.time() - t0:.1f}s", file=sys.stderr)
 
-    t0 = _time.time()
-    done = 0
-    fetch = None
-    fetched = []
-    for r in range(1, rounds):
-        carry, hist, out = step(carry, hist, get_blk(r))
-        if fetch is not None:            # overlap host work with device round
-            if args.resident:
-                fetched.append(fetch)   # defer byte-layer work past timing
-            else:
-                consume(*fetch)
-        packed = pack(out)
-        fetch = (np.asarray(packed[0]), np.asarray(packed[1]))
-        done += N * K
-    dt = _time.time() - t0               # last fetch already materialized
-    t1 = _time.time()
-    if args.resident:
+    def run_mode(resident):
+        nonlocal carry, hist
+        t0 = _time.time()
+        done = 0
+        fetch = None
+        fetched = []
+        for r in range(1, rounds):
+            carry, hist, out = step(carry, hist, get_blk(r, resident))
+            if fetch is not None:        # overlap host work w/ device round
+                if resident:
+                    fetched.append(fetch)    # defer byte work past timing
+                else:
+                    consume(*fetch)
+            packed = pack(out)
+            fetch = (np.asarray(packed[0]), np.asarray(packed[1]))
+            done += N * K
+        dt = _time.time() - t0           # last fetch already materialized
+        t1 = _time.time()
         for f in fetched:
             consume(*f)
-    if fetch is not None:
-        consume(*fetch)
-    consume_dt = _time.time() - t1
-    msps = done * fs / dt / 1e6
-    result = {
-        "metric": "fleet_end_to_end_throughput",
-        "mode": "fused-resident" if args.resident else "fused",
-        "streams": N,
-        "frames_decoded": done,
-        "seconds": round(dt, 3),
-        "host_consume_seconds": round(consume_dt, 3),
-        "msps_aggregate": round(msps, 2),
-        "realtime_ensembles": round(msps / 2.048, 2),
-        "channels": sum(len(r_.channels) for r_ in rx),
-        "services": sum(len(r_.db.services) for r_ in rx),
-        "access_units": int(aus[0]),
-    }
-    print(json.dumps(result))
+        if fetch is not None:
+            consume(*fetch)
+        consume_dt = _time.time() - t1
+        msps = done * fs / dt / 1e6
+        result = {
+            "metric": "fleet_end_to_end_throughput",
+            "mode": "fused-resident" if resident else "fused",
+            "streams": N,
+            "frames_decoded": done,
+            "seconds": round(dt, 3),
+            "host_consume_seconds": round(consume_dt, 3),
+            "msps_aggregate": round(msps, 2),
+            "realtime_ensembles": round(msps / 2.048, 2),
+            "channels": sum(len(r_.channels) for r_ in rx),
+            "services": sum(len(r_.db.services) for r_ in rx),
+            "access_units": int(aus[0]),
+        }
+        print(json.dumps(result), flush=True)
+
+    if args.both:
+        run_mode(True)    # receivers keep state; the capture replays for
+        run_mode(False)   # the link-bound pass on the same compiled step
+    else:
+        run_mode(use_resident)
     assert aus[0] > 0, "no access units decoded - benchmark not end-to-end"
     return 0
 
