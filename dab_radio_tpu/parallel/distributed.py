@@ -1,0 +1,57 @@
+"""Multi-host runtime: jax.distributed bring-up + host-local IQ ingest.
+
+The reference distributes across PROCESSES with shell pipes and byte
+protocols (examples/README.md:22-46, SURVEY.md §5.8); the TPU framework
+distributes across HOSTS with the jax.distributed runtime. Each host
+ingests the IQ for its own ensembles (DCN touches only the host->device
+ingest fan-out) and the ('ens','time','sub') mesh spans every chip in the
+slice, with the halo/collective traffic riding ICI inside
+multichip_receiver_step.
+
+Single-host use needs none of this — jax.devices() already sees the local
+chips. On a pod slice, call `initialize()` on every host before any JAX
+use, then build the global mesh and wrap each host's IQ block with
+`host_local_iq_to_global`.
+"""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import make_receiver_mesh
+
+
+def initialize(coordinator_address=None, num_processes=None,
+               process_id=None, **kw):
+    """Bring up the jax.distributed runtime (idempotent, single-host
+    no-op). On managed TPU pods the arguments auto-detect; set them
+    explicitly for manual bring-up (coordinator 'host0:port')."""
+    if jax.process_count() > 1 or coordinator_address is None \
+            and num_processes is None:
+        # single unconfigured process, or already initialized
+        if coordinator_address is None and num_processes in (None, 1):
+            return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id, **kw)
+    return True
+
+
+def global_receiver_mesh(axis_sizes=None) -> Mesh:
+    """('ens','time','sub') mesh over every device in the slice (all
+    hosts). Axis policy is make_receiver_mesh's; 'ens' absorbs the host
+    dimension, so each host's local ensembles shard onto its own chips
+    and FIC/MSC collectives stay intra-host where possible."""
+    return make_receiver_mesh(len(jax.devices()), axis_sizes=axis_sizes)
+
+
+def host_local_iq_to_global(mesh: Mesh, iq_local: np.ndarray,
+                            spec: P = P("ens", "time")):
+    """Assemble each host's local IQ block (B_local, T[, 2]) into one
+    global sharded array without any cross-host data movement: host h's
+    rows land on host h's devices (addressable shards only).
+
+    The global batch is B_local * process_count; callers index their
+    ensembles as [process_index * B_local, ...)."""
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_process_local_data(sharding, iq_local)

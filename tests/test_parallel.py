@@ -214,3 +214,35 @@ def test_make_receiver_mesh_factorisation_policy():
         m = make_receiver_mesh(n)
         assert (m.shape["ens"], m.shape["time"], m.shape["sub"]) == \
             (ens, time, sub), (n, dict(m.shape))
+
+
+def test_distributed_single_host_path():
+    """jax.distributed helpers: single-host no-op init, global mesh over
+    all (virtual) devices, and host-local IQ assembly feeding the sharded
+    demod without data movement."""
+    from dab_radio_tpu.parallel import distributed as D
+    from dab_radio_tpu.parallel.mesh import make_timesharded_demod
+    from dab_radio_tpu.models.demodulator import OFDMDemodulator, DemodCarry
+    from dab_radio_tpu.ops.iq import iq_pairs
+    import jax
+
+    assert D.initialize() is False          # single host: no-op
+    mesh = D.global_receiver_mesh()
+    assert int(np.prod(list(mesh.shape.values()))) == len(jax.devices())
+
+    demod = OFDMDemodulator(2)
+    fs = demod.params.nb_frame_samples
+    n_time = mesh.shape["time"]
+    B = mesh.shape["ens"] * 2
+    rng = np.random.default_rng(0)
+    iq = iq_pairs(
+        (rng.normal(0, .5, (B, n_time * fs))
+         + 1j * rng.normal(0, .5, (B, n_time * fs))).astype(np.complex64))
+    garr = D.host_local_iq_to_global(mesh, iq, P("ens", "time"))
+    assert garr.shape == iq.shape
+    step = make_timesharded_demod(demod, mesh, frames_per_shard=1)
+    carry = jax.device_put(DemodCarry.init((B, n_time)),
+                           jax.sharding.NamedSharding(
+                               mesh, P("ens", "time")))
+    carry, bits = step(carry, garr)
+    assert bits.shape[:2] == (B, n_time)
