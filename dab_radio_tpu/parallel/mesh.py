@@ -58,7 +58,8 @@ def shard_demod_batch(demod: OFDMDemodulator, mesh: Mesh):
 
 
 def make_timesharded_demod(demod: OFDMDemodulator, mesh: Mesh,
-                           frames_per_shard: int):
+                           frames_per_shard: int,
+                           block_tracking: bool = False):
     """Sequence-parallel streaming demod over the 'time' axis.
 
     Input iq: (B, T) with T = n_time * frames_per_shard * frame_samples,
@@ -67,7 +68,15 @@ def make_timesharded_demod(demod: OFDMDemodulator, mesh: Mesh,
     (window_len - frame_samples) comes from the right neighbor via ppermute.
     Returns a jitted fn (carry, iq) -> (carry, bits) where carry has shape
     (B, n_time) leading dims (each shard tracks its own steady-state sync).
-    """
+
+    block_tracking=True is the serving fast path: all frames_per_shard
+    frames demodulate as ONE vmap batch using the block-start sync state,
+    and the carry advances once per block from the LAST frame's estimates
+    (sync corrections no longer compound within a block — a K-times slower
+    tracking loop, fine for locked steady state; the sequential scan is
+    the exact default). This lifts the demod's effective FFT batch from B
+    to B*K — the fused fleet round was 68% demod at batch B (ablation,
+    NOTES_r3)."""
     p = demod.params
     fs = p.nb_frame_samples
     halo = demod.window_len - fs
@@ -85,15 +94,33 @@ def make_timesharded_demod(demod: OFDMDemodulator, mesh: Mesh,
         halo_samples = jnp.where(idx == n_time - 1,
                                  jnp.zeros_like(halo_samples), halo_samples)
         ext = jnp.concatenate([iq_local, halo_samples], axis=1)
-
-        def step(c, f):
-            win = jax.lax.dynamic_slice_in_dim(ext, f * fs, demod.window_len, 1)
-            c, out = jax.vmap(demod._frame_step_impl)(c, win)
-            return c, out["bits"]
-
         carry = jax.tree.map(lambda x: x[:, 0], carry)
-        carry, bits = jax.lax.scan(step, carry, jnp.arange(f_loc))
-        bits = jnp.moveaxis(bits, 0, 1)            # (B_loc, f_loc, nbits)
+
+        if block_tracking:
+            B_loc = ext.shape[0]
+            wins = jnp.stack(
+                [jax.lax.dynamic_slice_in_dim(ext, f * fs, demod.window_len,
+                                              1) for f in range(f_loc)],
+                axis=1)                       # (B_loc, f_loc, win, 2)
+            wins = wins.reshape(B_loc * f_loc, demod.window_len, 2)
+            c_rep = jax.tree.map(
+                lambda x: jnp.broadcast_to(
+                    x[:, None], (B_loc, f_loc, *x.shape[1:])
+                ).reshape(B_loc * f_loc, *x.shape[1:]), carry)
+            c_out, out = jax.vmap(demod._frame_step_impl)(c_rep, wins)
+            bits = out["bits"].reshape(B_loc, f_loc, -1)
+            carry = jax.tree.map(
+                lambda x: x.reshape(B_loc, f_loc, *x.shape[1:])[:, -1],
+                c_out)
+        else:
+            def step(c, f):
+                win = jax.lax.dynamic_slice_in_dim(
+                    ext, f * fs, demod.window_len, 1)
+                c, out = jax.vmap(demod._frame_step_impl)(c, win)
+                return c, out["bits"]
+
+            carry, bits = jax.lax.scan(step, carry, jnp.arange(f_loc))
+            bits = jnp.moveaxis(bits, 0, 1)        # (B_loc, f_loc, nbits)
         carry = jax.tree.map(lambda x: x[:, None], carry)
         return carry, bits[:, None]                # (B_loc, 1, f_loc, nbits)
 
@@ -112,7 +139,8 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
                             subchannels_per_shard: int = 2,
                             ensembles_per_shard: int = 2,
                             ingest: str = "pairs",
-                            subchannel_cfgs=None):
+                            subchannel_cfgs=None,
+                            block_tracking: bool = False):
     """Full end-to-end sharded receiver step: IQ in, decoded bits out.
 
     One jitted program over the ('ens','time','sub') mesh (the surface the
@@ -159,7 +187,8 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
     B = n_ens * ensembles_per_shard
     F = n_time * frames_per_shard
     C = F * dab.nb_cifs                             # CIFs per step
-    demod_fn = make_timesharded_demod(demod, mesh, frames_per_shard)
+    demod_fn = make_timesharded_demod(demod, mesh, frames_per_shard,
+                                      block_tracking=block_tracking)
 
     fic_spec = vit.ViterbiSpec.from_schedule(fic_puncture_schedule())
     if subchannel_cfgs is None:

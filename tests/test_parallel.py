@@ -246,3 +246,42 @@ def test_distributed_single_host_path():
                                mesh, P("ens", "time")))
     carry, bits = step(carry, garr)
     assert bits.shape[:2] == (B, n_time)
+
+
+def test_block_tracking_demod_matches_sequential_on_clean_signal():
+    """The serving fast path (block-batched demod, per-block sync updates)
+    must produce the same bits as the sequential per-frame scan on a
+    locked clean signal."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dab_radio_tpu.parallel.mesh import (make_receiver_mesh,
+                                             multichip_receiver_step)
+    from dab_radio_tpu.models.transmitter import (EnsembleTransmitter,
+                                                  ServiceSpec)
+    from dab_radio_tpu.params import SubchannelConfig
+    from dab_radio_tpu.ops.iq import iq_pairs
+
+    mode = 2
+    mesh = make_receiver_mesh(1, axis_sizes=(1, 1, 1))
+    F, S = 8, 2
+    cfg = [SubchannelConfig(s * 12, 12, False, eep_type="A",
+                            eep_prot_level=2) for s in range(S)]
+    tx = EnsembleTransmitter(
+        mode, ensemble_id=0xC0BB, ensemble_label="BT",
+        services=[ServiceSpec(0xF100 + s, s, f"S{s}", cfg[s])
+                  for s in range(S)])
+    iq = np.concatenate(
+        [tx.modulate_frame_bits(np.asarray(tx.next_frame_bits()))
+         for _ in range(F)])[None]
+
+    outs = {}
+    for bt in (False, True):
+        step, (carry, hist, _) = multichip_receiver_step(
+            mesh, mode, F, subchannels_per_shard=S, ensembles_per_shard=1,
+            subchannel_cfgs=cfg, block_tracking=bt)
+        g = jax.device_put(jnp.asarray(iq_pairs(iq)),
+                           NamedSharding(mesh, P("ens", "time")))
+        _, _, out = step(carry, hist, g)
+        outs[bt] = (np.asarray(out["fib_bits"]), np.asarray(out["msc_bits"]))
+    np.testing.assert_array_equal(outs[False][0], outs[True][0])
+    np.testing.assert_array_equal(outs[False][1], outs[True][1])

@@ -48,6 +48,11 @@ def main(argv=None):
     ap.add_argument("--ingest", default="u8", choices=["u8", "c64"],
                     help="u8 uploads raw bytes and dequantizes on device "
                          "(4x less host->device traffic)")
+    ap.add_argument("--block-tracking", action="store_true",
+                    help="(fused only) demod all K frames of a round as one "
+                         "vmap batch with per-block (not per-frame) sync "
+                         "updates — the serving fast path; the fused round "
+                         "was 68%% demod at effective batch N (NOTES_r3)")
     ap.add_argument("--both", action="store_true",
                     help="(fused only) measure resident (chip-bound) AND "
                          "u8-ingest (link-bound) modes in one process, "
@@ -213,7 +218,8 @@ def run_fused(args, iq):
     mesh = make_receiver_mesh(1, axis_sizes=(1, 1, 1))
     step, (carry, hist, _) = multichip_receiver_step(
         mesh, 1, frames_per_shard=K, nb_subchannel_cu=48,
-        subchannels_per_shard=S, ensembles_per_shard=N, ingest="u8")
+        subchannels_per_shard=S, ensembles_per_shard=N, ingest="u8",
+        block_tracking=args.block_tracking)
 
     from dab_radio_tpu.params import get_ofdm_params
     fs = get_ofdm_params(1).nb_frame_samples
