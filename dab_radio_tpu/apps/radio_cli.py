@@ -91,9 +91,16 @@ def main(argv=None):
                     help="write full decode state (demod sync + radio) here at exit")
     ap.add_argument("--resume", default=None,
                     help="resume from a --snapshot-out checkpoint")
+    ap.add_argument("--profile-trace", default=None,
+                    help="enable the stage profiler and write a Chrome/"
+                         "Perfetto trace JSON here on exit (the reference "
+                         "GUI's profiler-tab analog)")
     add_backend_flag(ap)
     args = ap.parse_args(argv)
     apply_backend(args)
+    if args.profile_trace:
+        from ..utils.profiler import get_profiler
+        get_profiler().enabled = True
     if args.viterbi != "exact":
         from ..dab.msc import set_decode_mode
         set_decode_mode(args.viterbi)
@@ -194,6 +201,11 @@ def main(argv=None):
                          "radio": rx.snapshot() if rx is not None else None},
                         f)
         print(f"# snapshot written to {args.snapshot_out}", file=sys.stderr)
+    if args.profile_trace:
+        from ..utils.profiler import get_profiler
+        get_profiler().dump_chrome_trace(args.profile_trace)
+        print(f"# profiler: {len(get_profiler().table())} stages -> "
+              f"{args.profile_trace}", file=sys.stderr)
     return 0
 
 

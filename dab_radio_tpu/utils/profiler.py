@@ -111,6 +111,27 @@ class Profiler:
         lines.append(f"unique trace shapes: {len(self._trace_counts)}")
         return "\n".join(lines)
 
+    def dump_chrome_trace(self, path: str):
+        """Write every recorded span as a Chrome trace (chrome://tracing /
+        Perfetto) — the open-format analog of the reference GUI's trace
+        viewer tab (examples/gui/ofdm/render_profiler.cpp:16-70)."""
+        import json
+        events = []
+        with self._lock:
+            threads = list(self._threads.items())
+        for tid, st in threads:
+            if st.label:
+                events.append({"ph": "M", "pid": 1, "tid": tid,
+                               "name": "thread_name",
+                               "args": {"name": st.label}})
+            for s in st.spans:
+                events.append({"ph": "X", "pid": 1, "tid": tid,
+                               "name": s.name, "ts": s.start_us,
+                               "dur": max(s.end_us - s.start_us, 0.0)})
+        with open(path, "w") as f:
+            json.dump({"traceEvents": events,
+                       "displayTimeUnit": "ms"}, f)
+
     def reset(self):
         with self._lock:
             self._threads.clear()

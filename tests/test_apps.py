@@ -230,3 +230,22 @@ def test_capture_comparison_harness_vs_reference(tmp_path):
     assert r2.returncode == 0, err
     assert "OK: all FIG events and superframe AUs match" in err
     assert "0 AUs" not in err
+
+
+@pytest.mark.slow
+def test_profile_trace_export(tmp_path):
+    """--profile-trace writes a Chrome/Perfetto trace with the pipeline's
+    stage spans (the reference GUI profiler-tab analog)."""
+    import json
+    iq_path = tmp_path / "iq.bin"
+    r = _run(["dab_radio_tpu.apps.simulate_transmitter", "--payload",
+              "ensemble", "-n", "8", "-F", "u8"], timeout=400)
+    iq_path.write_bytes(r.stdout)
+    trace = tmp_path / "trace.json"
+    r2 = _run(["dab_radio_tpu.apps.radio_cli", "-i", str(iq_path),
+               "-F", "u8", "--max-frames", "6",
+               "--profile-trace", str(trace)], timeout=400)
+    assert r2.returncode == 0, r2.stderr.decode()[-400:]
+    evs = json.loads(trace.read_text())["traceEvents"]
+    names = {e["name"] for e in evs if e["ph"] == "X"}
+    assert "demod/frame_step" in names and "radio/fic_decode" in names
