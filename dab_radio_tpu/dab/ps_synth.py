@@ -38,15 +38,9 @@ from . import aac_tables as T
 _G1_Q2 = np.array([0.0, 0.01899487526049, 0.0, -0.07293139167538,
                    0.0, 0.30596630545168, 0.5], np.float64)
 
-# 20-band configuration constants (libavcodec aacps_float.o .rodata:
+# configuration constants (libavcodec aacps_float.o .rodata:
 # NR_BANDS/NR_PAR_BANDS/NR_ALLPASS_BANDS/NR_IPDOPD_BANDS/DECAY_CUTOFF/
 # SHORT_DELAY_BAND = [71,91]/[20,34]/[30,50]/[11,17]/[10,32]/[42,62])
-_NB = 71            # hybrid channels
-_NPAR = 20          # stereo parameter bands
-_NAP = 30           # allpass-decorrelated channels
-_NIPD = 11          # ipd/opd parameter bands
-_DECAY_CUTOFF = 10
-_SHORT_DELAY_BAND = 42
 _AP_LINKS = 3
 _MAX_DELAY = 14
 _AP_DELAY = 5
@@ -58,6 +52,56 @@ _TRANSIENT_IMPACT = 1.5
 _A_LINK = np.array([0.65143905753106, 0.56471812200776, 0.48954165955695])
 # link delays {3,4,5} slots -> read offset n+2-m into a 5-slot history
 _LINK_DELAY = np.array([3, 4, 5])
+
+
+class _Cfg:
+    """Per-band-configuration constants and filterbank/decorrelator tables
+    (20-stereo-band baseline vs the 34-band high-resolution config)."""
+
+    def __init__(self, is34: bool):
+        npz = T._npz()
+        i = 1 if is34 else 0
+        self.is34 = is34
+        self.NB = (71, 91)[i]
+        self.NPAR = (20, 34)[i]
+        self.NAP = (30, 50)[i]
+        self.NIPD = (11, 17)[i]
+        self.DECAY_CUTOFF = (10, 32)[i]
+        self.SHORT_DELAY = (42, 62)[i]
+        pf = npz["ps_phi_fract"].astype(np.float64)
+        self.phi = pf[i, :, 0] + 1j * pf[i, :, 1]          # (50,)
+        qf = npz["ps_Q_fract_allpass"].astype(np.float64)
+        self.Q = qf[i, :, :, 0] + 1j * qf[i, :, :, 1]      # (50, 3)
+        key = "ps_ff_k_to_i_34" if is34 else "ps_ff_k_to_i_20"
+        self.k_to_i = npz[key].astype(np.int64)            # (NB,)
+        self.band_masks = [np.where(self.k_to_i == b)[0]
+                           for b in range(self.NPAR)]
+
+        def full_filter(name, nb):
+            """(nb, 8, 2) folded taps -> full 13-tap complex filter."""
+            raw = npz[name].astype(np.float64).reshape(nb, 8, 2)
+            F = np.zeros((nb, 13), np.complex128)
+            F[:, :6] = raw[:, :6, 0] + 1j * raw[:, :6, 1]
+            F[:, 6] = raw[:, 6, 0]
+            F[:, 7:] = np.conj(F[:, 5::-1])    # conj-symmetric tail
+            return F
+
+        if is34:
+            # QMF bands 0..4 -> 12+8+4+4+4 = 32 complex sub-bands
+            self.F34 = [full_filter("ps_f34_0_12", 12),
+                        full_filter("ps_f34_1_8", 8),
+                        full_filter("ps_f34_2_4", 4)]
+        else:
+            self.F8 = full_filter("ps_f20_0_8", 8)
+
+
+_CFGS = {}
+
+
+def _get_cfg(is34: bool) -> _Cfg:
+    if is34 not in _CFGS:
+        _CFGS[is34] = _Cfg(is34)
+    return _CFGS[is34]
 
 
 def _map_idx_10_to_20(par: np.ndarray, full: bool = True) -> np.ndarray:
@@ -85,64 +129,70 @@ class _Params:
 class PSSynthesis:
     def __init__(self, n_slots: int = 32):
         npz = T._npz()
-        f20 = npz["ps_f20_0_8"].astype(np.float64)         # (band, tap, 2)
-        F = np.zeros((8, 13), np.complex128)
-        F[:, :6] = f20[:, :6, 0] + 1j * f20[:, :6, 1]
-        F[:, 6] = f20[:, 6, 0]
-        F[:, 7:] = np.conj(F[:, 5::-1])    # conj-symmetric tail
-        self.F8 = F
-        pf = npz["ps_phi_fract"].astype(np.float64)
-        self.phi = pf[0, :, 0] + 1j * pf[0, :, 1]          # (50,)
-        qf = npz["ps_Q_fract_allpass"].astype(np.float64)
-        self.Q = qf[0, :, :, 0] + 1j * qf[0, :, :, 1]      # (50, 3)
         self.HA = npz["ps_HA"].astype(np.float64)          # (46, 8, 4)
         self.HB = npz["ps_HB"].astype(np.float64)
         self.pd = (npz["ps_pd_re_smooth"].astype(np.float64)
                    + 1j * npz["ps_pd_im_smooth"].astype(np.float64))
-        self.k_to_i = npz["ps_ff_k_to_i_20"].astype(np.int64)   # (71,)
         self.n_slots = n_slots
-        # per-band gathering masks for power accumulation
-        self._band_masks = [np.where(self.k_to_i == i)[0] for i in
-                            range(_NPAR)]
+        self.c = _get_cfg(False)
         self.reset()
 
     def reset(self):
-        n = self.n_slots
+        c = self.c
         self.x_prev = None               # (n, 64) prev frame's mono QMF
         self.pending: Optional[_Params] = None
         self.lookback = np.zeros((6, 64), np.complex128)
-        self.delay = np.zeros((_NB, _MAX_DELAY), np.complex128)
-        self.ap_delay = np.zeros((_NAP, _AP_LINKS, _AP_DELAY), np.complex128)
-        self.peak_decay_nrg = np.zeros(_NPAR)
-        self.power_smooth = np.zeros(_NPAR)
-        self.peak_decay_diff_smooth = np.zeros(_NPAR)
-        self.H_state = np.zeros((4, _NPAR), np.complex128)
-        self.opd_hist = np.zeros(_NIPD, np.int64)
-        self.ipd_hist = np.zeros(_NIPD, np.int64)
-        self.last_iid = np.zeros(_NPAR, np.int64)
-        self.last_icc = np.zeros(_NPAR, np.int64)
-        self.last_ipd = np.zeros(_NIPD, np.int64)
-        self.last_opd = np.zeros(_NIPD, np.int64)
+        self.delay = np.zeros((c.NB, _MAX_DELAY), np.complex128)
+        self.ap_delay = np.zeros((c.NAP, _AP_LINKS, _AP_DELAY),
+                                 np.complex128)
+        self.peak_decay_nrg = np.zeros(c.NPAR)
+        self.power_smooth = np.zeros(c.NPAR)
+        self.peak_decay_diff_smooth = np.zeros(c.NPAR)
+        self.H_state = np.zeros((4, c.NPAR), np.complex128)
+        self.opd_hist = np.zeros(c.NIPD, np.int64)
+        self.ipd_hist = np.zeros(c.NIPD, np.int64)
+        self.last_iid = np.zeros(c.NPAR, np.int64)
+        self.last_icc = np.zeros(c.NPAR, np.int64)
+        self.last_ipd = np.zeros(c.NIPD, np.int64)
+        self.last_opd = np.zeros(c.NIPD, np.int64)
         self.last_fine = False
         self.last_use_hb = False
+
+    def _set_config(self, is34: bool):
+        """Switch 20 <-> 34 band configuration (resets decode state; real
+        streams never toggle mid-service)."""
+        if self.c.is34 != is34:
+            x_prev, pending, lookback = (self.x_prev, self.pending,
+                                         self.lookback)
+            self.c = _get_cfg(is34)
+            self.reset()
+            self.x_prev, self.pending = x_prev, pending
+            self.lookback = lookback
 
     # -- parameter mapping --------------------------------------------------
 
     def map_params(self, d) -> Optional[_Params]:
-        """dab.ps.PSData -> internal 20-band parameters. None if the frame
-        is unusable (34-band modes)."""
+        """dab.ps.PSData -> internal parameters at the stream's band
+        configuration (20-band baseline, or 34-band when the coded modes
+        are 2/5). Mixed-resolution 34-band streams (e.g. 34-band IID with
+        20-band ICC) would need the spec's 20->34 index remap tables and
+        are not supported -> NotImplementedError (mono fallback)."""
         if d is None:
             return None
-        if (d.enable_iid and d.iid_mode in (2, 5)) or \
-                (d.enable_icc and d.icc_mode in (2, 5)):
-            raise NotImplementedError("34-band PS")
+        iid34 = d.enable_iid and d.iid_mode in (2, 5)
+        icc34 = d.enable_icc and d.icc_mode in (2, 5)
+        is34 = iid34 or icc34
+        if is34 and ((d.enable_iid and not iid34) or
+                     (d.enable_icc and not icc34)):
+            raise NotImplementedError("mixed-resolution 34-band PS")
+        self._set_config(is34)
         n_env = d.num_env
         ends = [int(b) + 1 for b in d.border_position[:n_env]]
         fine = d.iid_mode > 2
         use_hb = d.icc_mode >= 3
 
         def rows(par, n_coded, full=True):
-            n = _NPAR if full else _NIPD
+            n = self.c.NPAR if full else self.c.NIPD
             if par is None:
                 return np.zeros((n_env, n), np.int64)
             out = []
@@ -155,9 +205,9 @@ class PSSynthesis:
 
         from . import ps as _ps
         iid = rows(d.iid_par, _ps.nr_par(d.iid_mode)) if d.enable_iid \
-            else np.zeros((n_env, _NPAR), np.int64)
+            else np.zeros((n_env, self.c.NPAR), np.int64)
         icc = rows(d.icc_par, _ps.nr_par(d.icc_mode)) if d.enable_icc \
-            else np.zeros((n_env, _NPAR), np.int64)
+            else np.zeros((n_env, self.c.NPAR), np.int64)
         ipd = opd = None
         if d.enable_ipdopd and d.ipd_par is not None:
             nipd = int(T._npz()["ps_nr_iidopd_par_tab"][d.iid_mode])
@@ -193,13 +243,25 @@ class PSSynthesis:
 
     def hybrid_analysis(self, W: np.ndarray) -> np.ndarray:
         """W: (n_slots+12, 64) windowed mono QMF (6 history + frame + 6
-        lookahead). Returns s: (71, n_slots) hybrid-domain signal."""
+        lookahead). Returns s: (NB, n_slots) hybrid-domain signal."""
         n = self.n_slots
-        s = np.empty((_NB, n), np.complex128)
+        c = self.c
+        s = np.empty((c.NB, n), np.complex128)
+        if c.is34:
+            # bands 0..4 -> 12+8+4+4+4 straight complex sub-bands
+            base = 0
+            for qmf_band, F in ((0, c.F34[0]), (1, c.F34[1]), (2, c.F34[2]),
+                                (3, c.F34[2]), (4, c.F34[2])):
+                win = np.lib.stride_tricks.sliding_window_view(
+                    W[:, qmf_band], 13)[:n]
+                s[base:base + F.shape[0]] = (win @ F.T).T
+                base += F.shape[0]
+            s[32:] = W[6:6 + n, 5:64].T
+            return s
         # band 0 -> 8 complex sub-bands -> 6 channels
         win = np.lib.stride_tricks.sliding_window_view(
             W[:, 0], 13)[:n]                         # (n, 13)
-        Tq = win @ self.F8.T                          # (n, 8)
+        Tq = win @ c.F8.T                             # (n, 8)
         s[0] = Tq[:, 6]
         s[1] = Tq[:, 7]
         s[2] = Tq[:, 0]
@@ -222,27 +284,36 @@ class PSSynthesis:
         s[10:] = W[6:6 + n, 3:64].T
         return s
 
-    @staticmethod
-    def hybrid_synthesis(s: np.ndarray) -> np.ndarray:
-        """(71, n_slots) hybrid -> (n_slots, 64) QMF by summation."""
+    def hybrid_synthesis(self, s: np.ndarray) -> np.ndarray:
+        """(NB, n_slots) hybrid -> (n_slots, 64) QMF by summation."""
         n = s.shape[1]
         X = np.zeros((n, 64), np.complex128)
-        X[:, 0] = s[0:6].sum(axis=0)
-        X[:, 1] = s[6] + s[7]
-        X[:, 2] = s[8] + s[9]
-        X[:, 3:] = s[10:].T
+        if self.c.is34:
+            X[:, 0] = s[0:12].sum(axis=0)
+            X[:, 1] = s[12:20].sum(axis=0)
+            X[:, 2] = s[20:24].sum(axis=0)
+            X[:, 3] = s[24:28].sum(axis=0)
+            X[:, 4] = s[28:32].sum(axis=0)
+            X[:, 5:] = s[32:].T
+        else:
+            X[:, 0] = s[0:6].sum(axis=0)
+            X[:, 1] = s[6] + s[7]
+            X[:, 2] = s[8] + s[9]
+            X[:, 3:] = s[10:].T
         return X
 
     # -- decorrelation ------------------------------------------------------
 
     def decorrelate(self, s: np.ndarray) -> np.ndarray:
         n = self.n_slots
-        power = np.zeros((_NPAR, n))
+        c = self.c
+        NAP, SDB = c.NAP, c.SHORT_DELAY
+        power = np.zeros((c.NPAR, n))
         mag2 = (s.real ** 2 + s.imag ** 2)
-        for i, idx in enumerate(self._band_masks):
+        for i, idx in enumerate(c.band_masks):
             power[i] = mag2[idx].sum(axis=0)
         # transient ducker (sequential IIR over slots, vector over bands)
-        gain = np.empty((_NPAR, n))
+        gain = np.empty((c.NPAR, n))
         pk, psm, pdds = (self.peak_decay_nrg, self.power_smooth,
                          self.peak_decay_diff_smooth)
         for t in range(n):
@@ -255,21 +326,21 @@ class PSSynthesis:
                                   psm / np.maximum(denom, 1e-30), 1.0)
         self.peak_decay_nrg, self.power_smooth = pk, psm
         self.peak_decay_diff_smooth = pdds
-        gain_k = gain[self.k_to_i]                    # (71, n)
+        gain_k = gain[c.k_to_i]                       # (NB, n)
 
         d = np.empty_like(s)
         # allpass channels
-        ks = np.arange(_NAP)
-        g_decay = np.clip(1.0 - _DECAY_SLOPE * (ks - _DECAY_CUTOFF), 0., 1.)
-        ag = _A_LINK[None, :] * g_decay[:, None]      # (30, 3)
-        dl = np.concatenate([self.delay[:_NAP], s[:_NAP]], axis=1)
+        ks = np.arange(NAP)
+        g_decay = np.clip(1.0 - _DECAY_SLOPE * (ks - c.DECAY_CUTOFF), 0., 1.)
+        ag = _A_LINK[None, :] * g_decay[:, None]      # (NAP, 3)
+        dl = np.concatenate([self.delay[:NAP], s[:NAP]], axis=1)
         v_in = dl[:, _MAX_DELAY - 2:_MAX_DELAY - 2 + n] * \
-            self.phi[:_NAP, None]                     # (30, n)
+            c.phi[:NAP, None]                         # (NAP, n)
         ap = np.concatenate([self.ap_delay,
-                             np.zeros((_NAP, _AP_LINKS, n), np.complex128)],
+                             np.zeros((NAP, _AP_LINKS, n), np.complex128)],
                             axis=2)
-        Q = self.Q[:_NAP]                             # (30, 3)
-        out_ap = np.empty((_NAP, n), np.complex128)
+        Q = c.Q[:NAP]                                 # (NAP, 3)
+        out_ap = np.empty((NAP, n), np.complex128)
         for t in range(n):
             v = v_in[:, t]
             for m in range(_AP_LINKS):
@@ -279,16 +350,13 @@ class PSSynthesis:
                 ap[:, m, t + _AP_DELAY] = v + ag[:, m] * nv
                 v = nv
             out_ap[:, t] = v
-        d[:_NAP] = out_ap * gain_k[:_NAP]
+        d[:NAP] = out_ap * gain_k[:NAP]
         self.ap_delay = ap[:, :, n:n + _AP_DELAY].copy()
         # short-delay channels (delay 14) and tail (delay 1)
-        dm = np.concatenate([self.delay[_NAP:], s[_NAP:]], axis=1)
-        d[_NAP:_SHORT_DELAY_BAND] = \
-            dm[:_SHORT_DELAY_BAND - _NAP, :n] * \
-            gain_k[_NAP:_SHORT_DELAY_BAND]
-        d[_SHORT_DELAY_BAND:] = \
-            dm[_SHORT_DELAY_BAND - _NAP:, _MAX_DELAY - 1:_MAX_DELAY - 1 + n] \
-            * gain_k[_SHORT_DELAY_BAND:]
+        dm = np.concatenate([self.delay[NAP:], s[NAP:]], axis=1)
+        d[NAP:SDB] = dm[:SDB - NAP, :n] * gain_k[NAP:SDB]
+        d[SDB:] = dm[SDB - NAP:, _MAX_DELAY - 1:_MAX_DELAY - 1 + n] \
+            * gain_k[SDB:]
         self.delay = np.concatenate([self.delay, s], axis=1)[:, n:]
         return d
 
@@ -299,9 +367,9 @@ class PSSynthesis:
         lut = self.HB if p.use_hb else self.HA
         iid_idx = np.clip(p.iid[e] + 7 + (23 if p.fine_iid else 0), 0, 45)
         icc_idx = np.clip(p.icc[e], 0, 7)
-        h = lut[iid_idx, icc_idx].T.astype(np.complex128)  # (4, 20)
+        h = lut[iid_idx, icc_idx].T.astype(np.complex128)  # (4, NPAR)
         if p.ipd is not None:
-            b = np.arange(_NIPD)
+            b = np.arange(self.c.NIPD)
             opd_idx = self.opd_hist * 8 + np.clip(p.opd[e], 0, 7)
             ipd_idx = self.ipd_hist * 8 + np.clip(p.ipd[e], 0, 7)
             opd_c = self.pd[opd_idx]
@@ -317,8 +385,9 @@ class PSSynthesis:
 
     def stereo_process(self, s: np.ndarray, d: np.ndarray, p: _Params):
         n = self.n_slots
-        # per-slot interpolated H (4, 20, n)
-        Hs = np.empty((4, _NPAR, n), np.complex128)
+        c = self.c
+        # per-slot interpolated H (4, NPAR, n)
+        Hs = np.empty((4, c.NPAR, n), np.complex128)
         h_prev = self.H_state
         start = 0
         for e in range(len(p.ends)):
@@ -335,11 +404,14 @@ class PSSynthesis:
         if start < n:                     # borders fell short (clamped)
             Hs[:, :, start:] = h_prev[:, :, None]
         self.H_state = h_prev
-        Hk = Hs[:, self.k_to_i]           # (4, 71, n)
+        Hk = Hs[:, c.k_to_i]              # (4, NB, n)
         if p.ipd is not None:
-            # hybrid channels 0,1 are negative-frequency: conjugate phase
+            # negative-frequency hybrid channels: conjugate phase
+            # (20-band: channels 0,1; 34-band: channels 9..13, ffmpeg's
+            # "is34 && k <= 13 && k >= 9")
             Hk = Hk.copy()
-            Hk[:, :2] = Hk[:, :2].real - 1j * Hk[:, :2].imag
+            neg = slice(9, 14) if c.is34 else slice(0, 2)
+            Hk[:, neg] = Hk[:, neg].real - 1j * Hk[:, neg].imag
         L = Hk[0] * s + Hk[2] * d
         R = Hk[1] * s + Hk[3] * d
         return L, R

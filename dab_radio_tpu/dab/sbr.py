@@ -748,7 +748,7 @@ class SBRDecoder:
         self._align = None
         self._ps = None                 # ps_synth.PSSynthesis when active
         self._ps_syn = None
-        self.ps_unsupported = False     # 34-band PS seen: mono fallback
+        self.ps_unsupported = False     # mixed-res 34-band PS: mono dup
 
     # -- public ------------------------------------------------------------
 
@@ -807,8 +807,9 @@ class SBRDecoder:
             Xs.append(X)
 
         # parametric stereo: mono SCE + PS params -> true stereo (one frame
-        # of filterbank latency; ps_synth.py). 34-band PS streams fall back
-        # to duplicated mono and raise the ps_unsupported flag.
+        # of filterbank latency; ps_synth.py, 20- and 34-band configs).
+        # Only mixed-resolution 34-band streams fall back to duplicated
+        # mono (ps_unsupported flag).
         ps_data = frame.ps if frame is not None else None
         if not self.is_cpe and (self._ps is not None or ps_data is not None):
             if self._ps is None:

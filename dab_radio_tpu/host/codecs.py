@@ -9,8 +9,10 @@ AAC-LC@960 *core* but not SBR@960, so the decode is split: dab.aac_bits
 walks the AU and strips the SBR fill element, libavcodec decodes the core to
 float, and dab.sbr reconstructs the high band (differentially validated
 against libavcodec's own HE-AAC@1024 SBR — see tests/test_sbr.py).
-Parametric stereo payloads decode as SBR mono duplicated to both channels
-(faad2-without-PS behavior).
+Parametric stereo (HE-AAC v2) reconstructs true stereo via dab.ps_synth
+(20- and 34-band configs, differentially validated against libavcodec's
+HE-AAC v2 decode); only mixed-resolution 34-band streams fall back to
+duplicated mono, surfaced via AACDecoder.pcm_mode.
 """
 
 import ctypes
@@ -154,8 +156,9 @@ class AACDecoder(_Decoder):
         out16 = np.clip(up, -32768, 32767).astype(np.int16)
         if self.header.ps:
             # true parametric-stereo synthesis gives 2 channels from the
-            # mono core (dab/ps_synth.py); mono duplication only remains
-            # for unsupported 34-band PS streams — surfaced via pcm_mode
+            # mono core (dab/ps_synth.py, 20/34-band); mono duplication
+            # only remains for mixed-resolution 34-band streams —
+            # surfaced via pcm_mode
             if out16.shape[1] == 2:
                 self.pcm_mode = "ps-stereo"
             else:

@@ -138,7 +138,8 @@ def _encode_mono_lc(lib, sig, rate=24000):
 
 
 @pytest.mark.parametrize("variant", ["pan", "icc", "ipdopd", "fine",
-                                     "coarse10", "vargrid", "deltatime"])
+                                     "coarse10", "vargrid", "deltatime",
+                                     "band34"])
 def test_ps_synthesis_differential_vs_libavcodec_1024(variant):
     """Full-chain stereo oracle: our PS synthesis (LC core via libavcodec +
     own SBR + own PS reconstruction) must match libavcodec's conformant
@@ -182,6 +183,13 @@ def test_ps_synthesis_differential_vs_libavcodec_1024(variant):
                    num_env=1)
         d.iid_par = (np.arange(nr_par(1)) % 9 - 4).reshape(1, -1)
         d.icc_par = (np.arange(nr_par(1)) % 4).reshape(1, -1)
+    elif variant == "band34":
+        # 34-band high-resolution config (iid/icc modes 2): full hybrid
+        # filterbank split of QMF bands 0..4
+        d = PSData(enable_iid=True, iid_mode=2, enable_icc=True, icc_mode=2,
+                   num_env=1)
+        d.iid_par = (np.arange(nr_par(2)) % 9 - 4).reshape(1, -1)
+        d.icc_par = (np.arange(nr_par(2)) % 5).reshape(1, -1)
     elif variant == "vargrid":
         # VAR frame class: explicit envelope borders + per-envelope rows
         d = PSData(enable_iid=True, iid_mode=1, enable_icc=True, icc_mode=1,
