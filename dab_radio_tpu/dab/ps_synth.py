@@ -114,6 +114,30 @@ def _map_idx_10_to_20(par: np.ndarray, full: bool = True) -> np.ndarray:
     return out
 
 
+# 34-band upmaps for mixed-resolution streams (one parameter set coded at
+# 10/20-band resolution on a 34-band stream). Derived empirically and
+# pinned BITWISE against libavcodec's decode (per-band one-hot probes +
+# random-row equality, tests/test_ps.py mixed34): the 20->34 map averages
+# the straddling bands 1 and 4 (C-style truncating division) and triples
+# the top two source bands; the 10->34 map is pure duplication.
+_IDX_10_TO_34 = np.repeat(np.arange(10), [3, 3, 4, 2, 4, 2, 2, 4, 4, 6])
+
+
+def _map_idx_20_to_34(p: np.ndarray) -> np.ndarray:
+    p = np.asarray(p, np.int64)
+    out = np.empty(34, np.int64)
+    out[[0, 2, 3, 5]] = p[[0, 1, 2, 3]]
+    out[1] = int(np.fix((int(p[0]) + int(p[1])) / 2.0))
+    out[4] = int(np.fix((int(p[2]) + int(p[3])) / 2.0))
+    out[6:10] = np.repeat(p[4:6], 2)
+    out[10:12] = p[6:8]
+    out[12:16] = np.repeat(p[8:10], 2)
+    out[16:20] = p[10:14]
+    out[20:28] = np.repeat(p[14:18], 2)
+    out[28:34] = np.repeat(p[18:20], 3)
+    return out
+
+
 @dataclass
 class _Params:
     """One frame's mapped stereo parameters."""
@@ -173,18 +197,14 @@ class PSSynthesis:
 
     def map_params(self, d) -> Optional[_Params]:
         """dab.ps.PSData -> internal parameters at the stream's band
-        configuration (20-band baseline, or 34-band when the coded modes
-        are 2/5). Mixed-resolution 34-band streams (e.g. 34-band IID with
-        20-band ICC) would need the spec's 20->34 index remap tables and
-        are not supported -> NotImplementedError (mono fallback)."""
+        configuration (20-band baseline, or 34-band when either coded
+        mode is 2/5; 10/20-band-coded parameter sets on a 34-band stream
+        upsample via the frequency-aligned index maps)."""
         if d is None:
             return None
         iid34 = d.enable_iid and d.iid_mode in (2, 5)
         icc34 = d.enable_icc and d.icc_mode in (2, 5)
         is34 = iid34 or icc34
-        if is34 and ((d.enable_iid and not iid34) or
-                     (d.enable_icc and not icc34)):
-            raise NotImplementedError("mixed-resolution 34-band PS")
         self._set_config(is34)
         n_env = d.num_env
         ends = [int(b) + 1 for b in d.border_position[:n_env]]
@@ -197,10 +217,20 @@ class PSSynthesis:
                 return np.zeros((n_env, n), np.int64)
             out = []
             for e in range(min(n_env, par.shape[0])):
-                row = par[e]
-                if n_coded in (10, 5):
+                row = np.asarray(par[e], np.int64)
+                if is34 and full:
+                    if n_coded == 20:
+                        row = _map_idx_20_to_34(row)
+                    elif n_coded == 10:
+                        row = row[_IDX_10_TO_34]
+                elif is34:
+                    if n_coded != 17:
+                        # ipd/opd coded at 5/11 bands on a 34-band stream:
+                        # upmap not derived (vanishingly rare)
+                        raise NotImplementedError("mixed-res 34-band ipdopd")
+                elif n_coded in (10, 5):
                     row = _map_idx_10_to_20(row, full)
-                out.append(row[:n].astype(np.int64))
+                out.append(row[:n])
             return np.stack(out) if out else np.zeros((0, n), np.int64)
 
         from . import ps as _ps

@@ -139,7 +139,7 @@ def _encode_mono_lc(lib, sig, rate=24000):
 
 @pytest.mark.parametrize("variant", ["pan", "icc", "ipdopd", "fine",
                                      "coarse10", "vargrid", "deltatime",
-                                     "band34"])
+                                     "band34", "mixed34"])
 def test_ps_synthesis_differential_vs_libavcodec_1024(variant):
     """Full-chain stereo oracle: our PS synthesis (LC core via libavcodec +
     own SBR + own PS reconstruction) must match libavcodec's conformant
@@ -183,6 +183,13 @@ def test_ps_synthesis_differential_vs_libavcodec_1024(variant):
                    num_env=1)
         d.iid_par = (np.arange(nr_par(1)) % 9 - 4).reshape(1, -1)
         d.icc_par = (np.arange(nr_par(1)) % 4).reshape(1, -1)
+    elif variant == "mixed34":
+        # mixed resolution: 34-band IID with 20-band ICC (exercises the
+        # bitwise-derived 20->34 upmap incl. the averaged bands 1/4)
+        d = PSData(enable_iid=True, iid_mode=2, enable_icc=True, icc_mode=1,
+                   num_env=1)
+        d.iid_par = (np.arange(nr_par(2)) % 9 - 4).reshape(1, -1)
+        d.icc_par = (np.arange(nr_par(1)) % 5).reshape(1, -1)
     elif variant == "band34":
         # 34-band high-resolution config (iid/icc modes 2): full hybrid
         # filterbank split of QMF bands 0..4
@@ -363,3 +370,72 @@ def test_ps_synthesis_differential_vs_libavcodec_1024(variant):
         rels.append(np.linalg.norm(a - bseg) / np.linalg.norm(a))
     assert max(rels) < 0.02, \
         f"PS differential rel err {rels} (lag {best_lag}, corr {best:.4f})"
+
+
+def test_ps_mixed_resolution_upmaps_bitwise_vs_libavcodec():
+    """The 10/20 -> 34 parameter upmaps must be EXACTLY libavcodec's: a
+    mixed-resolution stream and a direct 34-band stream carrying the
+    upmapped row must decode to bitwise-identical PCM (same internal
+    parameters -> same float ops)."""
+    lib = codecs_lib()
+    if lib is None:
+        pytest.skip("libavcodec shim unavailable")
+    from dab_radio_tpu.dab.ps_synth import _map_idx_20_to_34, _IDX_10_TO_34
+    rng = np.random.default_rng(11)
+    n = 24000
+    t = np.arange(n) / 24000
+    sig = (0.25 * np.sin(2 * np.pi * 700 * t)
+           + 0.05 * rng.standard_normal(n))
+    aus, fs = _encode_mono_lc(lib, sig)
+    hdr = S.SBRHeader(amp_res=1, start_freq=5, stop_freq=3, xover_band=0,
+                      freq_scale=2, alter_scale=1, noise_bands=2,
+                      limiter_bands=2, limiter_gains=2, interpol_freq=1,
+                      smoothing_mode=0)
+    ft = S.make_freq_tables(hdr, 48000)
+    env = np.full(ft.n[1], 27, np.int64)
+    noise = np.full(len(ft.f_noise) - 1, 14, np.int64)
+    walker = RawDataBlockWalker(6, 1024)
+
+    def asc():
+        bw = BitWriter()
+        bw.write(2, 5).write(6, 4).write(1, 4)
+        bw.write(0, 1).write(0, 1).write(0, 1)
+        bw.write(0x2B7, 11).write(5, 5).write(1, 1).write(3, 4)
+        bw.write(0x548, 11).write(1, 1)
+        return bw.tobytes()
+
+    def ff(d):
+        payload, nbits = S.build_sbr_payload(hdr, 48000, 16, [[env]],
+                                             [[noise]], ps_data=d)
+        a = asc()
+        b = np.frombuffer(a, np.uint8)
+        hd = lib.dec_open(0, b.ctypes.data, len(a))
+        out = []
+        for au in aus:
+            au_ps = S.add_sbr_fill_to_au(au, payload, nbits, walker)
+            buf = np.frombuffer(au_ps, np.uint8)
+            pcm = np.empty(1 << 18, np.int16)
+            r = ctypes.c_int32(0)
+            c = ctypes.c_int32(0)
+            got = lib.dec_decode(hd, buf.ctypes.data, buf.shape[0],
+                                 pcm.ctypes.data, pcm.shape[0],
+                                 ctypes.byref(r), ctypes.byref(c))
+            if got > 0:
+                out.append(pcm[:got].reshape(-1, max(c.value, 1)).copy())
+        lib.dec_close(hd)
+        return np.concatenate(out)
+
+    for mode, n_coded, upmap in ((1, 20, _map_idx_20_to_34),
+                                 (0, 10, lambda p: p[_IDX_10_TO_34])):
+        row = rng.integers(0, 8, n_coded)
+        d_mix = PSData(enable_iid=True, iid_mode=2, enable_icc=True,
+                       icc_mode=mode, num_env=1)
+        d_mix.iid_par = np.zeros((1, nr_par(2)), np.int64)
+        d_mix.icc_par = row.reshape(1, -1)
+        d_dir = PSData(enable_iid=True, iid_mode=2, enable_icc=True,
+                       icc_mode=2, num_env=1)
+        d_dir.iid_par = np.zeros((1, nr_par(2)), np.int64)
+        d_dir.icc_par = np.asarray(upmap(row)).reshape(1, -1)
+        a, b = ff(d_mix), ff(d_dir)
+        assert a.shape == b.shape and np.array_equal(a, b), \
+            f"icc_mode {mode} upmap diverges from libavcodec"
