@@ -289,12 +289,10 @@ def main():
     # Stage 1: one demod rung -> headline value on record ASAP
     demod_stage(128, 30, 0, cap=300)
 
-    # Stage 2: one Viterbi config (more only if budget survives stage 3 —
-    # each new batch shape costs a fresh relay compile)
-    viterbi_stage([(16384, 8, "exact", 3), (8192, 10, "tiled512", 2)])
-
-    # Stage 3: fleet — resident (chip-bound) and honest-ingest (link-bound)
-    # measured in ONE process sharing the compiled program (--both)
+    # Stage 2: fleet — resident (chip-bound) and honest-ingest (link-bound)
+    # measured in ONE process sharing the compiled program (--both). Runs
+    # before the Viterbi ladder: its compile is the most variable on the
+    # relay (15-365 s observed) and the fleet number is the north star.
     fleet_tool = os.path.join(here, "tools", "bench_fleet.py")
     for extra in (["--fused", "--both", "--frames", "160",
                    "--frames-per-step", "16"],
@@ -306,7 +304,7 @@ def main():
                 line.get("fleet_rt_ensembles", 0) > 0:
             break
         for res in _run_sub([fleet_tool, "--streams", "16"] + extra,
-                            timeout=min(420, max(_remaining(), 120))):
+                            timeout=min(460, max(_remaining(), 120))):
             rt = res.get("realtime_ensembles", 0.0)
             key = ("fleet_resident_rt" if res.get("mode") == "fused-resident"
                    else "fleet_rt_ensembles")
@@ -314,6 +312,10 @@ def main():
                 line[key] = rt
                 line["fleet_streams"] = res["streams"]
         emit()
+
+    # Stage 3: Viterbi (more configs only on leftover budget — each new
+    # batch shape costs a fresh relay compile)
+    viterbi_stage([(16384, 8, "exact", 2), (8192, 10, "tiled512", 2)])
 
     # Stage 4: spend any leftover budget widening the ladders
     if _remaining() > 300 and line.get("viterbi_mbps", 0) < 150:

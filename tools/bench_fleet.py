@@ -280,13 +280,13 @@ def run_fused(args, iq):
     fib0, msc0 = [np.asarray(x) for x in pack(out)]
     print(f"# fused compile {_time.time() - t0:.1f}s", file=sys.stderr)
 
-    def run_mode(resident):
+    def run_mode(resident, max_rounds=None):
         nonlocal carry, hist
         t0 = _time.time()
         done = 0
         fetch = None
         fetched = []
-        for r in range(1, rounds):
+        for r in range(1, min(rounds, max_rounds or rounds)):
             carry, hist, out = step(carry, hist, get_blk(r, resident))
             if fetch is not None:        # overlap host work w/ device round
                 if resident:
@@ -321,7 +321,9 @@ def run_fused(args, iq):
 
     if args.both:
         run_mode(True)    # receivers keep state; the capture replays for
-        run_mode(False)   # the link-bound pass on the same compiled step
+        # the link-bound pass on the same compiled step; a few rounds
+        # suffice to measure the tunnel (100 MB/round at K=16)
+        run_mode(False, max_rounds=6)
     else:
         run_mode(use_resident)
     assert aus[0] > 0, "no access units decoded - benchmark not end-to-end"
