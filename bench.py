@@ -24,11 +24,12 @@ device->host transfers, and its block_until_ready does not synchronise
 (dispatch is fire-and-forget). Each measurement therefore runs in an
 isolated subprocess with a hard timeout, and timing is only trusted when a
 device->host fetch of a value data-dependent on the final step succeeds
-("fetch_verified"). Timed loops are folded INTO the jitted program
-(lax.scan) where possible so degraded-session dispatch overhead cannot mask
-chip speed, and all reductions happen on device (round-2's 21 Mbit/s
+("fetch_verified"). All reductions happen on device — round-2's 21 Mbit/s
 Viterbi record was an artifact of fetching the full decoded array across
-the ~25 MB/s tunnel).
+the ~25 MB/s tunnel. (Folding iteration loops into one jitted lax.scan
+amortizes dispatch perfectly but its compile exceeds the relay budget at
+production batches; per-call dispatch of a compiled step stays fast even
+in degraded sessions.)
 
 Budget: the whole bench self-caps at BENCH_BUDGET_S (default 780 s) so it
 fits the driver's window.
