@@ -31,8 +31,10 @@ amortizes dispatch perfectly but its compile exceeds the relay budget at
 production batches; per-call dispatch of a compiled step stays fast even
 in degraded sessions.)
 
-Budget: the whole bench self-caps at BENCH_BUDGET_S (default 780 s) so it
-fits the driver's window.
+Budget: the whole bench self-caps at BENCH_BUDGET_S (default 900 s) so it
+fits the driver's window. Relay compiles vary 15-365 s session to session,
+so stage windows are guarded: the second fleet config only runs if the
+first produced nothing, and the Viterbi stage needs >=300 s remaining.
 """
 
 import json
@@ -43,7 +45,7 @@ import sys
 import time
 
 BASELINE_MSPS = 2.048
-BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", "780"))
+BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", "900"))
 _T_END = time.time() + BUDGET_S
 
 
@@ -301,9 +303,8 @@ def main():
                    "--frames-per-step", "8"]):
         if _remaining() < 120:
             break
-        if line.get("fleet_resident_rt", 0) > 0 and \
-                line.get("fleet_rt_ensembles", 0) > 0:
-            break
+        if line.get("fleet_resident_rt", 0) > 0:
+            break          # one successful --both run carries both numbers
         for res in _run_sub([fleet_tool, "--streams", "16"] + extra,
                             timeout=min(460, max(_remaining(), 120))):
             rt = res.get("realtime_ensembles", 0.0)
@@ -315,8 +316,9 @@ def main():
         emit()
 
     # Stage 3: Viterbi (more configs only on leftover budget — each new
-    # batch shape costs a fresh relay compile)
-    viterbi_stage([(16384, 8, "exact", 2), (8192, 10, "tiled512", 2)])
+    # batch shape costs a fresh relay compile, ~150-300 s)
+    if _remaining() >= 300:
+        viterbi_stage([(16384, 8, "exact", 2), (8192, 10, "tiled512", 2)])
 
     # Stage 4: spend any leftover budget widening the ladders
     if _remaining() > 300 and line.get("viterbi_mbps", 0) < 150:
