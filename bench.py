@@ -150,12 +150,10 @@ def viterbi_worker(batch: int, inner: int, mode: str = "exact",
                    reps: int = 3) -> None:
     """MSC Viterbi data-bit throughput (EEP-3A 48 CU shape).
 
-    The timed loop runs INSIDE one jitted program (lax.scan over `inner`
-    decodes, each step's input data-dependent on the previous step's output
-    so XLA cannot overlap them), and the program returns one scalar digest —
-    so a single dispatch + scalar fetch measures `inner` full decodes. This
-    makes the number immune to relay dispatch degradation and avoids the
-    round-2 artifact of fetching the whole decoded array to host.
+    Each rep times `inner` per-call dispatches of one jitted decode+digest
+    step whose input depends on the previous step's output (serialized on
+    device), then fetches ONE scalar — avoiding the round-2 artifact of
+    pulling the whole decoded array across the tunnel per measurement.
     mode 'exact' = full-trellis radix-4 scan (production default,
     dab.msc._DECODE_MODE); 'tiledN' = overlap-save chunked decoder."""
     import numpy as np
