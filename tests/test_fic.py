@@ -122,3 +122,19 @@ def test_charsets():
     assert decode_label("héllo".encode("latin-1"), 4) == "héllo"
     assert decode_label("héllo".encode("utf-16-be"), 6) == "héllo"
     assert decode_label("héllo".encode("utf-8"), 15) == "héllo"
+
+
+def test_crc16_batch_matches_scalar():
+    """Vectorized row-CRC (serving-fleet host path) equals the scalar
+    engine, valid and invalid rows alike."""
+    import numpy as np
+    from dab_radio_tpu.ops.crc import crc16, crc16_check, crc16_check_batch
+    rng = np.random.default_rng(2)
+    rows = rng.integers(0, 256, (64, 32), dtype=np.uint8)
+    for i in range(0, 64, 2):
+        c = crc16(rows[i, :30])
+        rows[i, 30], rows[i, 31] = c >> 8, c & 0xFF
+    got = crc16_check_batch(rows)
+    ref = np.array([crc16_check(r) for r in rows])
+    np.testing.assert_array_equal(got, ref)
+    assert got.sum() >= 32
