@@ -7,11 +7,9 @@ parameter sets with delta-time/delta-freq Huffman coding — and provides the
 matching writer for closed-loop tests. Huffman tables are the ISO spec
 constants extracted from the system libavcodec archive (aacps_common.o).
 
-Reconstruction status: decoded parameters are exposed on the SBR frame;
-PCM output currently duplicates the SBR mono downmix to both channels (the
-behavior of faad2 builds without PS, which the reference ships against by
-default). The parameter layer means a stereo reconstruction stage can slot
-in without touching the transport.
+Reconstruction: decoded parameters feed dab.ps_synth, which rebuilds true
+stereo in the QMF domain (20-band, 34-band and mixed-resolution configs,
+differentially validated against libavcodec's HE-AAC v2 decode).
 """
 
 from dataclasses import dataclass, field

@@ -439,3 +439,22 @@ def test_ps_mixed_resolution_upmaps_bitwise_vs_libavcodec():
         a, b = ff(d_mix), ff(d_dir)
         assert a.shape == b.shape and np.array_equal(a, b), \
             f"icc_mode {mode} upmap diverges from libavcodec"
+
+
+def test_ps_config_switch_mid_stream():
+    """A stream toggling 20-band <-> 34-band PS configs mid-service must
+    not crash (state resets on switch; real broadcasts never toggle)."""
+    from dab_radio_tpu.dab.ps_synth import PSSynthesis
+    rng = np.random.default_rng(0)
+    ps = PSSynthesis(n_slots=32)
+    X = (rng.standard_normal((32, 64)) + 1j * rng.standard_normal((32, 64)))
+    for mode in (1, 2, 1, 2):
+        d = PSData(enable_iid=True, iid_mode=mode, enable_icc=True,
+                   icc_mode=mode, num_env=1)
+        d.iid_par = np.zeros((1, nr_par(mode)), np.int64)
+        d.icc_par = np.zeros((1, nr_par(mode)), np.int64)
+        res = ps.process(X, d)
+        if res is not None:
+            L, R = res
+            assert L.shape == (32, 64) and R.shape == (32, 64)
+            assert np.isfinite(L).all() and np.isfinite(R).all()
