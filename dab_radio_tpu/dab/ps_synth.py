@@ -208,6 +208,8 @@ class PSSynthesis:
         self._set_config(is34)
         n_env = d.num_env
         ends = [int(b) + 1 for b in d.border_position[:n_env]]
+        if len(ends) < n_env:              # missing borders: uniform FIX
+            ends = [(e + 1) * self.n_slots // n_env for e in range(n_env)]
         fine = d.iid_mode > 2
         use_hb = d.icc_mode >= 3
 
