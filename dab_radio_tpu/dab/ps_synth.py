@@ -148,6 +148,7 @@ class _Params:
     opd: Optional[np.ndarray]
     fine_iid: bool
     use_hb: bool                     # mixing procedure B (icc_mode >= 3)
+    is34: bool = False               # band configuration of this frame
 
 
 class PSSynthesis:
@@ -205,7 +206,8 @@ class PSSynthesis:
         iid34 = d.enable_iid and d.iid_mode in (2, 5)
         icc34 = d.enable_icc and d.icc_mode in (2, 5)
         is34 = iid34 or icc34
-        self._set_config(is34)
+        cfg = _get_cfg(is34)       # the frame's config; the synthesis state
+        # switches when this frame is PROCESSED (one frame later)
         n_env = d.num_env
         ends = [int(b) + 1 for b in d.border_position[:n_env]]
         if len(ends) < n_env:              # missing borders: uniform FIX
@@ -214,7 +216,7 @@ class PSSynthesis:
         use_hb = d.icc_mode >= 3
 
         def rows(par, n_coded, full=True):
-            n = self.c.NPAR if full else self.c.NIPD
+            n = cfg.NPAR if full else cfg.NIPD
             if par is None:
                 return np.zeros((n_env, n), np.int64)
             out = []
@@ -237,15 +239,15 @@ class PSSynthesis:
 
         from . import ps as _ps
         iid = rows(d.iid_par, _ps.nr_par(d.iid_mode)) if d.enable_iid \
-            else np.zeros((n_env, self.c.NPAR), np.int64)
+            else np.zeros((n_env, cfg.NPAR), np.int64)
         icc = rows(d.icc_par, _ps.nr_par(d.icc_mode)) if d.enable_icc \
-            else np.zeros((n_env, self.c.NPAR), np.int64)
+            else np.zeros((n_env, cfg.NPAR), np.int64)
         ipd = opd = None
         if d.enable_ipdopd and d.ipd_par is not None:
             nipd = int(T._npz()["ps_nr_iidopd_par_tab"][d.iid_mode])
             ipd = rows(d.ipd_par, nipd, full=False)
             opd = rows(d.opd_par, nipd, full=False)
-        p = _Params(ends, iid, icc, ipd, opd, fine, use_hb)
+        p = _Params(ends, iid, icc, ipd, opd, fine, use_hb, is34)
         self._finalize_envelopes(p)
         return p
 
@@ -254,12 +256,20 @@ class PSSynthesis:
         short of the frame (ffmpeg's fake-envelope logic), or synthesize a
         single envelope from the previous frame's rows when num_env==0."""
         n = self.n_slots
+        npar = _get_cfg(p.is34).NPAR
         if p.iid.shape[0] == 0:
-            p.iid = self.last_iid[None].copy()
-            p.icc = self.last_icc[None].copy()
+            last_ok = self.last_iid.shape[0] == npar
+            p.iid = self.last_iid[None].copy() if last_ok \
+                else np.zeros((1, npar), np.int64)
+            p.icc = self.last_icc[None].copy() if last_ok \
+                else np.zeros((1, npar), np.int64)
             if p.ipd is not None:
-                p.ipd = self.last_ipd[None].copy()
-                p.opd = self.last_opd[None].copy()
+                nipd = _get_cfg(p.is34).NIPD
+                ipd_ok = self.last_ipd.shape[0] == nipd
+                p.ipd = self.last_ipd[None].copy() if ipd_ok \
+                    else np.zeros((1, nipd), np.int64)
+                p.opd = self.last_opd[None].copy() if ipd_ok \
+                    else np.zeros((1, nipd), np.int64)
             p.ends = [n]
             return
         if p.ends[-1] < n:
@@ -458,28 +468,36 @@ class PSSynthesis:
         if ps_data is not None:
             params = self.map_params(ps_data)
         if params is None:
-            hold = _Params([self.n_slots], self.last_iid[None].copy(),
-                           self.last_icc[None].copy(), None, None,
-                           self.last_fine, self.last_use_hb)
-            params = hold
-        else:
-            self.last_iid = params.iid[-1].copy()
-            self.last_icc = params.icc[-1].copy()
-            if params.ipd is not None:
-                self.last_ipd = params.ipd[-1].copy()
-                self.last_opd = params.opd[-1].copy()
-            self.last_fine = params.fine_iid
-            self.last_use_hb = params.use_hb
+            is34 = self.pending.is34 if self.pending is not None \
+                else self.c.is34
+            npar = _get_cfg(is34).NPAR
+            last_ok = self.last_iid.shape[0] == npar
+            params = _Params(
+                [self.n_slots],
+                self.last_iid[None].copy() if last_ok
+                else np.zeros((1, npar), np.int64),
+                self.last_icc[None].copy() if last_ok
+                else np.zeros((1, npar), np.int64),
+                None, None, self.last_fine, self.last_use_hb, is34)
 
         if self.x_prev is None:
             self.x_prev = X.copy()
             self.pending = params
             return None
+        pend = self.pending
+        self._set_config(pend.is34)    # resets state on a config switch
         W = np.concatenate([self.lookback, self.x_prev, X[:6]], axis=0)
         s = self.hybrid_analysis(W)
         d = self.decorrelate(s)
-        L, R = self.stereo_process(s, d, self.pending)
+        L, R = self.stereo_process(s, d, pend)
         out = (self.hybrid_synthesis(L), self.hybrid_synthesis(R))
+        self.last_iid = pend.iid[-1].copy()
+        self.last_icc = pend.icc[-1].copy()
+        if pend.ipd is not None:
+            self.last_ipd = pend.ipd[-1].copy()
+            self.last_opd = pend.opd[-1].copy()
+        self.last_fine = pend.fine_iid
+        self.last_use_hb = pend.use_hb
         self.lookback = self.x_prev[-6:].copy()
         self.x_prev = X.copy()
         self.pending = params
