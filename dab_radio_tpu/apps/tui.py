@@ -140,13 +140,17 @@ def diagnostics_lines(demod, sd, width=56):
     s2 = p.nb_null_period + p.nb_symbol_period + p.nb_cyclic_prefix
     data_db = 20 * np.log10(np.abs(np.fft.fftshift(
         np.fft.fft(w[s2:s2 + p.nb_fft]))) + 1e-12)
+    # sampling-buffer envelope (reference RenderSourceBuffer): |IQ| over
+    # the whole frame window, max-pooled
+    mag = np.abs(w[::64])
     lines = []
-    for name, arr in (("fine-time impulse", imp_db),
-                      ("coarse-freq corr", fr_db),
-                      ("null symbol PSD", null_db),
-                      ("data symbol PSD", data_db)):
-        lines.append(f"  {name:<18s}[{arr.min():7.1f},{arr.max():7.1f}]dB "
-                     + _spark(arr, width))
+    for name, arr, unit in (("fine-time impulse", imp_db, "dB"),
+                            ("coarse-freq corr", fr_db, "dB"),
+                            ("null symbol PSD", null_db, "dB"),
+                            ("data symbol PSD", data_db, "dB"),
+                            ("sampling buffer |iq|", mag, "  ")):
+        lines.append(f"  {name:<20s}[{arr.min():7.2f},{arr.max():7.2f}]"
+                     f"{unit} " + _spark(arr, width))
     return lines
 
 

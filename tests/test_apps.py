@@ -168,6 +168,7 @@ def test_tui_plain_dashboard(tmp_path):
     assert "coarse-freq corr" in out
     assert "null symbol PSD" in out
     assert "data symbol PSD" in out
+    assert "sampling buffer" in out
 
 
 @pytest.mark.slow
