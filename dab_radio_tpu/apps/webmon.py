@@ -1,0 +1,196 @@
+"""Live web dashboard: the GUI analog served over HTTP.
+
+Decodes an IQ stream continuously (like radio_cli) and serves the
+reference GUI's views to any browser — no display stack needed on the
+decoding host, which fits TPU pods better than the reference's native
+ImGui window (examples/gui/):
+
+  /               auto-refreshing page embedding the live dashboard
+  /dashboard.png  the monitor's 6-panel render of the LAST frame
+                  (sampling buffer, PRS impulse, coarse-freq response,
+                  constellation, soft-bit histogram, data spectrum)
+  /state.json     ensemble database + per-channel stats + demod counters
+
+Usage: python -m dab_radio_tpu.apps.webmon -i capture.u8 -F u8 \
+           --port 8080 [--loop] [--backend cpu]
+"""
+
+import argparse
+import io
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+
+import numpy as np
+
+from ..host.native import iq_convert, IQ_FORMATS
+from ..host.io import IQReader
+from ..models.demodulator import OFDMDemodulator, StreamingDemodulator
+from ..models.receiver import DabReceiver
+from ..utils.backend import add_backend_flag, apply_backend
+
+
+class _State:
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.nb_frames = 0
+        self.t0 = time.time()
+        self.demod = None
+        self.sd = None
+        self.rx = None
+        self.done = False
+
+
+def _state_json(st: _State) -> bytes:
+    with st.lock:
+        rx, sd = st.rx, st.sd
+        out = {"frames": st.nb_frames,
+               "uptime_s": round(time.time() - st.t0, 1),
+               "done": st.done}
+        if sd is not None and np.ndim(sd.carry.freq_coarse) == 0:
+            out["freq_hz"] = round(
+                (float(sd.carry.freq_coarse) + float(sd.carry.freq_fine))
+                * 2.048e6, 1)
+            out["desync"] = int(sd.carry.total_desync)
+        if rx is not None:
+            db = rx.db
+            out["ensemble"] = {"id": f"{db.ensemble.id:04X}",
+                               "label": db.ensemble.label}
+            out["services"] = [
+                {"id": f"{sid:04X}", "label": svc.label}
+                for sid, svc in sorted(db.services.items())]
+            out["subchannels"] = sorted(db.subchannels)
+    return json.dumps(out).encode()
+
+
+def _dashboard_png(st: _State) -> bytes:
+    from .monitor import collect_diagnostics, render_dashboard
+    with st.lock:
+        sd, demod = st.sd, st.demod
+        if sd is None or sd.last_window is None:
+            return b""
+        window = np.asarray(sd.last_window).copy()
+        carry = sd.carry
+    diag = collect_diagnostics(demod, window, carry)
+    with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
+        path = f.name
+    try:
+        render_dashboard(diag, carry, path)
+        with open(path, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(path)
+
+
+_PAGE = b"""<!doctype html><title>DAB-Radio TPU</title>
+<body style="background:#111;color:#ddd;font-family:monospace">
+<h3>DAB-Radio TPU &mdash; live monitor</h3>
+<pre id="s"></pre><img id="d" src="/dashboard.png" width="900">
+<script>
+async function tick(){
+ try{
+  const r = await fetch('/state.json');
+  document.getElementById('s').textContent =
+      JSON.stringify(await r.json(), null, 1);
+  document.getElementById('d').src = '/dashboard.png?' + Date.now();
+ }catch(e){}
+ setTimeout(tick, 2000);
+}
+tick();
+</script>"""
+
+
+def _make_handler(st: _State):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            path = self.path.split("?")[0]
+            if path == "/":
+                body, ctype = _PAGE, "text/html"
+            elif path == "/state.json":
+                body, ctype = _state_json(st), "application/json"
+            elif path == "/dashboard.png":
+                body, ctype = _dashboard_png(st), "image/png"
+                if not body:
+                    self.send_response(503)
+                    self.end_headers()
+                    return
+            else:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):                  # quiet
+            pass
+
+    return Handler
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-i", "--input", default="-")
+    ap.add_argument("-F", "--format", default="u8",
+                    choices=sorted(IQ_FORMATS) + ["wav"])
+    ap.add_argument("-M", "--transmission-mode", type=int, default=1)
+    ap.add_argument("-b", "--block-size", type=int, default=65536 * 4)
+    ap.add_argument("--port", type=int, default=8737)
+    ap.add_argument("--loop", action="store_true",
+                    help="loop a file input forever")
+    ap.add_argument("--max-frames", type=int, default=0)
+    add_backend_flag(ap)
+    args = ap.parse_args(argv)
+    apply_backend(args)
+
+    st = _State()
+    st.demod = OFDMDemodulator(args.transmission_mode)
+    st.sd = StreamingDemodulator(st.demod)
+    st.rx = DabReceiver(args.transmission_mode, benchmark_all=True)
+
+    def pump():
+        fin = sys.stdin.buffer if args.input == "-" else \
+            open(args.input, "rb")
+        reader = IQReader(fin, args.format)
+        while True:
+            raw = fin.read(args.block_size)
+            if not raw:
+                if args.loop and args.input != "-":
+                    fin.seek(0)
+                    continue
+                break
+            iq = iq_convert(raw, reader.fmt)
+            for bits in st.sd.process(iq):
+                with st.lock:
+                    st.rx.process_frame(bits)
+                    st.nb_frames += 1
+                if args.max_frames and st.nb_frames >= args.max_frames:
+                    with st.lock:
+                        st.done = True
+                    return
+        with st.lock:
+            st.done = True
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+
+    from http.server import ThreadingHTTPServer
+    srv = ThreadingHTTPServer(("127.0.0.1", args.port), _make_handler(st))
+    print(f"# webmon on http://127.0.0.1:{args.port}/", file=sys.stderr,
+          flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

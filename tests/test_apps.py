@@ -250,3 +250,50 @@ def test_profile_trace_export(tmp_path):
     evs = json.loads(trace.read_text())["traceEvents"]
     names = {e["name"] for e in evs if e["ph"] == "X"}
     assert "demod/frame_step" in names and "radio/fic_decode" in names
+
+
+@pytest.mark.slow
+def test_webmon_serves_dashboard_and_state(tmp_path):
+    """Web GUI analog: /state.json shows the decoded ensemble and
+    /dashboard.png renders the live diagnostic panels."""
+    import json as json_mod
+    import time as time_mod
+    import urllib.request
+    iq_path = tmp_path / "iq.bin"
+    r = _run(["dab_radio_tpu.apps.simulate_transmitter", "--payload",
+              "ensemble", "-n", "10", "-F", "u8"], timeout=400)
+    iq_path.write_bytes(r.stdout)
+    port = 8791
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "dab_radio_tpu.apps.webmon",
+         "-i", str(iq_path), "-F", "u8", "--port", str(port),
+         "--max-frames", "8"],
+        env=ENV, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    try:
+        state = None
+        for _ in range(120):
+            time_mod.sleep(1)
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/state.json",
+                        timeout=5) as resp:
+                    state = json_mod.loads(resp.read())
+                if state.get("done") and state.get("frames", 0) >= 8:
+                    break
+            except Exception:
+                continue
+        assert state is not None, proc.stderr.read().decode()[-400:] \
+            if proc.poll() is not None else "server never answered"
+        assert state["frames"] >= 8
+        assert state["ensemble"]["id"] == "C0FE"
+        assert any("Radio TPU" in s["label"] for s in state["services"])
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/dashboard.png", timeout=60) as resp:
+            png = resp.read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n" and len(png) > 10000
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=5) as resp:
+            assert b"live monitor" in resp.read()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
