@@ -1,9 +1,13 @@
 """Parametric stereo synthesis (HE-AAC v2, ISO/IEC 14496-3 8.6.4.6).
 
 Turns the SBR-reconstructed mono QMF signal into stereo using the decoded
-IID/ICC(/IPD/OPD) parameters from dab.ps. 20-stereo-band configuration (the
-one DAB+ broadcasts use; 34-band streams are reported unsupported and fall
-back to mono duplication upstream).
+IID/ICC(/IPD/OPD) parameters from dab.ps. Both band configurations are
+implemented: the 20-stereo-band baseline (the one DAB+ broadcasts use) and
+the 34-band high-resolution config, including mixed-resolution streams via
+bitwise-derived 10/20->34 parameter upmaps; the single remaining fallback
+(mono duplication, surfaced as pcm_mode "ps-mono-dup") is ipd/opd coded
+below 17 bands on a 34-band stream, whose straddling-band phase blend
+libavcodec computes off the index grid (see docs/NOTES_r3.md).
 
 Structure mirrors the conformant float decoders (ffmpeg aacps, faad2
 ps_dec): hybrid analysis filterbank over the 3 lowest QMF bands (8-band
