@@ -134,3 +134,44 @@ def test_dab_plus_he_aac_v2_ps_tone_to_true_stereo():
     assert l_rms > 1.5 * r_rms, (l_rms, r_rms)
     diff = np.abs(pcm[:, 0] - pcm[:, 1]).max()
     assert diff > 100, "channels are duplicated mono"
+
+
+def test_ps_stream_snapshot_resume_continues_stereo():
+    """Snapshot a receiver mid-PS-stream, restore, re-enable audio: the
+    restored receiver must resume decoding TRUE stereo (codec handles and
+    PS synthesis state are rebuilt; decode state carries over)."""
+    svc = ServiceSpec(
+        service_id=0xF126, subchannel_id=6, label="PS Resume",
+        cfg=SubchannelConfig(0, 48, False, eep_type="A", eep_prot_level=2),
+        superframe_header=SuperFrameHeader(48000, False, True, True, 0))
+    tx = EnsembleTransmitter(1, services=[svc])
+    tx.enable_tone_audio(base_freq=523.25)
+    rx = DabReceiver(1)
+    pcm_chunks = []
+    meta = {}
+
+    def on_channel(sub_id, ch):
+        if hasattr(ch, "enable_audio_decode"):
+            ch.enable_audio_decode()
+        ch.events.on_audio_data.append(
+            lambda pcm, rate, nch: (pcm_chunks.append(pcm),
+                                    meta.update(nch=nch)))
+    rx.on_audio_channel.append(on_channel)
+    for _ in range(14):
+        rx.process_frame(np.asarray(tx.next_frame_bits()))
+    assert pcm_chunks, "no PCM before snapshot"
+
+    blob = rx.snapshot()
+    rx2 = DabReceiver.from_snapshot(blob)
+    pcm_chunks.clear()
+    rx2.on_audio_channel.append(on_channel)
+    for sub_id, ch in rx2.channels.items():    # re-attach sinks + audio
+        on_channel(sub_id, ch)
+    for _ in range(16):
+        rx2.process_frame(np.asarray(tx.next_frame_bits()))
+    assert pcm_chunks, "no PCM after resume"
+    assert meta["nch"] == 2
+    pcm = np.concatenate(pcm_chunks).reshape(-1, 2).astype(np.float64)
+    pcm = pcm[len(pcm) // 2:]
+    assert pcm[:, 0].std() > 100
+    assert pcm[:, 0].std() > 1.5 * pcm[:, 1].std()   # IID pan survived
