@@ -175,3 +175,18 @@ def test_ps_stream_snapshot_resume_continues_stereo():
     pcm = pcm[len(pcm) // 2:]
     assert pcm[:, 0].std() > 100
     assert pcm[:, 0].std() > 1.5 * pcm[:, 1].std()   # IID pan survived
+
+
+def test_dab_plus_sbr_32k_tone_to_pcm():
+    """32 kHz HE-AAC (16 kHz core + SBR): exercises the low-rate frequency
+    tables (k0/k2 offsets differ from 48 kHz) end to end."""
+    svc = ServiceSpec(
+        service_id=0xF127, subchannel_id=7, label="Radio 32k",
+        cfg=SubchannelConfig(0, 48, False, eep_type="A", eep_prot_level=2),
+        superframe_header=SuperFrameHeader(32000, False, True, False, 0))
+    pcm_chunks, meta = _run_chain(svc, nb_frames=26, tone=440.0)
+    assert pcm_chunks, "no PCM decoded"
+    assert meta["rate"] == 32000
+    pcm = np.concatenate(pcm_chunks)
+    freq = _tone_freq(pcm, meta["rate"], meta["nch"])
+    assert abs(freq - 440.0) < 30, freq
