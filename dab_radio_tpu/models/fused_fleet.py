@@ -1,0 +1,136 @@
+"""Fused serving fleet: N ensembles, ONE jitted program per round.
+
+The dynamic, discovery-driven path is models/fleet.py:ReceiverFleet (it
+finds services via FIC and spins up channels as they complete). This is
+the STATIC-configuration throughput path for production serving once the
+subchannel layout is known: demodulation, FIC Viterbi, time deinterleave
+and MSC Viterbi for every stream run as one device program per
+frames_per_step-frame round (parallel/mesh.py:multichip_receiver_step,
+heterogeneous UEP/EEP shapes included), decoded bits are packed to bytes
+ON DEVICE, and the host touches only the FIG/superframe byte layer — the
+reference's force-decode benchmark mode (basic_radio_app.cpp:134-137)
+taken to the chip. Measured ~70 real-time mode-I ensembles per chip with
+device-resident IQ (tools/bench_fleet.py --fused --resident drives this
+class).
+
+Feed rounds with `process_round(iq)` where iq is (N, 2*K*frame_samples)
+raw interleaved uint8 IQ (host array or device array — pass device-
+resident slices to keep ingest off the host link). FIBs flow into each
+stream's DabReceiver (database/labels), superframe AUs fire
+`on_access_unit(stream, subchannel, au_index, n_aus, au, header)`.
+"""
+
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ..dab.aac import SuperframeProcessor
+from ..ops.crc import crc16_check_batch
+from ..params import SubchannelConfig, get_dab_params, get_ofdm_params
+from .receiver import DabReceiver
+
+
+class FusedFleet:
+    def __init__(self, nb_streams: int,
+                 subchannel_cfgs: List[SubchannelConfig],
+                 transmission_mode: int = 1, frames_per_step: int = 8,
+                 mesh=None, block_tracking: bool = False):
+        import jax
+        import jax.numpy as jnp
+        from ..parallel.mesh import (make_receiver_mesh,
+                                     multichip_receiver_step)
+        self.N = nb_streams
+        self.S = len(subchannel_cfgs)
+        self.K = frames_per_step
+        self.dab = get_dab_params(transmission_mode)
+        self.fs = get_ofdm_params(transmission_mode).nb_frame_samples
+        if mesh is None:
+            mesh = make_receiver_mesh(1, axis_sizes=(1, 1, 1))
+        ens = max(1, self.N // max(mesh.shape["ens"], 1))
+        subs = max(1, self.S // max(mesh.shape["sub"], 1))
+        self.step, (self._carry, self._hist, _) = multichip_receiver_step(
+            mesh, transmission_mode, frames_per_shard=frames_per_step,
+            subchannels_per_shard=subs, ensembles_per_shard=ens,
+            ingest="u8", subchannel_cfgs=subchannel_cfgs,
+            block_tracking=block_tracking)
+        self.receivers = [DabReceiver(transmission_mode)
+                          for _ in range(self.N)]
+        self._sfp = [[SuperframeProcessor() for _ in range(self.S)]
+                     for _ in range(self.N)]
+        self.on_access_unit: List[Callable] = []
+        self.total_rounds = 0
+        self.total_aus = 0
+
+        w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+
+        def _pack(bits):
+            b = bits.astype(jnp.int32).reshape(*bits.shape[:-1], -1, 8)
+            return (b * w).sum(-1).astype(jnp.uint8)
+
+        self._pack = jax.jit(
+            lambda o: (_pack(o["fib_bits"]), _pack(o["msc_bits"])))
+        self._nbytes = [n // 8 for n in self.step.msc_nb_data_bits]
+        self._pending: Optional[tuple] = None
+
+    @property
+    def round_samples(self) -> int:
+        return self.K * self.fs
+
+    def process_round(self, iq_u8, defer_fetch: bool = False):
+        """One K-frame round for all N streams. iq_u8: (N, 2*K*fs) uint8
+        (numpy or device array). With defer_fetch, the previous round's
+        byte layer is consumed while this round runs on device (one round
+        of latency, hides the device round trip)."""
+        import jax.numpy as jnp
+        self._carry, self._hist, out = self.step(
+            self._carry, self._hist,
+            iq_u8 if not isinstance(iq_u8, np.ndarray)
+            else jnp.asarray(iq_u8))
+        packed = self._pack(out)
+        if defer_fetch:
+            prev, self._pending = self._pending, packed
+            if prev is not None:
+                self._consume(np.asarray(prev[0]), np.asarray(prev[1]))
+        else:
+            self._consume(np.asarray(packed[0]), np.asarray(packed[1]))
+        self.total_rounds += 1
+
+    def flush(self):
+        """Consume any round still deferred."""
+        if self._pending is not None:
+            prev, self._pending = self._pending, None
+            self._consume(np.asarray(prev[0]), np.asarray(prev[1]))
+
+    # ---- host byte layer -------------------------------------------------
+
+    def _consume(self, fib_bytes: np.ndarray, msc_bytes: np.ndarray):
+        B, F, G, nbytes = fib_bytes.shape
+        fibs = fib_bytes.reshape(B, F, -1, 32)
+        ok = crc16_check_batch(fibs.reshape(-1, 32)) \
+            .reshape(B, F, fibs.shape[2])
+        for b in range(self.N):
+            for f in range(F):
+                self.receivers[b].ingest_fibs(
+                    [bytes(fib[:30]) for fib, o
+                     in zip(fibs[b, f], ok[b, f]) if o])
+            for s in range(self.S):
+                nb = self._nbytes[s]
+                for c in range(msc_bytes.shape[2]):
+                    res = self._sfp[b][s].process_frame(
+                        msc_bytes[b, s, c][:nb].tobytes())
+                    if res is None:
+                        continue
+                    header, aus = res
+                    self.total_aus += len(aus)
+                    for i, au in enumerate(aus):
+                        for cb in self.on_access_unit:
+                            cb(b, s, i, len(aus), au, header)
+
+    def summary(self) -> dict:
+        return {
+            "streams": self.N,
+            "rounds": self.total_rounds,
+            "frames": self.total_rounds * self.K * self.N,
+            "access_units": self.total_aus,
+            "services": sum(len(r.db.services) for r in self.receivers),
+        }

@@ -197,3 +197,48 @@ def test_fleet_snapshot_resume(ensembles):
     fleet2.flush()
     assert fleet2.summary()["receivers"] == 3
     assert any(aus for s in sinks for aus in s.values())
+
+
+def test_fused_fleet_serving_api(ensembles):
+    """FusedFleet: the static-config serving path decodes N streams with
+    one jitted round program; FIBs populate the databases and superframe
+    AUs fire callbacks (heterogeneous shapes covered by test_parallel)."""
+    import os
+    import subprocess
+    import sys as _sys
+    import tempfile
+    from dab_radio_tpu.models.fused_fleet import FusedFleet
+    from dab_radio_tpu.params import SubchannelConfig
+
+    cache = os.path.join(tempfile.gettempdir(), "fused_fleet_api_iq.u8")
+    if not os.path.exists(cache):
+        r = subprocess.run(
+            [_sys.executable, "-m",
+             "dab_radio_tpu.apps.simulate_transmitter", "--backend", "cpu",
+             "--payload", "ensemble", "--services", "2", "-n", "19",
+             "-F", "u8"],
+            capture_output=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert r.returncode == 0, r.stderr.decode()[-300:]
+        with open(cache, "wb") as f:
+            f.write(r.stdout)
+    iq = np.fromfile(cache, dtype=np.uint8)
+
+    N, K, S = 3, 4, 2
+    cfgs = [SubchannelConfig(s * 48, 48, False, eep_type="A",
+                             eep_prot_level=2) for s in range(S)]
+    fleet = FusedFleet(N, cfgs, transmission_mode=1, frames_per_step=K)
+    hits = []
+    fleet.on_access_unit.append(
+        lambda b, s, i, n, au, hdr: hits.append((b, s)))
+    chunk = 2 * fleet.round_samples
+    for r_ in range(iq.shape[0] // chunk):
+        blk = np.tile(iq[r_ * chunk:(r_ + 1) * chunk][None], (N, 1))
+        fleet.process_round(blk, defer_fetch=True)
+    fleet.flush()
+    summ = fleet.summary()
+    assert summ["access_units"] > 0 and hits
+    assert {b for b, _ in hits} == set(range(N))
+    assert {s for _, s in hits} == set(range(S))
+    assert summ["services"] == N * 2
+    assert fleet.receivers[0].db.ensemble.label == "TPU Ensemble"
