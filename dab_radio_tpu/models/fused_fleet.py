@@ -46,8 +46,12 @@ class FusedFleet:
         self.fs = get_ofdm_params(transmission_mode).nb_frame_samples
         if mesh is None:
             mesh = make_receiver_mesh(1, axis_sizes=(1, 1, 1))
-        ens = max(1, self.N // max(mesh.shape["ens"], 1))
-        subs = max(1, self.S // max(mesh.shape["sub"], 1))
+        assert self.N % mesh.shape["ens"] == 0, (self.N, dict(mesh.shape))
+        assert self.S % mesh.shape["sub"] == 0, (self.S, dict(mesh.shape))
+        ens = self.N // mesh.shape["ens"]
+        subs = self.S // mesh.shape["sub"]
+        # each round consumes frames_per_step frames PER TIME SHARD
+        self.frames_per_round = mesh.shape["time"] * frames_per_step
         self.step, (self._carry, self._hist, _) = multichip_receiver_step(
             mesh, transmission_mode, frames_per_shard=frames_per_step,
             subchannels_per_shard=subs, ensembles_per_shard=ens,
@@ -74,7 +78,7 @@ class FusedFleet:
 
     @property
     def round_samples(self) -> int:
-        return self.K * self.fs
+        return self.frames_per_round * self.fs
 
     def process_round(self, iq_u8, defer_fetch: bool = False):
         """One K-frame round for all N streams. iq_u8: (N, 2*K*fs) uint8
@@ -130,7 +134,7 @@ class FusedFleet:
         return {
             "streams": self.N,
             "rounds": self.total_rounds,
-            "frames": self.total_rounds * self.K * self.N,
+            "frames": self.total_rounds * self.frames_per_round * self.N,
             "access_units": self.total_aus,
             "services": sum(len(r.db.services) for r in self.receivers),
         }

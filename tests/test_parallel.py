@@ -285,3 +285,47 @@ def test_block_tracking_demod_matches_sequential_on_clean_signal():
         outs[bt] = (np.asarray(out["fib_bits"]), np.asarray(out["msc_bits"]))
     np.testing.assert_array_equal(outs[False][0], outs[True][0])
     np.testing.assert_array_equal(outs[False][1], outs[True][1])
+
+
+def test_fused_fleet_on_multichip_mesh():
+    """FusedFleet over a real ('ens','time','sub') mesh: the production
+    serving API shards N streams' rounds across 8 virtual devices and the
+    byte layer still discovers services and decodes AUs."""
+    import jax
+    from dab_radio_tpu.models.fused_fleet import FusedFleet
+    from dab_radio_tpu.models.transmitter import (EnsembleTransmitter,
+                                                  ServiceSpec)
+    from dab_radio_tpu.params import SubchannelConfig
+    from dab_radio_tpu.parallel.mesh import make_receiver_mesh
+
+    mode = 2
+    mesh = make_receiver_mesh(8)            # (2, 2, 2)
+    S, N, K = 2, 2, 4
+    cfgs = [SubchannelConfig(s * 12, 12, False, eep_type="A",
+                             eep_prot_level=2) for s in range(S)]
+    tx = EnsembleTransmitter(
+        mode, ensemble_id=0xC0FF, ensemble_label="MeshServe",
+        services=[ServiceSpec(0xF200 + s, s, f"Mesh {s}", cfgs[s])
+                  for s in range(S)])
+    tx.enable_tone_audio(base_freq=440.0)
+    fleet = FusedFleet(N, cfgs, transmission_mode=mode, frames_per_step=K,
+                       mesh=mesh)
+    hits = []
+    fleet.on_access_unit.append(lambda b, s, i, n, au, h: hits.append((b, s)))
+    frames = []
+    for _ in range(24):
+        bits = np.asarray(tx.next_frame_bits())
+        frames.append(tx.modulate_frame_bits(bits))
+    iq = np.concatenate(frames)
+    iq = iq / np.abs(iq).max() * 0.5     # simulate_transmitter's u8 scale
+    u8 = np.clip(np.round(
+        np.stack([iq.real, iq.imag], -1).reshape(-1) * 127.5 + 127.5),
+        0, 255).astype(np.uint8)
+    chunk = 2 * fleet.round_samples
+    for r in range(u8.shape[0] // chunk):
+        blk = np.tile(u8[r * chunk:(r + 1) * chunk][None], (N, 1))
+        fleet.process_round(blk)
+    summ = fleet.summary()
+    assert summ["access_units"] > 0
+    assert {b for b, _ in hits} == set(range(N))
+    assert fleet.receivers[0].db.ensemble.label == "MeshServe"
