@@ -62,6 +62,9 @@ class FusedFleet:
         self._sfp = [[SuperframeProcessor() for _ in range(self.S)]
                      for _ in range(self.N)]
         self.on_access_unit: List[Callable] = []
+        self.on_audio_data: List[Callable] = []   # (stream, sub, pcm, rate, nch)
+        self._audio_enabled = set()               # (stream, sub) pairs
+        self._decoders = {}                       # (stream, sub) -> AACDecoder
         self.total_rounds = 0
         self.total_aus = 0
 
@@ -129,6 +132,32 @@ class FusedFleet:
                     for i, au in enumerate(aus):
                         for cb in self.on_access_unit:
                             cb(b, s, i, len(aus), au, header)
+                    if (b, s) in self._audio_enabled:
+                        self._decode_audio(b, s, header, aus)
+
+    def enable_audio(self, stream: int, sub: int):
+        """Decode this (stream, subchannel)'s AUs to PCM and fire
+        on_audio_data (DAB+ HE-AAC incl. SBR@960 and parametric stereo,
+        host/codecs.py). Off by default — serving deployments usually ship
+        AUs downstream."""
+        self._audio_enabled.add((stream, sub))
+
+    def _decode_audio(self, b, s, header, aus):
+        from ..host.codecs import AACDecoder
+        dec = self._decoders.get((b, s))
+        if dec is None or dec.header != header:
+            if dec is not None:
+                dec.close()
+            dec = AACDecoder(header)
+            self._decoders[(b, s)] = dec
+        if not dec.is_available:
+            return
+        for au in aus:
+            out = dec.decode_au(au)
+            if out is not None:
+                pcm, rate, nch = out
+                for cb in self.on_audio_data:
+                    cb(b, s, pcm, rate, nch)
 
     def summary(self) -> dict:
         return {

@@ -242,3 +242,33 @@ def test_fused_fleet_serving_api(ensembles):
     assert {s for _, s in hits} == set(range(S))
     assert summ["services"] == N * 2
     assert fleet.receivers[0].db.ensemble.label == "TPU Ensemble"
+
+
+def test_fused_fleet_audio_to_pcm(ensembles):
+    """FusedFleet IQ -> PCM: enable_audio routes superframe AUs through the
+    codec layer; the tone comes out non-silent."""
+    import os
+    import tempfile
+    from dab_radio_tpu.models.fused_fleet import FusedFleet
+    from dab_radio_tpu.params import SubchannelConfig
+
+    cache = os.path.join(tempfile.gettempdir(), "fused_fleet_api_iq.u8")
+    assert os.path.exists(cache)    # created by test_fused_fleet_serving_api
+    iq = np.fromfile(cache, dtype=np.uint8)
+
+    N, K, S = 2, 4, 2
+    cfgs = [SubchannelConfig(s * 48, 48, False, eep_type="A",
+                             eep_prot_level=2) for s in range(S)]
+    fleet = FusedFleet(N, cfgs, transmission_mode=1, frames_per_step=K)
+    fleet.enable_audio(0, 0)
+    pcm_chunks = []
+    fleet.on_audio_data.append(
+        lambda b, s, pcm, rate, nch: pcm_chunks.append((b, s, pcm)))
+    chunk = 2 * fleet.round_samples
+    for r in range(iq.shape[0] // chunk):
+        blk = np.tile(iq[r * chunk:(r + 1) * chunk][None], (N, 1))
+        fleet.process_round(blk)
+    assert pcm_chunks
+    assert {(b, s) for b, s, _ in pcm_chunks} == {(0, 0)}
+    pcm = np.concatenate([p for _, _, p in pcm_chunks]).astype(np.float64)
+    assert np.sqrt((pcm[len(pcm) // 2:] ** 2).mean()) > 100
