@@ -253,7 +253,19 @@ def test_fused_fleet_audio_to_pcm(ensembles):
     from dab_radio_tpu.params import SubchannelConfig
 
     cache = os.path.join(tempfile.gettempdir(), "fused_fleet_api_iq.u8")
-    assert os.path.exists(cache)    # created by test_fused_fleet_serving_api
+    if not os.path.exists(cache):
+        import subprocess
+        import sys as _sys
+        r = subprocess.run(
+            [_sys.executable, "-m",
+             "dab_radio_tpu.apps.simulate_transmitter", "--backend", "cpu",
+             "--payload", "ensemble", "--services", "2", "-n", "19",
+             "-F", "u8"],
+            capture_output=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert r.returncode == 0, r.stderr.decode()[-300:]
+        with open(cache, "wb") as f:
+            f.write(r.stdout)
     iq = np.fromfile(cache, dtype=np.uint8)
 
     N, K, S = 2, 4, 2
