@@ -30,6 +30,15 @@ from ..params import SubchannelConfig, get_dab_params, get_ofdm_params
 from .receiver import DabReceiver
 
 
+def _cfg_from_db(sub) -> SubchannelConfig:
+    """Database Subchannel entity -> static decode config."""
+    return SubchannelConfig(
+        start_address=sub.start_address, length=sub.length,
+        is_uep=sub.is_uep, uep_table_index=sub.uep_table_index or 0,
+        eep_type=sub.eep_type or "A",
+        eep_prot_level=sub.eep_prot_level or 0)
+
+
 class FusedFleet:
     def __init__(self, nb_streams: int,
                  subchannel_cfgs: List[SubchannelConfig],
@@ -78,6 +87,21 @@ class FusedFleet:
             lambda o: (_pack(o["fib_bits"]), _pack(o["msc_bits"])))
         self._nbytes = [n // 8 for n in self.step.msc_nb_data_bits]
         self._pending: Optional[tuple] = None
+
+    @classmethod
+    def from_receiver(cls, receiver: DabReceiver, nb_streams: int,
+                      **kw) -> "FusedFleet":
+        """Discovery -> serving handoff: build the static fused program
+        from the subchannel layout a (dynamic) DabReceiver/ReceiverFleet
+        discovered via FIC. The deployment flow is: run the dynamic path
+        until the database completes, then switch the hot loop to the
+        fused program (decode state restarts; the database carries over
+        into stream 0's receiver)."""
+        cfgs = [_cfg_from_db(receiver.db.subchannels[k])
+                for k in sorted(receiver.db.subchannels)]
+        fleet = cls(nb_streams, cfgs, **kw)
+        fleet.receivers[0].updater = receiver.updater   # carry the database
+        return fleet
 
     @property
     def round_samples(self) -> int:

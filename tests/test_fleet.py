@@ -284,3 +284,44 @@ def test_fused_fleet_audio_to_pcm(ensembles):
     assert {(b, s) for b, s, _ in pcm_chunks} == {(0, 0)}
     pcm = np.concatenate([p for _, _, p in pcm_chunks]).astype(np.float64)
     assert np.sqrt((pcm[len(pcm) // 2:] ** 2).mean()) > 100
+
+
+def test_discovery_to_fused_handoff():
+    """The deployment flow: dynamic DabReceiver discovers the subchannel
+    layout via FIC, FusedFleet.from_receiver builds the static fused
+    program from it and continues decoding (database carried over)."""
+    import os
+    import tempfile
+    from dab_radio_tpu.models.fused_fleet import FusedFleet
+
+    cache = os.path.join(tempfile.gettempdir(), "fused_fleet_api_iq.u8")
+    assert os.path.exists(cache)
+    iq = np.fromfile(cache, dtype=np.uint8)
+
+    # phase 1: dynamic discovery over the first frames
+    from dab_radio_tpu.host.native import iq_convert
+    from dab_radio_tpu.models.demodulator import (OFDMDemodulator,
+                                                  StreamingDemodulator)
+    demod = OFDMDemodulator(1)
+    sd = StreamingDemodulator(demod)
+    rx = DabReceiver(1)
+    nb = 0
+    for bits in sd.process(iq_convert(
+            iq[:2 * 6 * demod.params.nb_frame_samples + 2 * demod.window_len]
+            .tobytes(), "u8")):
+        rx.process_frame(bits)
+        nb += 1
+    assert len(rx.db.subchannels) == 2, rx.db.subchannels
+
+    # phase 2: fused serving from the discovered layout
+    fleet = FusedFleet.from_receiver(rx, nb_streams=2,
+                                     transmission_mode=1, frames_per_step=4)
+    assert fleet.receivers[0].db.ensemble.label == "TPU Ensemble"
+    hits = []
+    fleet.on_access_unit.append(lambda b, s, i, n, au, h: hits.append((b, s)))
+    chunk = 2 * fleet.round_samples
+    for r in range(iq.shape[0] // chunk):
+        blk = np.tile(iq[r * chunk:(r + 1) * chunk][None], (2, 1))
+        fleet.process_round(blk)
+    assert fleet.summary()["access_units"] > 0
+    assert {s for _, s in hits} == {0, 1}
