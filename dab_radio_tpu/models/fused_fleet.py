@@ -51,6 +51,7 @@ class FusedFleet:
         self.N = nb_streams
         self.S = len(subchannel_cfgs)
         self.K = frames_per_step
+        self._mode = transmission_mode
         self.dab = get_dab_params(transmission_mode)
         self.fs = get_ofdm_params(transmission_mode).nb_frame_samples
         if mesh is None:
@@ -106,6 +107,47 @@ class FusedFleet:
     @property
     def round_samples(self) -> int:
         return self.frames_per_round * self.fs
+
+    def find_alignment(self, iq_u8_row) -> Optional[int]:
+        """Cold-start alignment: null-dip acquisition + one probe frame
+        over one stream's raw u8 IQ. Returns the BYTE offset of the first
+        whole frame (slice the stream there and feed frame-aligned rounds
+        to process_round; the fused program tracks drift once locked but
+        its rounds must start on a frame boundary), or None if no frame
+        sync was found in the block."""
+        import jax.numpy as jnp
+        from ..ops.iq import iq_pairs
+        from .demodulator import DemodCarry, OFDMDemodulator
+        if not hasattr(self, "_align_demod"):
+            self._align_demod = OFDMDemodulator(self._mode)
+        d = self._align_demod
+        p = d.params
+        u = np.asarray(iq_u8_row, np.uint8).astype(np.float32)
+        c64 = (((u[0::2] - 127.5) + 1j * (u[1::2] - 127.5)) / 127.5
+               ).astype(np.complex64)
+        x = jnp.asarray(iq_pairs(c64))
+        if c64.shape[0] < d.window_len:
+            return None
+        l1 = float(d._l1(x[:d.window_len]))
+        rewind = 2 * d.cfg.null_search_nb_samples
+        ptr = 0
+        while ptr + d.window_len <= c64.shape[0]:
+            found, end = d._acquire(x[ptr:ptr + d.window_len],
+                                    jnp.float32(l1))
+            if bool(found):
+                null_start = max(
+                    ptr + int(end) - p.nb_null_period - rewind, ptr)
+                if null_start + d.window_len > c64.shape[0]:
+                    return None
+                carry = DemodCarry.init()._replace(
+                    signal_l1_avg=jnp.float32(l1))
+                _, out = d._frame_step(
+                    carry, x[null_start:null_start + d.window_len])
+                if not bool(out["sync_ok"]):
+                    return None
+                return 2 * (null_start + int(out["offset"]))
+            ptr += d.window_len - p.nb_null_period
+        return None
 
     def process_round(self, iq_u8, defer_fetch: bool = False):
         """One K-frame round for all N streams. iq_u8: (N, 2*K*fs) uint8

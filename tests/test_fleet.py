@@ -325,3 +325,31 @@ def test_discovery_to_fused_handoff():
         fleet.process_round(blk)
     assert fleet.summary()["access_units"] > 0
     assert {s for _, s in hits} == {0, 1}
+
+
+def test_fused_fleet_cold_start_alignment():
+    """find_alignment locates the frame boundary in a misaligned raw u8
+    stream; fused rounds decode from the returned offset."""
+    import os
+    import tempfile
+    from dab_radio_tpu.models.fused_fleet import FusedFleet
+    from dab_radio_tpu.params import SubchannelConfig
+
+    cache = os.path.join(tempfile.gettempdir(), "fused_fleet_api_iq.u8")
+    assert os.path.exists(cache)
+    iq = np.fromfile(cache, dtype=np.uint8)
+    junk = np.full(2 * 77777, 127, np.uint8)       # misalign by 77777 samples
+    stream = np.concatenate([junk, iq])
+
+    cfgs = [SubchannelConfig(s * 48, 48, False, eep_type="A",
+                             eep_prot_level=2) for s in range(2)]
+    fleet = FusedFleet(1, cfgs, transmission_mode=1, frames_per_step=4)
+    off = fleet.find_alignment(stream[:2 * 3 * 196608])
+    assert off is not None and off % 2 == 0
+    # the junk is null-like (constant 127): alignment may land at the junk/
+    # signal boundary or the first in-signal frame; either way decode works
+    aligned = stream[off:]
+    chunk = 2 * fleet.round_samples
+    for r in range(min(aligned.shape[0] // chunk, 8)):
+        fleet.process_round(aligned[r * chunk:(r + 1) * chunk][None])
+    assert fleet.summary()["access_units"] > 0
