@@ -49,7 +49,12 @@ class FusedFleet:
         from ..parallel.mesh import (make_receiver_mesh,
                                      multichip_receiver_step)
         self.N = nb_streams
-        self.S = len(subchannel_cfgs)
+        # per-stream heterogeneity: pass a list of per-stream cfg rows and
+        # each stream decodes its OWN ensemble layout in the same program
+        per_stream = bool(subchannel_cfgs) and \
+            isinstance(subchannel_cfgs[0], (list, tuple))
+        self.S = len(subchannel_cfgs[0]) if per_stream \
+            else len(subchannel_cfgs)
         self.K = frames_per_step
         self._mode = transmission_mode
         self.dab = get_dab_params(transmission_mode)
@@ -86,22 +91,32 @@ class FusedFleet:
 
         self._pack = jax.jit(
             lambda o: (_pack(o["fib_bits"]), _pack(o["msc_bits"])))
-        self._nbytes = [n // 8 for n in self.step.msc_nb_data_bits]
+        nbl = self.step.msc_nb_data_bits
+        self._nbytes = [[n // 8 for n in
+                         (nbl[b] if self.step.per_stream else nbl)]
+                        for b in range(self.N)]
         self._pending: Optional[tuple] = None
 
     @classmethod
-    def from_receiver(cls, receiver: DabReceiver, nb_streams: int,
+    def from_receiver(cls, receiver, nb_streams: int = None,
                       **kw) -> "FusedFleet":
         """Discovery -> serving handoff: build the static fused program
-        from the subchannel layout a (dynamic) DabReceiver/ReceiverFleet
-        discovered via FIC. The deployment flow is: run the dynamic path
+        from the subchannel layout a (dynamic) DabReceiver discovered via
+        FIC — or a LIST of receivers, one per stream, for per-stream
+        ensemble layouts. The deployment flow is: run the dynamic path
         until the database completes, then switch the hot loop to the
-        fused program (decode state restarts; the database carries over
-        into stream 0's receiver)."""
-        cfgs = [_cfg_from_db(receiver.db.subchannels[k])
-                for k in sorted(receiver.db.subchannels)]
-        fleet = cls(nb_streams, cfgs, **kw)
-        fleet.receivers[0].updater = receiver.updater   # carry the database
+        fused program (decode state restarts; databases carry over)."""
+        def row(rx):
+            return [_cfg_from_db(rx.db.subchannels[k])
+                    for k in sorted(rx.db.subchannels)]
+        if isinstance(receiver, (list, tuple)):
+            rxs = list(receiver)
+            fleet = cls(nb_streams or len(rxs), [row(r) for r in rxs], **kw)
+            for b, r in enumerate(rxs):
+                fleet.receivers[b].updater = r.updater
+        else:
+            fleet = cls(nb_streams, row(receiver), **kw)
+            fleet.receivers[0].updater = receiver.updater
         return fleet
 
     @property
@@ -187,7 +202,7 @@ class FusedFleet:
                     [bytes(fib[:30]) for fib, o
                      in zip(fibs[b, f], ok[b, f]) if o])
             for s in range(self.S):
-                nb = self._nbytes[s]
+                nb = self._nbytes[b][s]
                 for c in range(msc_bytes.shape[2]):
                     res = self._sfp[b][s].process_frame(
                         msc_bytes[b, s, c][:nb].tobytes())

@@ -197,40 +197,59 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
                              eep_type="A", eep_prot_level=2)
             for s in range(n_sub * subchannels_per_shard)]
     cfgs = list(subchannel_cfgs)
-    S = len(cfgs)
+    # per-STREAM heterogeneity: a list of per-ensemble cfg rows lets each
+    # of the B streams monitor a DIFFERENT ensemble layout in the same
+    # program (the 100-distinct-ensembles serving scenario); a flat list
+    # shares one layout across streams (leaner static-slice path)
+    per_stream = bool(cfgs) and isinstance(cfgs[0], (list, tuple))
+    if per_stream:
+        grid = [list(row) for row in cfgs]
+        assert len(grid) == B, (len(grid), B)
+        S = len(grid[0])
+        assert all(len(row) == S for row in grid), "ragged cfg rows"
+        flat = [c for row in grid for c in row]
+    else:
+        grid = [cfgs]
+        S = len(cfgs)
+        flat = cfgs
     assert S % n_sub == 0, (S, n_sub)
-    specs = [vit.ViterbiSpec.from_schedule(msc_puncture_schedule(c))
-             for c in cfgs]
-    nb_sub_bits = max(c.nb_cif_bits for c in cfgs)   # padded common width
+    spec_grid = [[vit.ViterbiSpec.from_schedule(msc_puncture_schedule(c))
+                  for c in row] for row in grid]
+    all_specs = [sp for row in spec_grid for sp in row]
+    nb_sub_bits = max(c.nb_cif_bits for c in flat)   # padded common width
     # pad the common trellis length so data bits stay byte-aligned (device
     # packbits + host byte protocols) and the step count is even (radix-4)
-    max_steps = max(s.nb_steps for s in specs)
+    max_steps = max(s.nb_steps for s in all_specs)
     nb_steps = 6 + 8 * ((max_steps - 6 + 7) // 8)
     nb_data = nb_steps - 6
     gather_idx = jnp.asarray(make_gather_index(nb_sub_bits))
     assert all(c.start_address + c.length <= dab.nb_cif_bits // 64
-               for c in cfgs), "subchannels exceed CIF capacity"
+               for c in flat), "subchannels exceed CIF capacity"
 
     # padded depuncture plan: value semantics of dmask — 1: transmitted
     # symbol (gather), 0: punctured (metric-neutral zero), -1: trellis pad
-    # (strong zero-bit symbol keeps the survivor in state 0)
-    g_all = np.zeros((S, nb_steps * 4), np.int32)
-    m_all = np.full((S, nb_steps * 4), -1, np.int8)
-    for i, sp in enumerate(specs):
-        n_mother = sp.nb_steps * 4
-        g_all[i, :n_mother] = sp.gather_idx
-        m_all[i, :n_mother] = sp.mask.astype(np.int8)
+    # (strong zero-bit symbol keeps the survivor in state 0). Leading dims:
+    # (S,) shared-layout, (B, S) per-stream.
+    lead = (B, S) if per_stream else (S,)
+    g_all = np.zeros(lead + (nb_steps * 4,), np.int32)
+    m_all = np.full(lead + (nb_steps * 4,), -1, np.int8)
+    msc_prbs_pad = np.zeros(lead + (nb_data,), np.int8)
+    for bi, row in enumerate(spec_grid):
+        for si, sp in enumerate(row):
+            at = (bi, si) if per_stream else (si,)
+            n_mother = sp.nb_steps * 4
+            g_all[at][:n_mother] = sp.gather_idx
+            m_all[at][:n_mother] = sp.mask.astype(np.int8)
+            msc_prbs_pad[at][:sp.nb_data_bits] = np.unpackbits(
+                prbs_bytes(sp.nb_data_bits // 8)).astype(np.int8)
     g_all = jnp.asarray(g_all)
     m_all = jnp.asarray(m_all)
-    nb_data_list = [sp.nb_data_bits for sp in specs]
+    msc_prbs = jnp.asarray(msc_prbs_pad)
+    nb_data_list = [[sp.nb_data_bits for sp in row] for row in spec_grid] \
+        if per_stream else [sp.nb_data_bits for sp in all_specs]
 
     fic_prbs = jnp.asarray(np.unpackbits(
         prbs_bytes(fic_spec.nb_data_bits // 8)).astype(np.int8))
-    msc_prbs_pad = np.zeros((S, nb_data), np.int8)
-    for i, sp in enumerate(specs):
-        msc_prbs_pad[i, :sp.nb_data_bits] = np.unpackbits(
-            prbs_bytes(sp.nb_data_bits // 8)).astype(np.int8)
-    msc_prbs = jnp.asarray(msc_prbs_pad)
 
     sub_sh = NamedSharding(mesh, P("ens", "sub"))
     time_sh = NamedSharding(mesh, P("ens", "time"))
@@ -258,15 +277,29 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
         # ---- MSC (reference msc_decoder.cpp:46-154, sharded over 'sub') --
         cifs = frames[:, :, dab.nb_fic_bits:].reshape(
             B, C, dab.nb_cif_bits)
-        sub_slices = []
-        for cfg_ in cfgs:
-            lo = cfg_.start_address * 64
-            sl = cifs[:, :, lo:lo + cfg_.nb_cif_bits]
-            if cfg_.nb_cif_bits < nb_sub_bits:
-                sl = jnp.pad(sl, ((0, 0), (0, 0),
-                                  (0, nb_sub_bits - cfg_.nb_cif_bits)))
-            sub_slices.append(sl)
-        subs = jnp.stack(sub_slices, axis=1)        # (B, S, C, nb_sub_bits)
+        if per_stream:
+            # per-(stream, subchannel) CIF slices via one padded gather
+            starts = np.array([[c.start_address * 64 for c in row]
+                               for row in grid])            # (B, S)
+            lens = np.array([[c.nb_cif_bits for c in row] for row in grid])
+            j = np.arange(nb_sub_bits)
+            idx = np.minimum(starts[..., None] + j, dab.nb_cif_bits - 1)
+            valid = j[None, None, :] < lens[..., None]
+            subs = jnp.take_along_axis(
+                jnp.broadcast_to(cifs[:, None], (B, S, C, dab.nb_cif_bits)),
+                jnp.broadcast_to(jnp.asarray(idx)[:, :, None, :],
+                                 (B, S, C, nb_sub_bits)), axis=-1)
+            subs = jnp.where(jnp.asarray(valid)[:, :, None, :], subs, 0)
+        else:
+            sub_slices = []
+            for cfg_ in cfgs:
+                lo = cfg_.start_address * 64
+                sl = cifs[:, :, lo:lo + cfg_.nb_cif_bits]
+                if cfg_.nb_cif_bits < nb_sub_bits:
+                    sl = jnp.pad(sl, ((0, 0), (0, 0),
+                                      (0, nb_sub_bits - cfg_.nb_cif_bits)))
+                sub_slices.append(sl)
+            subs = jnp.stack(sub_slices, axis=1)    # (B, S, C, nb_sub_bits)
         subs = jax.lax.with_sharding_constraint(
             subs.astype(jnp.int8),
             NamedSharding(mesh, P("ens", "sub", None, None)))
@@ -279,16 +312,18 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
 
         deint_hist, deints = jax.vmap(jax.vmap(per_sub))(deint_hist, subs)
         # padded per-subchannel depuncture (3-state mask, see docstring)
+        g_b = g_all[:, :, None, :] if per_stream else g_all[None, :, None, :]
+        m_b = m_all[:, :, None, :] if per_stream else m_all[None, :, None, :]
         d = jnp.take_along_axis(
             deints.astype(jnp.int32),
-            jnp.broadcast_to(g_all[None, :, None, :],
-                             (B, S, C, nb_steps * 4)), axis=-1)
-        m = m_all[None, :, None, :]
-        d = jnp.where(m == 1, d, jnp.where(m == 0, 0, vit.SOFT_LOW))
+            jnp.broadcast_to(g_b, (B, S, C, nb_steps * 4)), axis=-1)
+        d = jnp.where(m_b == 1, d, jnp.where(m_b == 0, 0, vit.SOFT_LOW))
         bits_full, msc_err = vit.viterbi_decode_soft_radix4(
             d.reshape(B * S * C, nb_steps, 4))
+        prbs_b = msc_prbs[:, :, None, :] if per_stream \
+            else msc_prbs[None, :, None, :]
         msc_bits = bits_full[..., :nb_data].reshape(B, S, C, nb_data) \
-            ^ msc_prbs[None, :, None, :]
+            ^ prbs_b
         return carry, deint_hist, {
             "fib_bits": fib_bits, "msc_bits": msc_bits,
             "fic_err": fic_err, "msc_err": msc_err,
@@ -307,8 +342,9 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
     carry = jax.device_put(carry, time_sh)
     deint_hist = jax.device_put(
         jnp.zeros((B, S, DEPTH, nb_sub_bits), jnp.int8), sub_sh)
-    step.subchannel_cfgs = cfgs          # decode metadata for consumers
-    step.msc_nb_data_bits = nb_data_list  # real payload bits per subchannel
+    step.subchannel_cfgs = grid if per_stream else cfgs   # consumer metadata
+    step.per_stream = per_stream
+    step.msc_nb_data_bits = nb_data_list  # payload bits per (stream,) sub
     return step, (carry, deint_hist, iq)
 
 

@@ -353,3 +353,43 @@ def test_fused_fleet_cold_start_alignment():
     for r in range(min(aligned.shape[0] // chunk, 8)):
         fleet.process_round(aligned[r * chunk:(r + 1) * chunk][None])
     assert fleet.summary()["access_units"] > 0
+
+
+def test_fused_fleet_per_stream_ensembles():
+    """Two streams monitor DIFFERENT ensembles (different subchannel
+    layouts) through one fused program; each stream's database and AUs
+    come out right."""
+    from dab_radio_tpu.models.fused_fleet import FusedFleet
+    from dab_radio_tpu.params import SubchannelConfig
+
+    grid = [
+        [SubchannelConfig(0, 48, False, eep_type="A", eep_prot_level=2)],
+        [SubchannelConfig(24, 36, False, eep_type="B", eep_prot_level=2)],
+    ]
+    txs = []
+    for b, row in enumerate(grid):
+        tx = EnsembleTransmitter(
+            1, ensemble_id=0xD000 + b, ensemble_label=f"Own {b}",
+            services=[ServiceSpec(0xF400 + b, 0, f"Svc {b}", row[0])])
+        tx.enable_tone_audio(base_freq=440.0 * (b + 1))
+        txs.append(tx)
+
+    fleet = FusedFleet(2, grid, transmission_mode=1, frames_per_step=4)
+    hits = []
+    fleet.on_access_unit.append(lambda b, s, i, n, au, h: hits.append(b))
+    for _ in range(5):
+        rows = []
+        for tx in txs:
+            frames = [tx.modulate_frame_bits(np.asarray(tx.next_frame_bits()))
+                      for _ in range(fleet.frames_per_round)]
+            iq = np.concatenate(frames)
+            iq = iq / np.abs(iq).max() * 0.5
+            rows.append(np.clip(np.round(
+                np.stack([iq.real, iq.imag], -1).reshape(-1) * 127.5
+                + 127.5), 0, 255).astype(np.uint8))
+        fleet.process_round(np.stack(rows))
+    assert fleet.summary()["access_units"] > 0
+    assert set(hits) == {0, 1}
+    assert fleet.receivers[0].db.ensemble.label == "Own 0"
+    assert fleet.receivers[1].db.ensemble.label == "Own 1"
+    assert fleet.receivers[1].db.subchannels[0].eep_type == "B"

@@ -329,3 +329,68 @@ def test_fused_fleet_on_multichip_mesh():
     assert summ["access_units"] > 0
     assert {b for b, _ in hits} == set(range(N))
     assert fleet.receivers[0].db.ensemble.label == "MeshServe"
+
+
+def test_multichip_per_stream_layouts_bit_exact():
+    """Each stream monitors a DIFFERENT ensemble layout (per-stream cfg
+    rows) and the single padded program decodes all of them bit-exactly —
+    the N-distinct-ensembles serving scenario."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dab_radio_tpu.parallel.mesh import (make_receiver_mesh,
+                                             multichip_receiver_step)
+    from dab_radio_tpu.models.transmitter import (EnsembleTransmitter,
+                                                  ServiceSpec)
+    from dab_radio_tpu.params import SubchannelConfig, get_dab_params
+    from dab_radio_tpu.dab.msc import MSCDecoder
+    from dab_radio_tpu.ops.iq import iq_pairs
+
+    mode = 2
+    dab = get_dab_params(mode)
+    mesh = make_receiver_mesh(4, axis_sizes=(2, 1, 2))
+    F = 20
+    grid = [
+        [SubchannelConfig(0, 12, False, eep_type="A", eep_prot_level=2),
+         SubchannelConfig(12, 16, True, uep_table_index=0)],
+        [SubchannelConfig(0, 21, False, eep_type="B", eep_prot_level=1),
+         SubchannelConfig(30, 12, False, eep_type="A", eep_prot_level=0)],
+    ]
+    step, (carry, hist, _) = multichip_receiver_step(
+        mesh, mode, F, subchannels_per_shard=1, ensembles_per_shard=1,
+        subchannel_cfgs=grid)
+    assert step.per_stream
+
+    frame_bits, iq = [], []
+    for b, row in enumerate(grid):
+        tx = EnsembleTransmitter(
+            mode, ensemble_id=0xC100 + b, ensemble_label=f"PerStream {b}",
+            services=[ServiceSpec(0xF300 + 16 * b + s, s, f"S{b}.{s}", c)
+                      for s, c in enumerate(row)])
+        fb, fi = [], []
+        for _ in range(F):
+            fb.append(np.asarray(tx.next_frame_bits()))
+            fi.append(tx.modulate_frame_bits(fb[-1]))
+        frame_bits.append(np.stack(fb))
+        iq.append(np.concatenate(fi))
+    frame_bits = np.stack(frame_bits)
+    iq = np.stack(iq)
+
+    g = jax.device_put(jnp.asarray(iq_pairs(iq)),
+                       NamedSharding(mesh, P("ens", "time")))
+    carry, hist, out = step(carry, hist, g)
+    msc_bits = np.asarray(jax.device_get(out["msc_bits"]))
+
+    warm = 16
+    for b, row in enumerate(grid):
+        for s, cfg in enumerate(row):
+            dec = MSCDecoder(cfg)
+            cifs = frame_bits[b, :, dab.nb_fic_bits:].reshape(
+                F * dab.nb_cifs, dab.nb_cif_bits)
+            nb = step.msc_nb_data_bits[b][s]
+            for c in range(F * dab.nb_cifs):
+                ref = dec.decode_cif(cifs[c])
+                if c < warm:
+                    continue
+                got = np.packbits(msc_bits[b, s, c][:nb].astype(np.uint8)
+                                  ).tobytes()
+                assert got == ref, (b, s, c)
