@@ -1,0 +1,151 @@
+"""Serve N ensembles through the fused one-program-per-round receiver.
+
+The multi-ensemble analog of radio_cli: each input stream (its own raw-IQ
+file, or one file shared by every stream with --shared-input) is decoded
+by the FusedFleet — demod + FIC + deinterleave + MSC Viterbi as one
+jitted program per round, host doing only the byte layer. Subchannel
+layouts come from --subchannels or from a dynamic-discovery pass over the
+first frames of each stream (the deployment flow). Cold-start alignment
+is automatic per stream.
+
+Usage:
+  python -m dab_radio_tpu.apps.fleet_serve -i a.u8 b.u8 c.u8 [--discover]
+  python -m dab_radio_tpu.apps.fleet_serve -i cap.u8 --streams 16 \
+      --shared-input --subchannels 0:48:EEP3A,48:48:EEP3A
+
+Prints one JSON summary line per stream plus a fleet total.
+"""
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from ..params import SubchannelConfig
+from ..utils.backend import add_backend_flag, apply_backend
+
+
+def parse_subchannels(spec: str):
+    """"start:lenCU:PROT,..." where PROT is EEP<n>A, EEP<n>B or UEP<idx>."""
+    cfgs = []
+    for part in spec.split(","):
+        start, length, prot = part.strip().split(":")
+        prot = prot.upper()
+        if prot.startswith("UEP"):
+            cfgs.append(SubchannelConfig(int(start), int(length), True,
+                                         uep_table_index=int(prot[3:])))
+        else:
+            assert prot.startswith("EEP") and prot[-1] in "AB", prot
+            cfgs.append(SubchannelConfig(
+                int(start), int(length), False, eep_type=prot[-1],
+                eep_prot_level=int(prot[3:-1]) - 1))
+    return cfgs
+
+
+def _discover(iq: np.ndarray, mode: int, max_frames: int = 8):
+    """Dynamic pass over the first frames -> (DabReceiver, frames used)."""
+    from ..host.native import iq_convert
+    from ..models.demodulator import OFDMDemodulator, StreamingDemodulator
+    from ..models.receiver import DabReceiver
+    demod = OFDMDemodulator(mode)
+    sd = StreamingDemodulator(demod)
+    rx = DabReceiver(mode)
+    need = (max_frames + 2) * demod.params.nb_frame_samples * 2
+    for bits in sd.process(iq_convert(iq[:need].tobytes(), "u8")):
+        rx.process_frame(bits)
+    return rx
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-i", "--inputs", nargs="+", required=True,
+                    help="one raw-u8 IQ file per stream (or one file with "
+                         "--shared-input)")
+    ap.add_argument("--streams", type=int, default=0,
+                    help="stream count for --shared-input")
+    ap.add_argument("--shared-input", action="store_true")
+    ap.add_argument("-M", "--transmission-mode", type=int, default=1)
+    ap.add_argument("--subchannels", default=None,
+                    help="static layout start:lenCU:PROT,... (shared by "
+                         "all streams); omit with --discover")
+    ap.add_argument("--discover", action="store_true",
+                    help="dynamic FIC discovery per stream, then fused "
+                         "handoff")
+    ap.add_argument("--frames-per-step", type=int, default=8)
+    ap.add_argument("--max-rounds", type=int, default=0)
+    ap.add_argument("--audio", default=None,
+                    help="decode audio for 'stream:sub' (e.g. 0:0)")
+    add_backend_flag(ap)
+    args = ap.parse_args(argv)
+    apply_backend(args)
+
+    from ..models.fused_fleet import FusedFleet
+
+    if args.shared_input:
+        assert len(args.inputs) == 1 and args.streams > 0
+        data = np.fromfile(args.inputs[0], dtype=np.uint8)
+        streams = [data] * args.streams
+    else:
+        streams = [np.fromfile(f, dtype=np.uint8) for f in args.inputs]
+    N = len(streams)
+    mode = args.transmission_mode
+
+    if args.discover:
+        rxs = [_discover(s, mode) for s in streams]
+        for k, rx in enumerate(rxs):
+            if not rx.db.subchannels:
+                print(f"stream {k}: no subchannels discovered",
+                      file=sys.stderr)
+                return 1
+        fleet = FusedFleet.from_receiver(
+            rxs, transmission_mode=mode,
+            frames_per_step=args.frames_per_step)
+    else:
+        assert args.subchannels, "--subchannels or --discover required"
+        fleet = FusedFleet(N, parse_subchannels(args.subchannels),
+                           transmission_mode=mode,
+                           frames_per_step=args.frames_per_step)
+
+    if args.audio:
+        b, s = (int(x) for x in args.audio.split(":"))
+        fleet.enable_audio(b, s)
+        pcm_out = [0]
+        fleet.on_audio_data.append(
+            lambda *a: pcm_out.__setitem__(0, pcm_out[0] + len(a[2])))
+
+    # cold-start alignment per stream
+    aligned = []
+    for k, s in enumerate(streams):
+        off = fleet.find_alignment(s[:2 * 4 * fleet.fs])
+        if off is None:
+            print(f"stream {k}: no frame sync", file=sys.stderr)
+            return 1
+        aligned.append(s[off:])
+    chunk = 2 * fleet.round_samples
+    rounds = min(s.shape[0] for s in aligned) // chunk
+    if args.max_rounds:
+        rounds = min(rounds, args.max_rounds)
+    for r in range(rounds):
+        blk = np.stack([s[r * chunk:(r + 1) * chunk] for s in aligned])
+        fleet.process_round(blk, defer_fetch=True)
+    fleet.flush()
+
+    for k, rx in enumerate(fleet.receivers):
+        db = rx.db
+        print(json.dumps({
+            "stream": k,
+            "ensemble": f"{db.ensemble.id:04X}",
+            "label": db.ensemble.label,
+            "services": {f"{sid:04X}": svc.label
+                         for sid, svc in sorted(db.services.items())},
+        }))
+    summ = fleet.summary()
+    if args.audio:
+        summ["pcm_samples"] = pcm_out[0]
+    print(json.dumps(summ))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -297,3 +297,26 @@ def test_webmon_serves_dashboard_and_state(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+@pytest.mark.slow
+def test_fleet_serve_cli(tmp_path):
+    """fleet_serve: the multi-ensemble serving CLI — discovery mode over a
+    shared capture, fused rounds, per-stream summaries, audio option."""
+    import json as json_mod
+    iq_path = tmp_path / "iq.bin"
+    r = _run(["dab_radio_tpu.apps.simulate_transmitter", "--payload",
+              "ensemble", "--services", "2", "-n", "24", "-F", "u8"],
+             timeout=400)
+    iq_path.write_bytes(r.stdout)
+    r2 = _run(["dab_radio_tpu.apps.fleet_serve", "-i", str(iq_path),
+               "--shared-input", "--streams", "3", "--discover",
+               "--frames-per-step", "4", "--audio", "0:0"], timeout=400)
+    assert r2.returncode == 0, r2.stderr.decode()[-500:]
+    lines = [json_mod.loads(l) for l in r2.stdout.decode().splitlines()]
+    assert len(lines) == 4                       # 3 streams + fleet total
+    assert all(l["ensemble"] == "C0FE" for l in lines[:3])
+    assert all("Radio TPU 1" in str(l["services"]) for l in lines[:3])
+    total = lines[3]
+    assert total["access_units"] > 0 and total["streams"] == 3
+    assert total["pcm_samples"] > 0
