@@ -25,8 +25,12 @@ def _huff(name: str) -> Huffman:
     return T.sbr_huffman_raw(f"ps_huff_{name}")
 
 
-# number of parameters per iid/icc mode (modes 0-5; 3-5 are fine/34-band)
+# number of parameters per iid/icc mode (modes 0-5; 3-5 are fine/34-band;
+# 6-7 are reserved — corrupted streams must fail as a parse error, not an
+# index crash)
 def nr_par(mode: int) -> int:
+    if not 0 <= mode <= 5:
+        raise ValueError(f"reserved PS iid/icc mode {mode}")
     return int(T._npz()["ps_nr_iidicc_par_tab"][mode])
 
 

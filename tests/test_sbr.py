@@ -302,3 +302,34 @@ def test_sbr_at_960_reconstructs_high_band():
     # and the band above k2 stays empty
     above = F[fr > (ft.kx + ft.M) * 375 + 400].sum()
     assert above < 0.01 * high
+
+
+def test_sbr_parser_fuzz_no_crash():
+    """Random payload bytes through the stateful SBR(+PS) parser: must
+    either parse or raise SBRError/EOFError/ValueError — never crash with
+    anything else, never corrupt subsequent valid-frame parsing."""
+    rng = np.random.default_rng(99)
+    hdr = S.SBRHeader(amp_res=1, start_freq=5, stop_freq=3, smoothing_mode=0)
+    ft = S.make_freq_tables(hdr, 48000)
+    env = np.full(ft.n[1], 27, np.int64)
+    noise = np.full(len(ft.f_noise) - 1, 14, np.int64)
+    good, good_bits = S.build_sbr_payload(hdr, 48000, 16, [[env]], [[noise]])
+    bs = S.SBRBitstream(48000, 16, is_cpe=False)
+    ok = bad = 0
+    for k in range(300):
+        if k % 3 == 0:
+            payload, nbits = good, good_bits
+        else:
+            n = int(rng.integers(1, 40))
+            payload = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            nbits = 8 * n
+        try:
+            frame = bs.parse(payload, nbits, has_crc=False)
+            ok += frame is not None
+        except (S.SBRError, EOFError, ValueError):
+            bad += 1
+    assert ok >= 100    # every good frame (and some lucky fuzz) parses
+    # the parser state survived the garbage: a final good frame decodes
+    frame = bs.parse(good, good_bits, has_crc=False)
+    assert frame is not None and frame.channels
+    np.testing.assert_array_equal(frame.channels[0].env_q[0], env)
