@@ -242,6 +242,95 @@ def _radix4_chainback_sm(decisions, state0):
     return bits_rev.reshape(2 * T2, B)
 
 
+def _radix8_forward_sm(pm0, xs):
+    """State-major radix-8 forward pass: THREE trellis steps fused per
+    scan iteration (sequential depth T/3 vs T/2 for radix-4; the scans are
+    the latency bound, NOTES_r3 roofline).
+
+    pm0: (64, B) f32. xs: (T/3, 3, B, 4) f32. Returns (pm (64, B),
+    decisions (T/3, 64, B) uint8 — 3-bit ancestor index)."""
+    St = jnp.asarray(_branch_sign_matrix().T).astype(jnp.float32)  # (128, 4)
+    B = pm0.shape[-1]
+
+    def branch_err(d_t):
+        return (St @ d_t.T).reshape(NB_STATES, 2, B)
+
+    def step(pm, d3):
+        bm_a = branch_err(d3[0])                      # (s0, b1, B)
+        bm_b = branch_err(d3[1])                      # (s1, b2, B)
+        bm_c = branch_err(d3[2])                      # (s2, b3, B)
+        # s1 = (b1<<5)|(s0>>1): remap onto (s0, b1, b2)
+        t2 = jnp.broadcast_to(bm_b.reshape(2, 32, 2, B)[:, :, None],
+                              (2, 32, 2, 2, B))      # (b1, s0>>1, par, b2, B)
+        bmb = jnp.moveaxis(t2, 0, 2).reshape(NB_STATES, 2, 2, B)
+        # s2 = (b2<<5)|(b1<<4)|(s0>>2): remap onto (s0, b1, b2, b3)
+        t3 = jnp.broadcast_to(
+            bm_c.reshape(2, 2, 16, 1, 2, B),
+            (2, 2, 16, 4, 2, B))                     # (b2, b1, hi, par2, b3, B)
+        bmc = jnp.moveaxis(t3, (0, 1), (3, 2)
+                           ).reshape(NB_STATES, 2, 2, 2, B)
+        cand = (pm[:, None, None, None, :]
+                + bm_a[:, :, None, None, :]
+                + bmb[:, :, :, None, :] + bmc)       # (s0, b1, b2, b3, B)
+        # final s3 = (b3<<5)|(b2<<4)|(b1<<3)|(s0>>3); candidates ordered by
+        # p = s0 & 7 = 4*p3 + 2*p2 + p1 — lexicographic (latest step major)
+        # first-min-wins reproduces the sequential per-step even-
+        # predecessor tie-breaks (same argument as radix-4, one level up)
+        octs = cand.reshape(8, 8, 2, 2, 2, B)        # (oct, p, b1, b2, b3, B)
+        new_pm = jnp.min(octs, axis=1)               # (oct, b1, b2, b3, B)
+        dec = jnp.argmin(octs, axis=1).astype(jnp.uint8)
+        new_pm = jnp.moveaxis(new_pm, (0, 1, 2, 3), (3, 2, 1, 0)
+                              ).reshape(NB_STATES, B)
+        dec = jnp.moveaxis(dec, (0, 1, 2, 3), (3, 2, 1, 0)
+                           ).reshape(NB_STATES, B)
+        return new_pm, dec
+
+    return jax.lax.scan(step, pm0, xs)
+
+
+def _radix8_chainback_sm(decisions, state0):
+    """decisions (T/3, 64, B) uint8, state0 (B,) int32 ->
+    bits (T, B) int8 (forward time order)."""
+    iota = jnp.arange(NB_STATES, dtype=jnp.int32)[:, None]
+
+    def back(state, dec_t):
+        b3 = (state >> 5).astype(jnp.int8)
+        b2 = ((state >> 4) & 1).astype(jnp.int8)
+        b1 = ((state >> 3) & 1).astype(jnp.int8)
+        onehot = iota == state[None, :]
+        p = jnp.sum(jnp.where(onehot, dec_t, 0), axis=0, dtype=jnp.int32)
+        prev = ((state & 7) << 3) | p
+        return prev, jnp.stack([b1, b2, b3])          # (3, B), time order
+
+    _, bits_rev = jax.lax.scan(back, state0, decisions, reverse=True)
+    T3, _, B = decisions.shape
+    return bits_rev.reshape(3 * T3, B)
+
+
+def viterbi_decode_soft_radix8(depunctured: jnp.ndarray, start_state: int = 0,
+                               end_state: int = 0):
+    """Radix-8 decode: three trellis steps per scan iteration. Bit-exact
+    vs viterbi_decode_soft / _radix4 including argmin tie-breaking (see
+    _radix8_forward_sm). Requires T % 3 == 0."""
+    T = depunctured.shape[-2]
+    assert T % 3 == 0, "radix-8 needs T divisible by 3"
+    batch_shape = depunctured.shape[:-2]
+    B = int(np.prod(batch_shape)) if batch_shape else 1
+
+    d = depunctured.reshape(B, T, CODE_RATE).astype(jnp.float32)
+    xs = jnp.moveaxis(d, 1, 0).reshape(T // 3, 3, B, CODE_RATE)
+    pm0 = jnp.full((NB_STATES, B), _INITIAL_NON_START, jnp.float32)
+    pm0 = pm0.at[start_state].set(0.0)
+
+    pm_final, decisions = _radix8_forward_sm(pm0, xs)
+    state0 = jnp.full((B,), end_state, jnp.int32)
+    bits = _radix8_chainback_sm(decisions, state0)    # (T, B)
+    bits = jnp.moveaxis(bits, 0, -1).reshape(*batch_shape, T)
+    error = (pm_final[end_state] + T * _STEP_ERR_OFFSET
+             ).astype(jnp.int32).reshape(batch_shape)
+    return bits, error
+
+
 def viterbi_decode_soft_radix4(depunctured: jnp.ndarray, start_state: int = 0,
                                end_state: int = 0):
     """Radix-4 decode: two trellis steps fused per scan iteration, halving

@@ -162,6 +162,31 @@ def test_radix4_matches_radix2_exactly():
         np.testing.assert_array_equal(np.asarray(e4), np.asarray(e2))
 
 
+def test_radix8_matches_radix2_exactly():
+    """The fused three-step decode must be bit-identical to the sequential
+    scan, including argmin tie-breaking, on heavily corrupted input.
+
+    (Perf note: radix-8 measured SLOWER than radix-4 standalone at large
+    batch — 138 vs 176 Mbit/s at B=16384 on the relay — because per-
+    iteration candidate volume doubles; it exists for iteration-count-bound
+    regimes like the fused fleet round. Kept bit-exact either way.)"""
+    rng = np.random.default_rng(17)
+    L, B = 504, 6                      # T = L + 6 = 510, divisible by 2 and 3
+    bits = rng.integers(0, 2, size=(B, L)).astype(np.uint8)
+    soft = np.stack([
+        vit.bits_to_soft(vit.conv_encode(b)).reshape(-1, 4)
+        for b in bits]).astype(np.int32)
+    noise = rng.integers(-120, 121, size=soft.shape)
+    soft = np.clip(soft + noise, -127, 127).astype(np.int8)
+    soft[rng.random(soft.shape) < 0.05] = 0
+
+    d = jnp.asarray(soft)
+    b2, e2 = vit.viterbi_decode_soft(d)
+    b8, e8 = vit.viterbi_decode_soft_radix8(d)
+    np.testing.assert_array_equal(np.asarray(b8), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(e8), np.asarray(e2))
+
+
 def test_tiled_matches_full_decode():
     """Tiled (overlap-save) decode equals the full decode on clean input and
     at operating SNR; BER stays close under heavy noise."""
