@@ -35,13 +35,22 @@ def _tables():
     return exp, log
 
 
+@functools.lru_cache(maxsize=1)
+def _mul_table():
+    """Full 256x256 GF(2^8) product table (256 KB as int32): one fancy-
+    index gather per batched multiply vs the exp/log/mod/where chain —
+    the host RS path is the serving fleet's byte-layer hot spot."""
+    exp, log = _tables()
+    a = np.arange(256)
+    t = exp[(log[a][:, None] + log[a][None, :]) % 255].astype(np.int32)
+    t[0, :] = 0
+    t[:, 0] = 0
+    return t
+
+
 def _gf_mul(a, b):
     """Element-wise GF(2^8) multiply of integer arrays."""
-    exp, log = _tables()
-    a = np.asarray(a, dtype=np.int32)
-    b = np.asarray(b, dtype=np.int32)
-    out = exp[(log[a] + log[b]) % 255]
-    return np.where((a == 0) | (b == 0), 0, out)
+    return _mul_table()[a, b]
 
 
 def _mul1(a: int, b: int) -> int:
@@ -72,23 +81,26 @@ class ReedSolomonDecoder:
         self.pad = pad
         self.n = 255 - pad
         self.k = self.n - nroots
+        # (t, n) int32: alpha^{j*(n-1-i)} for the one-gather syndrome stage
+        exp, _ = _tables()
+        pw = np.arange(self.n)[::-1][None, :]
+        j = np.arange(nroots)[:, None]
+        self._syn_alpha = exp[(j * pw) % 255].astype(np.int32)
 
     def decode(self, codewords: np.ndarray):
         """codewords: (..., n) uint8 (message || parity). Returns
         (corrected (..., n) uint8, nb_errors (...,) int32; -1 where
         uncorrectable)."""
-        exp, _ = _tables()
         cw = np.array(codewords, dtype=np.int32)
         batch_shape = cw.shape[:-1]
         cw2 = cw.reshape(-1, self.n)
         t = self.nroots
 
-        # S_j = sum_i c[i] * alpha^{j*(n-1-i)}, all codewords at once
-        pw = np.arange(self.n)[::-1][None, :]               # n-1-i
-        S = np.zeros((cw2.shape[0], t), dtype=np.int32)
-        for j in range(t):
-            S[:, j] = np.bitwise_xor.reduce(
-                _gf_mul(cw2, exp[(pw * j) % 255]), axis=1)
+        # S_j = sum_i c[i] * alpha^{j*(n-1-i)}, all codewords and all j in
+        # one (M, t, n) table gather + XOR reduction
+        S = np.bitwise_xor.reduce(
+            _mul_table()[cw2[:, None, :], self._syn_alpha[None, :, :]],
+            axis=2)
 
         nb_errors = np.zeros(cw2.shape[0], dtype=np.int32)
         bad = np.nonzero(S.any(axis=1))[0]
