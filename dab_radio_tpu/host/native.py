@@ -31,7 +31,9 @@ def _build(target: str):
 @functools.lru_cache(maxsize=1)
 def io_lib():
     path = os.path.join(_BUILD_DIR, "libdabio.so")
-    if not os.path.exists(path) and not _build("build/libdabio.so"):
+    # always invoke make: a no-op when fresh, a rebuild when io_kernels.cpp
+    # changed (a stale .so would fail symbol configuration below)
+    if not _build("build/libdabio.so") and not os.path.exists(path):
         return None
     try:
         lib = ctypes.CDLL(path)
@@ -56,6 +58,11 @@ def io_lib():
     lib.ring_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
     lib.ring_size.restype = ctypes.c_int64
     lib.ring_size.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "crc16_block"):     # absent only in a stale pre-built .so
+        lib.crc16_block.restype = ctypes.c_uint32
+        lib.crc16_block.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_void_p, ctypes.c_uint32,
+                                    ctypes.c_uint32]
     return lib
 
 

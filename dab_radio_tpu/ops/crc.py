@@ -24,11 +24,29 @@ def _crc16_table(poly: int) -> np.ndarray:
     return lut
 
 
+@functools.lru_cache(maxsize=None)
+def _crc16_table_u16(poly: int) -> np.ndarray:
+    return np.ascontiguousarray(_crc16_table(poly).astype(np.uint16))
+
+
+@functools.lru_cache(maxsize=1)
+def _native_crc():
+    from ..host.native import io_lib
+    lib = io_lib()
+    return lib if lib is not None and hasattr(lib, "crc16_block") else None
+
+
 def crc16(data, poly: int = 0x1021, init: int = 0xFFFF, final_xor: int = 0xFFFF) -> int:
     """CRC16 over a byte buffer (bytes | np.uint8 array)."""
+    buf = np.frombuffer(data, dtype=np.uint8) \
+        if isinstance(data, (bytes, bytearray)) \
+        else np.ascontiguousarray(data, dtype=np.uint8)
+    lib = _native_crc()
+    if lib is not None:
+        lut = _crc16_table_u16(poly)
+        return int(lib.crc16_block(buf.ctypes.data, buf.shape[0],
+                                   lut.ctypes.data, init, final_xor))
     lut = _crc16_table(poly)
-    buf = np.asarray(bytearray(data) if isinstance(data, (bytes, bytearray)) else data,
-                     dtype=np.uint8)
     crc = init
     for b in buf.tolist():
         crc = ((crc << 8) & 0xFFFF) ^ int(lut[((crc >> 8) ^ b) & 0xFF])

@@ -219,4 +219,18 @@ int64_t ring_size(void* h) {
     return int64_t(r->size);
 }
 
+// ---------------- CRC16 (MSB-first, table-driven) ----------------
+// Byte-at-a-time engine matching the reference CRC_Calculator<uint16_t>
+// (src/dab/algorithms/crc.h:11-69). The 256-entry table comes from the
+// caller (ops/crc.py builds it per polynomial), so this stays a pure
+// streaming kernel: the AU / data-group CRC checks are the host byte
+// layer's per-superframe hot loop once RS is table-driven.
+uint32_t crc16_block(const uint8_t* data, int64_t n, const uint16_t* lut,
+                     uint32_t init, uint32_t final_xor) {
+    uint16_t crc = uint16_t(init);
+    for (int64_t i = 0; i < n; i++)
+        crc = uint16_t((crc << 8) ^ lut[((crc >> 8) ^ data[i]) & 0xFF]);
+    return uint32_t(crc ^ uint16_t(final_xor));
+}
+
 }  // extern "C"
