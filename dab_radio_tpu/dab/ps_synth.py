@@ -4,10 +4,9 @@ Turns the SBR-reconstructed mono QMF signal into stereo using the decoded
 IID/ICC(/IPD/OPD) parameters from dab.ps. Both band configurations are
 implemented: the 20-stereo-band baseline (the one DAB+ broadcasts use) and
 the 34-band high-resolution config, including mixed-resolution streams via
-bitwise-derived 10/20->34 parameter upmaps; the single remaining fallback
-(mono duplication, surfaced as pcm_mode "ps-mono-dup") is ipd/opd coded
-below 17 bands on a 34-band stream, whose straddling-band phase blend
-libavcodec computes off the index grid (see docs/NOTES_r3.md).
+bitwise-derived 10/20->34 parameter upmaps and 5/11->17-band ipd/opd
+upmaps (libavcodec's remap34 non-full maps; validated by the mixed34_ipd
+differentials) — no configuration falls back to mono duplication.
 
 Structure mirrors the conformant float decoders (ffmpeg aacps, faad2
 ps_dec): hybrid analysis filterbank over the 3 lowest QMF bands (8-band
@@ -232,10 +231,21 @@ class PSSynthesis:
                     elif n_coded == 10:
                         row = row[_IDX_10_TO_34]
                 elif is34:
-                    if n_coded != 17:
-                        # ipd/opd coded at 5/11 bands on a 34-band stream:
-                        # upmap not derived (vanishingly rare)
-                        raise NotImplementedError("mixed-res 34-band ipdopd")
+                    # ipd/opd on a 34-band stream: ffmpeg's remap34 maps
+                    # 11-band rows through the first 17 entries of the same
+                    # map_idx_20_to_34 table (averaged bands 1/4 use the
+                    # C-truncating division), and 5-band rows through the
+                    # 10->34 duplication with mapped[16] = 0 (no source
+                    # band 5 exists at 5-band ipd resolution). Validated
+                    # by the mixed34_ipd libavcodec differential.
+                    if n_coded == 11:
+                        row = _map_idx_20_to_34(
+                            np.concatenate([row, np.zeros(9, np.int64)])
+                        )[:17]
+                    elif n_coded == 5:
+                        row = np.concatenate(
+                            [row[_IDX_10_TO_34[:16]],
+                             np.zeros(1, np.int64)])
                 elif n_coded in (10, 5):
                     row = _map_idx_10_to_20(row, full)
                 out.append(row[:n])

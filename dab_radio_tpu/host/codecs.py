@@ -156,9 +156,10 @@ class AACDecoder(_Decoder):
         out16 = np.clip(up, -32768, 32767).astype(np.int16)
         if self.header.ps:
             # true parametric-stereo synthesis gives 2 channels from the
-            # mono core (dab/ps_synth.py, 20/34-band); mono duplication
-            # only remains for mixed-resolution 34-band streams —
-            # surfaced via pcm_mode
+            # mono core (dab/ps_synth.py, every 20/34-band and mixed-
+            # resolution config incl. 5/11-band ipd upmaps); the mono-dup
+            # branch is an unexpected-shape safety net, surfaced via
+            # pcm_mode
             if out16.shape[1] == 2:
                 self.pcm_mode = "ps-stereo"
             else:

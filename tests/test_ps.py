@@ -139,7 +139,8 @@ def _encode_mono_lc(lib, sig, rate=24000):
 
 @pytest.mark.parametrize("variant", ["pan", "icc", "ipdopd", "fine",
                                      "coarse10", "vargrid", "deltatime",
-                                     "band34", "mixed34"])
+                                     "band34", "mixed34", "mixed34_ipd",
+                                     "mixed34_ipd5"])
 def test_ps_synthesis_differential_vs_libavcodec_1024(variant):
     """Full-chain stereo oracle: our PS synthesis (LC core via libavcodec +
     own SBR + own PS reconstruction) must match libavcodec's conformant
@@ -205,6 +206,21 @@ def test_ps_synthesis_differential_vs_libavcodec_1024(variant):
                               (np.arange(nr_par(1)) % 7 - 3)])
         d.icc_par = np.stack([(np.arange(nr_par(1)) % 4),
                               (np.arange(nr_par(1)) % 3)])
+    elif variant == "mixed34_ipd":
+        # the former mono-dup fallback: a 34-band stream (icc_mode 2) whose
+        # ipd/opd ride an 11-band iid mode — exercises the non-full
+        # map_idx_20_to_34 upmap (first 17 entries incl. averaged bands 1/4)
+        d = PSData(enable_iid=True, iid_mode=1, enable_icc=True, icc_mode=2,
+                   num_env=1)
+        d.iid_par = (np.arange(nr_par(1)) % 9 - 4).reshape(1, -1)
+        d.icc_par = (np.arange(nr_par(2)) % 3).reshape(1, -1)
+    elif variant == "mixed34_ipd5":
+        # 5-band ipd/opd (10-band iid mode 0) on a 34-band stream: the
+        # 10->34 duplication upmap with mapped[16] = 0
+        d = PSData(enable_iid=True, iid_mode=0, enable_icc=True, icc_mode=2,
+                   num_env=1)
+        d.iid_par = (np.arange(nr_par(0)) % 9 - 4).reshape(1, -1)
+        d.icc_par = (np.arange(nr_par(2)) % 3).reshape(1, -1)
     else:
         d = PSData(enable_iid=True, iid_mode=1, enable_icc=True, icc_mode=1,
                    num_env=1)
@@ -217,16 +233,16 @@ def test_ps_synthesis_differential_vs_libavcodec_1024(variant):
 
     payload, nbits = S.build_sbr_payload(hdr, 48000, 16, [[env]], [[noise]],
                                          ps_data=d)
-    if variant == "ipdopd":
+    if variant in ("ipdopd", "mixed34_ipd", "mixed34_ipd5"):
         # re-serialize with the ipd/opd extension
         from dab_radio_tpu.dab.ps import _huff, _huff_offset
-        d2 = PSData(enable_iid=True, iid_mode=1, enable_icc=True, icc_mode=1,
-                    num_env=1)
+        d2 = PSData(enable_iid=True, iid_mode=d.iid_mode, enable_icc=True,
+                    icc_mode=d.icc_mode, num_env=1)
         d2.iid_par, d2.icc_par = d.iid_par, d.icc_par
         bw = BitWriter()
         bw.write(1, 1)                       # header
-        bw.write(1, 1).write(1, 3)           # iid, mode 1
-        bw.write(1, 1).write(1, 3)           # icc, mode 1
+        bw.write(1, 1).write(d.iid_mode, 3)  # iid
+        bw.write(1, 1).write(d.icc_mode, 3)  # icc
         bw.write(1, 1)                       # enable_ext
         bw.write(0, 1).write(1, 2)           # FIX grid, 1 envelope
         for row, name in ((d2.iid_par, "iid_df0"), (d2.icc_par, "icc_df")):
@@ -241,7 +257,7 @@ def test_ps_synthesis_differential_vs_libavcodec_1024(variant):
         ext = BitWriter()
         ext.write(0, 2)                      # ext id 0: ipdopd
         ext.write(1, 1)                      # enable_ipdopd
-        nipd = 11
+        nipd = 5 if d.iid_mode in (0, 3) else 11
         ipd_row = (np.arange(nipd) % 8)
         opd_row = ((np.arange(nipd) * 3) % 8)
         for row, name in ((ipd_row, "ipd_df"), (opd_row, "opd_df")):
