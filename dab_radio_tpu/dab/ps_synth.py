@@ -28,6 +28,7 @@ support (src/dab/audio/aac_audio_decoder.cpp:86-251 builds the HE-AAC v2
 AudioSpecificConfig).
 """
 
+import functools
 from dataclasses import dataclass
 from typing import List, Optional
 
@@ -105,6 +106,14 @@ def _get_cfg(is34: bool) -> _Cfg:
     if is34 not in _CFGS:
         _CFGS[is34] = _Cfg(is34)
     return _CFGS[is34]
+
+
+@functools.lru_cache(maxsize=1)
+def _native_ps():
+    """Native decorrelator kernels (io_kernels.cpp), None if unavailable."""
+    from ..host.native import io_lib
+    lib = io_lib()
+    return lib if lib is not None and hasattr(lib, "ps_allpass") else None
 
 
 def _map_idx_10_to_20(par: np.ndarray, full: bool = True) -> np.ndarray:
@@ -368,18 +377,31 @@ class PSSynthesis:
         mag2 = (s.real ** 2 + s.imag ** 2)
         for i, idx in enumerate(c.band_masks):
             power[i] = mag2[idx].sum(axis=0)
-        # transient ducker (sequential IIR over slots, vector over bands)
+        # transient ducker (sequential IIR over slots, vector over bands);
+        # the native kernel (io_kernels.cpp:ps_ducker/ps_allpass) mirrors
+        # the NumPy expressions exactly — bit-identical, just without
+        # per-slot Python dispatch
+        lib = _native_ps()
         gain = np.empty((c.NPAR, n))
         pk, psm, pdds = (self.peak_decay_nrg, self.power_smooth,
                          self.peak_decay_diff_smooth)
-        for t in range(n):
-            p = power[:, t]
-            pk = np.maximum(_PEAK_DECAY_FACTOR * pk, p)
-            psm = psm + _A_SMOOTH * (p - psm)
-            pdds = pdds + _A_SMOOTH * (pk - p - pdds)
-            denom = _TRANSIENT_IMPACT * pdds
-            gain[:, t] = np.where(denom > psm,
-                                  psm / np.maximum(denom, 1e-30), 1.0)
+        if lib is not None:
+            pk, psm, pdds = (np.ascontiguousarray(a, np.float64)
+                             for a in (pk, psm, pdds))
+            pw = np.ascontiguousarray(power)
+            lib.ps_ducker(pw.ctypes.data, c.NPAR, n,
+                          pk.ctypes.data, psm.ctypes.data, pdds.ctypes.data,
+                          _PEAK_DECAY_FACTOR, _A_SMOOTH, _TRANSIENT_IMPACT,
+                          gain.ctypes.data)
+        else:
+            for t in range(n):
+                p = power[:, t]
+                pk = np.maximum(_PEAK_DECAY_FACTOR * pk, p)
+                psm = psm + _A_SMOOTH * (p - psm)
+                pdds = pdds + _A_SMOOTH * (pk - p - pdds)
+                denom = _TRANSIENT_IMPACT * pdds
+                gain[:, t] = np.where(denom > psm,
+                                      psm / np.maximum(denom, 1e-30), 1.0)
         self.peak_decay_nrg, self.power_smooth = pk, psm
         self.peak_decay_diff_smooth = pdds
         gain_k = gain[c.k_to_i]                       # (NB, n)
@@ -397,15 +419,25 @@ class PSSynthesis:
                             axis=2)
         Q = c.Q[:NAP]                                 # (NAP, 3)
         out_ap = np.empty((NAP, n), np.complex128)
-        for t in range(n):
-            v = v_in[:, t]
-            for m in range(_AP_LINKS):
-                a = ag[:, m] * v
-                link = ap[:, m, t + _AP_DELAY - _LINK_DELAY[m]]
-                nv = link * Q[:, m] - a
-                ap[:, m, t + _AP_DELAY] = v + ag[:, m] * nv
-                v = nv
-            out_ap[:, t] = v
+        if lib is not None:
+            v_c = np.ascontiguousarray(v_in)
+            ag_c = np.ascontiguousarray(ag)
+            q_c = np.ascontiguousarray(Q, np.complex128)
+            ld = np.ascontiguousarray(_LINK_DELAY, np.int64)
+            lib.ps_allpass(v_c.ctypes.data, NAP, n, ap.shape[2],
+                           ag_c.ctypes.data, q_c.ctypes.data,
+                           ld.ctypes.data, _AP_DELAY,
+                           ap.ctypes.data, out_ap.ctypes.data)
+        else:
+            for t in range(n):
+                v = v_in[:, t]
+                for m in range(_AP_LINKS):
+                    a = ag[:, m] * v
+                    link = ap[:, m, t + _AP_DELAY - _LINK_DELAY[m]]
+                    nv = link * Q[:, m] - a
+                    ap[:, m, t + _AP_DELAY] = v + ag[:, m] * nv
+                    v = nv
+                out_ap[:, t] = v
         d[:NAP] = out_ap * gain_k[:NAP]
         self.ap_delay = ap[:, :, n:n + _AP_DELAY].copy()
         # short-delay channels (delay 14) and tail (delay 1)

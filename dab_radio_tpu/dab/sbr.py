@@ -1052,27 +1052,44 @@ class SBRDecoder:
             g, q_m, s_m = gains[e]
             s_idx = s_index_mapped_per_env[e]
             no_smooth = (e == e_a0 or e == e_a1) or h_sl == 0
-            for sl_i in range(2 * cd.t_env[e], 2 * cd.t_env[e + 1]):
+            # band-vectorized sine/noise injection: the sequential noise-
+            # index walk advances once per NON-sine band in band order, so
+            # each slot's indices are index_noise + cumsum(~sine)
+            sine = s_idx[:M].astype(bool)
+            nonsine = ~sine
+            n_non = int(nonsine.sum())
+            noise_steps = np.cumsum(nonsine)
+            sgn_im = np.where(((kx + np.arange(M)) & 1) != 0, -1.0, 1.0)
+            # within an envelope the raw gains are constant, so the 5-tap
+            # smoother converges after 4 slots: only the cross-envelope
+            # transition slots need the full history sum
+            Hc = np.cumsum(_H_SMOOTH)
+            prev_g, prev_q = g_hist[-4:], q_hist[-4:]
+            g_conv, q_conv = g * Hc[4], q_m * Hc[4]
+            for t, sl_i in enumerate(range(2 * cd.t_env[e],
+                                           2 * cd.t_env[e + 1])):
                 g_hist.append(g)
                 q_hist.append(q_m)
                 if no_smooth:
                     g_filt, q_filt = g, q_m
+                elif t >= 4:
+                    g_filt, q_filt = g_conv, q_conv
                 else:
-                    g_filt = sum(_H_SMOOTH[j] * g_hist[-1 - j]
-                                 for j in range(5))
-                    q_filt = sum(_H_SMOOTH[j] * q_hist[-1 - j]
-                                 for j in range(5))
+                    g_filt = g * Hc[t]
+                    q_filt = q_m * Hc[t]
+                    for j in range(t + 1, 5):
+                        g_filt = g_filt + _H_SMOOTH[j] * prev_g[4 - (j - t)]
+                        q_filt = q_filt + _H_SMOOTH[j] * prev_q[4 - (j - t)]
                 y = x_high[sl_i + _T_HF_ADJ, kx:kx + M] * g_filt
                 d.index_sine = (d.index_sine + 1) & 3
                 phi = (1, 1j, -1, -1j)[d.index_sine]
-                for m in range(M):
-                    if s_idx[m]:
-                        sgn = -1 if (kx + m) & 1 else 1
-                        y[m] += s_m[m] * (phi.real
-                                          + 1j * sgn * phi.imag)
-                    elif q_filt is not None:
-                        d.index_noise = (d.index_noise + 1) & 0x1FF
-                        y[m] += q_filt[m] * noise_tab[d.index_noise]
+                if sine.any():
+                    y[sine] += s_m[sine] * (phi.real
+                                            + 1j * sgn_im[sine] * phi.imag)
+                if q_filt is not None and n_non:
+                    idxs = (d.index_noise + noise_steps) & 0x1FF
+                    y[nonsine] += q_filt[nonsine] * noise_tab[idxs[nonsine]]
+                    d.index_noise = (d.index_noise + n_non) & 0x1FF
                 Y[sl_i, kx:kx + M] = y
         d.g_carry = g_hist[-4:] if g_hist else None
         d.q_carry = q_hist[-4:] if q_hist else None

@@ -58,6 +58,17 @@ def io_lib():
     lib.ring_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
     lib.ring_size.restype = ctypes.c_int64
     lib.ring_size.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "ps_allpass"):      # absent only in a stale pre-built .so
+        lib.ps_ducker.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                  ctypes.c_int64, ctypes.c_void_p,
+                                  ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_double, ctypes.c_double,
+                                  ctypes.c_double, ctypes.c_void_p]
+        lib.ps_allpass.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                   ctypes.c_int64, ctypes.c_int64,
+                                   ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_void_p, ctypes.c_int64,
+                                   ctypes.c_void_p, ctypes.c_void_p]
     if hasattr(lib, "crc16_block"):     # absent only in a stale pre-built .so
         lib.crc16_block.restype = ctypes.c_uint32
         lib.crc16_block.argtypes = [ctypes.c_void_p, ctypes.c_int64,

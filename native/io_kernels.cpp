@@ -219,6 +219,63 @@ int64_t ring_size(void* h) {
     return int64_t(r->size);
 }
 
+// ---------------- Parametric-stereo decorrelator ----------------
+// The PS transient ducker and 3-link allpass chain are short sequential
+// IIRs over QMF slots (dab/ps_synth.py:decorrelate keeps the NumPy loops
+// as the fallback/reference); per-slot Python dispatch dominated host
+// HE-AAC v2 decode. Complex128 arrays pass as interleaved double pairs
+// (same memory layout). Arithmetic mirrors the NumPy expressions exactly
+// (same multiply/add structure), so outputs are bit-identical.
+
+void ps_ducker(const double* power /* npar*n */, int64_t npar, int64_t n,
+               double* pk, double* psm, double* pdds /* (npar,) in/out */,
+               double peak_decay, double a_smooth, double transient_impact,
+               double* gain /* out npar*n */) {
+    for (int64_t t = 0; t < n; t++) {
+        for (int64_t i = 0; i < npar; i++) {
+            const double p = power[i * n + t];
+            const double dk = peak_decay * pk[i];
+            pk[i] = dk > p ? dk : p;
+            psm[i] += a_smooth * (p - psm[i]);
+            pdds[i] += a_smooth * (pk[i] - p - pdds[i]);
+            const double denom = transient_impact * pdds[i];
+            gain[i * n + t] = denom > psm[i]
+                ? psm[i] / (denom > 1e-30 ? denom : 1e-30) : 1.0;
+        }
+    }
+}
+
+void ps_allpass(const double* v_in /* nap*n complex */, int64_t nap,
+                int64_t n, int64_t ap_total /* time length of ap */,
+                const double* ag /* nap*3 */, const double* q /* nap*3 cplx */,
+                const int64_t* link_delay /* 3 */, int64_t ap_delay,
+                double* ap /* nap*3*ap_total complex, in/out */,
+                double* out /* nap*n complex */) {
+    for (int64_t t = 0; t < n; t++) {
+        for (int64_t k = 0; k < nap; k++) {
+            double vr = v_in[(k * n + t) * 2];
+            double vi = v_in[(k * n + t) * 2 + 1];
+            for (int64_t m = 0; m < 3; m++) {
+                const double g = ag[k * 3 + m];
+                const double ar = g * vr, ai = g * vi;
+                const int64_t base = ((k * 3 + m) * ap_total);
+                const int64_t tl = base + t + ap_delay - link_delay[m];
+                const double lr = ap[tl * 2], li = ap[tl * 2 + 1];
+                const double qr = q[(k * 3 + m) * 2];
+                const double qi = q[(k * 3 + m) * 2 + 1];
+                const double nvr = lr * qr - li * qi - ar;
+                const double nvi = lr * qi + li * qr - ai;
+                const int64_t tw = base + t + ap_delay;
+                ap[tw * 2] = vr + g * nvr;
+                ap[tw * 2 + 1] = vi + g * nvi;
+                vr = nvr; vi = nvi;
+            }
+            out[(k * n + t) * 2] = vr;
+            out[(k * n + t) * 2 + 1] = vi;
+        }
+    }
+}
+
 // ---------------- CRC16 (MSB-first, table-driven) ----------------
 // Byte-at-a-time engine matching the reference CRC_Calculator<uint16_t>
 // (src/dab/algorithms/crc.h:11-69). The 256-entry table comes from the

@@ -474,3 +474,33 @@ def test_ps_config_switch_mid_stream():
             L, R = res
             assert L.shape == (32, 64) and R.shape == (32, 64)
             assert np.isfinite(L).all() and np.isfinite(R).all()
+
+
+def test_ps_native_decorrelator_bit_identical_to_numpy():
+    """The C decorrelator kernels (io_kernels.cpp ps_ducker/ps_allpass)
+    must reproduce the NumPy reference loops BIT-FOR-BIT (the Makefile
+    compiles with -ffp-contract=off so no FMA changes the rounding)."""
+    import dab_radio_tpu.dab.ps_synth as PS
+    from dab_radio_tpu.dab.ps_synth import PSSynthesis
+    if PS._native_ps() is None:
+        pytest.skip("native io library unavailable")
+
+    def run(native, seed):
+        rng = np.random.default_rng(seed)
+        orig = PS._native_ps
+        if not native:
+            PS._native_ps = lambda: None
+        try:
+            syn = PSSynthesis(n_slots=32)
+            outs = []
+            for is34 in (False, False, True, False):  # incl. config switch
+                syn._set_config(is34)
+                s = (rng.standard_normal((syn.c.NB, 32))
+                     + 1j * rng.standard_normal((syn.c.NB, 32)))
+                outs.append(syn.decorrelate(s))
+        finally:
+            PS._native_ps = orig
+        return outs
+
+    for x, y in zip(run(True, 42), run(False, 42)):
+        np.testing.assert_array_equal(x, y)
