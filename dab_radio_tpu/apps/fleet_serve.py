@@ -92,15 +92,25 @@ def main(argv=None):
     mode = args.transmission_mode
 
     if args.discover:
-        rxs = [_discover(s, mode) for s in streams]
-        for k, rx in enumerate(rxs):
+        if args.shared_input:
+            # identical bytes per stream: one discovery pass serves all
+            rx = _discover(streams[0], mode)
             if not rx.db.subchannels:
-                print(f"stream {k}: no subchannels discovered",
-                      file=sys.stderr)
+                print("no subchannels discovered", file=sys.stderr)
                 return 1
-        fleet = FusedFleet.from_receiver(
-            rxs, transmission_mode=mode,
-            frames_per_step=args.frames_per_step)
+            fleet = FusedFleet.from_receiver(
+                rx, nb_streams=N, transmission_mode=mode,
+                frames_per_step=args.frames_per_step)
+        else:
+            rxs = [_discover(s, mode) for s in streams]
+            for k, rx in enumerate(rxs):
+                if not rx.db.subchannels:
+                    print(f"stream {k}: no subchannels discovered",
+                          file=sys.stderr)
+                    return 1
+            fleet = FusedFleet.from_receiver(
+                rxs, transmission_mode=mode,
+                frames_per_step=args.frames_per_step)
     else:
         assert args.subchannels, "--subchannels or --discover required"
         fleet = FusedFleet(N, parse_subchannels(args.subchannels),
@@ -114,13 +124,17 @@ def main(argv=None):
         fleet.on_audio_data.append(
             lambda *a: pcm_out.__setitem__(0, pcm_out[0] + len(a[2])))
 
-    # cold-start alignment per stream
+    # cold-start alignment per stream (once for identical shared input)
     aligned = []
+    shared_off = None
     for k, s in enumerate(streams):
-        off = fleet.find_alignment(s[:2 * 4 * fleet.fs])
+        off = shared_off if args.shared_input and shared_off is not None \
+            else fleet.find_alignment(s[:2 * 4 * fleet.fs])
         if off is None:
             print(f"stream {k}: no frame sync", file=sys.stderr)
             return 1
+        if args.shared_input:
+            shared_off = off
         aligned.append(s[off:])
     chunk = 2 * fleet.round_samples
     rounds = min(s.shape[0] for s in aligned) // chunk

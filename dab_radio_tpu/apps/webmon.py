@@ -163,7 +163,7 @@ def main(argv=None):
             raw = fin.read(args.block_size)
             if not raw:
                 if args.loop and args.input != "-":
-                    fin.seek(0)
+                    fin.seek(reader.data_offset)   # WAV: data chunk, not RIFF
                     continue
                 break
             iq = iq_convert(raw, reader.fmt)

@@ -133,9 +133,14 @@ class PSBitstream:
                     if d.enable_ipdopd:
                         n = int(T._npz()["ps_nr_iidopd_par_tab"][d.iid_mode])
                         ipd, opd = [], []
+                        # like iid/icc above: a stale prev row from a
+                        # different band resolution (iid_mode switch)
+                        # must reset, not index-crash a dt row
                         prev_i = self.prev_ipd if self.prev_ipd is not None \
+                            and len(self.prev_ipd) == n \
                             else np.zeros(n, np.int64)
                         prev_o = self.prev_opd if self.prev_opd is not None \
+                            and len(self.prev_opd) == n \
                             else np.zeros(n, np.int64)
                         for _ in range(d.num_env):
                             dt = br.read1()
@@ -182,6 +187,7 @@ def write_ps_data(bw: BitWriter, d: PSData, nts: int = 32,
                   send_header: bool = True):
     """Serialize one PS frame (delta-freq coding; FIX grid, or VAR when
     d.frame_class=1 with explicit d.border_position end slots)."""
+    want_ext = d.enable_ipdopd and d.ipd_par is not None
     bw.write(1 if send_header else 0, 1)
     if send_header:
         bw.write(int(d.enable_iid), 1)
@@ -190,7 +196,7 @@ def write_ps_data(bw: BitWriter, d: PSData, nts: int = 32,
         bw.write(int(d.enable_icc), 1)
         if d.enable_icc:
             bw.write(d.icc_mode, 3)
-        bw.write(0, 1)                       # enable_ext
+        bw.write(int(want_ext), 1)           # enable_ext (ipdopd rides it)
     bw.write(d.frame_class, 1)
     num_env_tab = T._npz()["ps_num_env_tab"]
     base = 4 * d.frame_class
@@ -227,3 +233,39 @@ def write_ps_data(bw: BitWriter, d: PSData, nts: int = 32,
     if d.enable_icc:
         pars(d.icc_par, _huff("icc_df"), _huff("icc_dt"),
              getattr(d, "icc_dt", None), getattr(d, "prev_icc", None))
+    if want_ext:
+        # ipdopd extension (ext id 0): per envelope an ipd row then an opd
+        # row, delta-freq or delta-time coded modulo 8 (offset-free
+        # huffman, mirrors PSBitstream.parse's mod=8 path)
+        ext = BitWriter()
+        ext.write(0, 2)
+        ext.write(1, 1)                      # enable_ipdopd
+        streams = ((d.ipd_par, getattr(d, "ipd_dt", None),
+                    getattr(d, "prev_ipd", None),
+                    _huff("ipd_dt"), _huff("ipd_df")),
+                   (d.opd_par, getattr(d, "opd_dt", None),
+                    getattr(d, "prev_opd", None),
+                    _huff("opd_dt"), _huff("opd_df")))
+        for e in range(len(d.ipd_par)):
+            for rows, dts, prev, hdt, hdf in streams:
+                row = rows[e]
+                dt = bool(dts[e]) if dts is not None else False
+                ext.write(1 if dt else 0, 1)
+                if dt:
+                    last = prev if e == 0 else rows[e - 1]
+                    assert last is not None, "dt=1 needs a previous row"
+                    for a, b in zip(last, row):
+                        hdt.encode(ext, (int(b) - int(a)) % 8)
+                else:
+                    acc = 0
+                    for v in row:
+                        hdf.encode(ext, (int(v) - acc) % 8)
+                        acc = int(v)
+        nbytes = (len(ext) + 7) // 8
+        if nbytes >= 15:
+            bw.write(15, 4)
+            bw.write(nbytes - 15, 8)
+        else:
+            bw.write(nbytes, 4)
+        bw.extend(ext)
+        bw.write(0, 8 * nbytes - len(ext))

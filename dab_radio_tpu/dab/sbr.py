@@ -807,9 +807,11 @@ class SBRDecoder:
             Xs.append(X)
 
         # parametric stereo: mono SCE + PS params -> true stereo (one frame
-        # of filterbank latency; ps_synth.py, 20- and 34-band configs).
-        # Only mixed-resolution 34-band streams fall back to duplicated
-        # mono (ps_unsupported flag).
+        # of filterbank latency; ps_synth.py, every 20/34-band and
+        # mixed-resolution config). The except is the degrade-to-mono
+        # safety net for malformed parameter combinations a hostile
+        # bitstream could produce — decode must not crash the channel
+        # (surfaced via ps_unsupported -> pcm_mode "ps-mono-dup").
         ps_data = frame.ps if frame is not None else None
         if not self.is_cpe and (self._ps is not None or ps_data is not None):
             if self._ps is None:
@@ -823,7 +825,7 @@ class SBRDecoder:
                     out[:, 0] = self._ps_syn[0].process(res[0])
                     out[:, 1] = self._ps_syn[1].process(res[1])
                 nch = 2
-            except NotImplementedError:
+            except (NotImplementedError, ValueError, IndexError, KeyError):
                 self.ps_unsupported = True
                 self._ps = None
                 out = np.zeros((core_pcm.shape[0] * 2, nch), np.float64)

@@ -63,11 +63,12 @@ class IQReader:
         self.f = f
         self.fmt = fmt
         self.sample_rate = None
-        if fmt == "wav":
+        self.data_offset = 0        # rewind target for looping (WAV: the
+        if fmt == "wav":            # data chunk, never the RIFF header)
             parsed = parse_wav_header(f)
             if parsed is None:
                 raise ValueError("not a 2-channel IQ WAV stream")
-            self.fmt, self.sample_rate, _ = parsed
+            self.fmt, self.sample_rate, self.data_offset = parsed
 
     def read_block(self, nb_bytes: int) -> Optional[np.ndarray]:
         raw = self.f.read(nb_bytes)

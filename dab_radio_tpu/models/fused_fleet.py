@@ -96,6 +96,24 @@ class FusedFleet:
                          (nbl[b] if self.step.per_stream else nbl)]
                         for b in range(self.N)]
         self._pending: Optional[tuple] = None
+        self._init_state = (self._carry, self._hist)
+
+    def reset(self):
+        """Restart decode state — device carry/deinterleaver history AND
+        the host byte layer (receiver databases, superframe sync, audio
+        decoders, counters) — while keeping the compiled round program
+        and registered callbacks. Used to retune a serving fleet to a new
+        capture/frequency without paying the compile again."""
+        self._carry, self._hist = self._init_state
+        self.receivers = [DabReceiver(self._mode) for _ in range(self.N)]
+        self._sfp = [[SuperframeProcessor() for _ in range(self.S)]
+                     for _ in range(self.N)]
+        for dec in self._decoders.values():
+            dec.close()
+        self._decoders = {}
+        self._pending = None
+        self.total_rounds = 0
+        self.total_aus = 0
 
     @classmethod
     def from_receiver(cls, receiver, nb_streams: int = None,
@@ -115,7 +133,7 @@ class FusedFleet:
             for b, r in enumerate(rxs):
                 fleet.receivers[b].updater = r.updater
         else:
-            fleet = cls(nb_streams, row(receiver), **kw)
+            fleet = cls(nb_streams or 1, row(receiver), **kw)
             fleet.receivers[0].updater = receiver.updater
         return fleet
 

@@ -14,26 +14,35 @@ use, then build the global mesh and wrap each host's IQ block with
 `host_local_iq_to_global`.
 """
 
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import make_receiver_mesh
 
+_initialized = False
+
 
 def initialize(coordinator_address=None, num_processes=None,
-               process_id=None, **kw):
-    """Bring up the jax.distributed runtime (idempotent, single-host
-    no-op). On managed TPU pods the arguments auto-detect; set them
+               process_id=None, auto=False, **kw):
+    """Bring up the jax.distributed runtime. Idempotent: a second call
+    (same or different args) is a no-op returning False, as is a plain
+    single-host process. On managed TPU pods pass auto=True to let
+    jax.distributed auto-detect the cluster (env sniffing is unreliable:
+    single-chip relays also set TPU_* variables); set the arguments
     explicitly for manual bring-up (coordinator 'host0:port')."""
-    if jax.process_count() > 1 or coordinator_address is None \
-            and num_processes is None:
-        # single unconfigured process, or already initialized
-        if coordinator_address is None and num_processes in (None, 1):
-            return False
+    global _initialized
+    if _initialized or jax.process_count() > 1:
+        return False                         # already initialized
+    if coordinator_address is None and num_processes is None and not auto:
+        return False                         # plain single-host process
+    if num_processes == 1 and coordinator_address is None:
+        return False                         # explicit single host
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id, **kw)
+    _initialized = True
     return True
 
 

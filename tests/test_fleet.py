@@ -48,6 +48,28 @@ def ensembles():
     return _make_ensembles()
 
 
+def _api_iq() -> np.ndarray:
+    """Shared 19-frame 2-service ensemble capture for the FusedFleet tests
+    (generated on first use so every test is order-independent)."""
+    import os
+    import subprocess
+    import sys as _sys
+    import tempfile
+    cache = os.path.join(tempfile.gettempdir(), "fused_fleet_api_iq.u8")
+    if not os.path.exists(cache):
+        r = subprocess.run(
+            [_sys.executable, "-m",
+             "dab_radio_tpu.apps.simulate_transmitter", "--backend", "cpu",
+             "--payload", "ensemble", "--services", "2", "-n", "19",
+             "-F", "u8"],
+            capture_output=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert r.returncode == 0, r.stderr.decode()[-300:]
+        with open(cache, "wb") as f:
+            f.write(r.stdout)
+    return np.fromfile(cache, dtype=np.uint8)
+
+
 def test_fleet_matches_standalone(ensembles):
     frames = ensembles
 
@@ -203,26 +225,10 @@ def test_fused_fleet_serving_api(ensembles):
     """FusedFleet: the static-config serving path decodes N streams with
     one jitted round program; FIBs populate the databases and superframe
     AUs fire callbacks (heterogeneous shapes covered by test_parallel)."""
-    import os
-    import subprocess
-    import sys as _sys
-    import tempfile
     from dab_radio_tpu.models.fused_fleet import FusedFleet
     from dab_radio_tpu.params import SubchannelConfig
 
-    cache = os.path.join(tempfile.gettempdir(), "fused_fleet_api_iq.u8")
-    if not os.path.exists(cache):
-        r = subprocess.run(
-            [_sys.executable, "-m",
-             "dab_radio_tpu.apps.simulate_transmitter", "--backend", "cpu",
-             "--payload", "ensemble", "--services", "2", "-n", "19",
-             "-F", "u8"],
-            capture_output=True,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-        assert r.returncode == 0, r.stderr.decode()[-300:]
-        with open(cache, "wb") as f:
-            f.write(r.stdout)
-    iq = np.fromfile(cache, dtype=np.uint8)
+    iq = _api_iq()
 
     N, K, S = 3, 4, 2
     cfgs = [SubchannelConfig(s * 48, 48, False, eep_type="A",
@@ -247,26 +253,10 @@ def test_fused_fleet_serving_api(ensembles):
 def test_fused_fleet_audio_to_pcm(ensembles):
     """FusedFleet IQ -> PCM: enable_audio routes superframe AUs through the
     codec layer; the tone comes out non-silent."""
-    import os
-    import tempfile
     from dab_radio_tpu.models.fused_fleet import FusedFleet
     from dab_radio_tpu.params import SubchannelConfig
 
-    cache = os.path.join(tempfile.gettempdir(), "fused_fleet_api_iq.u8")
-    if not os.path.exists(cache):
-        import subprocess
-        import sys as _sys
-        r = subprocess.run(
-            [_sys.executable, "-m",
-             "dab_radio_tpu.apps.simulate_transmitter", "--backend", "cpu",
-             "--payload", "ensemble", "--services", "2", "-n", "19",
-             "-F", "u8"],
-            capture_output=True,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-        assert r.returncode == 0, r.stderr.decode()[-300:]
-        with open(cache, "wb") as f:
-            f.write(r.stdout)
-    iq = np.fromfile(cache, dtype=np.uint8)
+    iq = _api_iq()
 
     N, K, S = 2, 4, 2
     cfgs = [SubchannelConfig(s * 48, 48, False, eep_type="A",
@@ -290,13 +280,9 @@ def test_discovery_to_fused_handoff():
     """The deployment flow: dynamic DabReceiver discovers the subchannel
     layout via FIC, FusedFleet.from_receiver builds the static fused
     program from it and continues decoding (database carried over)."""
-    import os
-    import tempfile
     from dab_radio_tpu.models.fused_fleet import FusedFleet
 
-    cache = os.path.join(tempfile.gettempdir(), "fused_fleet_api_iq.u8")
-    assert os.path.exists(cache)
-    iq = np.fromfile(cache, dtype=np.uint8)
+    iq = _api_iq()
 
     # phase 1: dynamic discovery over the first frames
     from dab_radio_tpu.host.native import iq_convert
@@ -330,14 +316,10 @@ def test_discovery_to_fused_handoff():
 def test_fused_fleet_cold_start_alignment():
     """find_alignment locates the frame boundary in a misaligned raw u8
     stream; fused rounds decode from the returned offset."""
-    import os
-    import tempfile
     from dab_radio_tpu.models.fused_fleet import FusedFleet
     from dab_radio_tpu.params import SubchannelConfig
 
-    cache = os.path.join(tempfile.gettempdir(), "fused_fleet_api_iq.u8")
-    assert os.path.exists(cache)
-    iq = np.fromfile(cache, dtype=np.uint8)
+    iq = _api_iq()
     junk = np.full(2 * 77777, 127, np.uint8)       # misalign by 77777 samples
     stream = np.concatenate([junk, iq])
 

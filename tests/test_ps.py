@@ -504,3 +504,33 @@ def test_ps_native_decorrelator_bit_identical_to_numpy():
 
     for x, y in zip(run(True, 42), run(False, 42)):
         np.testing.assert_array_equal(x, y)
+
+
+def test_ps_ipd_resolution_switch_no_crash():
+    """A stream whose iid_mode switches band resolution between frames
+    (5- vs 11-band ipd/opd) must not index-crash delta-time ipd rows
+    against the stale previous-frame row: like iid/icc, a mismatched
+    prev resets to zeros (parse continues)."""
+    bs = PSBitstream(32)
+
+    def frame(iid_mode, ipd_dt):
+        d = PSData(enable_iid=True, iid_mode=iid_mode, num_env=1,
+                   enable_ipdopd=True)
+        d.iid_par = np.zeros((1, nr_par(iid_mode)), np.int64)
+        nipd = 5 if iid_mode in (0, 3) else 11
+        d.ipd_par = np.zeros((1, nipd), np.int64)
+        d.opd_par = np.zeros((1, nipd), np.int64)
+        if ipd_dt:
+            d.ipd_dt = d.opd_dt = [1]
+            d.prev_ipd = np.zeros(nipd, np.int64)
+            d.prev_opd = np.zeros(nipd, np.int64)
+        bw = BitWriter()
+        write_ps_data(bw, d, nts=32)
+        return bs.parse(BitReader(bw.tobytes()))
+
+    p0 = frame(0, False)               # 5-band ipd
+    assert p0.ipd_par.shape[1] == 5
+    p1 = frame(1, True)                # 11-band ipd, delta-TIME coded
+    assert p1.ipd_par.shape[1] == 11   # stale 5-band prev reset, no crash
+    p2 = frame(0, True)                # back down: 11 -> 5
+    assert p2.ipd_par.shape[1] == 5

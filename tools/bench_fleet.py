@@ -197,67 +197,28 @@ def main(argv=None):
 
 
 def run_fused(args, iq):
-    """One jitted program per K-frame round over all N streams."""
+    """One jitted program per K-frame round over all N streams, driving
+    the production FusedFleet (models/fused_fleet.py) so the bench
+    measures the same pack/consume byte layer serving uses."""
     import numpy as np
     import jax
     import jax.numpy as jnp
     import time as _time
-    from dab_radio_tpu.parallel.mesh import (make_receiver_mesh,
-                                             multichip_receiver_step)
-    from dab_radio_tpu.params import get_dab_params
-    from dab_radio_tpu.dab.aac import SuperframeProcessor
-    from dab_radio_tpu.dab.fic import FICDecoder
-    from dab_radio_tpu.models.receiver import DabReceiver
-    from dab_radio_tpu.ops.crc import crc16_check
+    from dab_radio_tpu.models.fused_fleet import FusedFleet
+    from dab_radio_tpu.params import SubchannelConfig, get_ofdm_params
 
     assert args.ingest == "u8", "fused path feeds raw u8"
     N = args.streams
     K = max(args.frames_per_step, 1)
     S = args.services
-    dab = get_dab_params(1)
-    mesh = make_receiver_mesh(1, axis_sizes=(1, 1, 1))
-    step, (carry, hist, _) = multichip_receiver_step(
-        mesh, 1, frames_per_shard=K, nb_subchannel_cu=48,
-        subchannels_per_shard=S, ensembles_per_shard=N, ingest="u8",
-        block_tracking=args.block_tracking)
+    cfgs = [SubchannelConfig(s * 48, 48, False, eep_type="A",
+                             eep_prot_level=2) for s in range(S)]
+    fleet = FusedFleet(N, cfgs, transmission_mode=1, frames_per_step=K,
+                       block_tracking=args.block_tracking)
 
-    from dab_radio_tpu.params import get_ofdm_params
     fs = get_ofdm_params(1).nb_frame_samples
     chunk = 2 * K * fs
     rounds = iq.shape[0] // chunk
-    rx = [DabReceiver(1) for _ in range(N)]
-    sfp = [[SuperframeProcessor() for _ in range(S)] for _ in range(N)]
-    aus = [0]
-
-    # pack decoded bits to bytes ON DEVICE: 8x less device->host traffic
-    # (both tunnel directions share the ~25 MB/s relay link), and the host
-    # byte layer consumes bytes anyway
-    _w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
-
-    def _pack(bits):
-        b = bits.astype(jnp.int32).reshape(*bits.shape[:-1], -1, 8)
-        return (b * _w).sum(-1).astype(jnp.uint8)
-
-    pack = jax.jit(lambda o: (_pack(o["fib_bits"]), _pack(o["msc_bits"])))
-
-    def consume(fib_bytes, msc_bytes):
-        from dab_radio_tpu.ops.crc import crc16_check_batch
-        B2, F2, G2, nbytes = fib_bytes.shape
-        fibs_all = fib_bytes.reshape(B2, F2, -1, 32)
-        ok = crc16_check_batch(fibs_all.reshape(-1, 32)) \
-            .reshape(B2, F2, fibs_all.shape[2])
-        for b in range(N):
-            for f in range(F2):
-                rx[b].ingest_fibs(
-                    [bytes(fib[:30]) for fib, o
-                     in zip(fibs_all[b, f], ok[b, f]) if o])
-            for s_ in range(S):
-                nb = step.msc_nb_data_bits[s_] // 8
-                for c in range(msc_bytes.shape[2]):
-                    payload = msc_bytes[b, s_, c][:nb].tobytes()
-                    res = sfp[b][s_].process_frame(payload)
-                    if res is not None:
-                        aus[0] += len(res[1])
 
     use_resident = args.resident or args.both
     if use_resident:
@@ -274,34 +235,39 @@ def run_fused(args, iq):
         return jnp.asarray(np.tile(iq[r * chunk:(r + 1) * chunk][None],
                                    (N, 1)))
 
-    # warmup/compile + deinterleaver fill
-    t0 = _time.time()
-    carry, hist, out = step(carry, hist, get_blk(0, use_resident))
-    fib0, msc0 = [np.asarray(x) for x in pack(out)]
-    print(f"# fused compile {_time.time() - t0:.1f}s", file=sys.stderr)
+    def warmup(resident):
+        """Round 0: compiles on first call, then refills the
+        deinterleaver after each reset (output discarded)."""
+        t0 = _time.time()
+        fleet._carry, fleet._hist, out = fleet.step(
+            fleet._carry, fleet._hist, get_blk(0, resident))
+        _ = [np.asarray(x) for x in fleet._pack(out)]
+        return _time.time() - t0
+
+    print(f"# fused compile {warmup(use_resident):.1f}s", file=sys.stderr)
 
     def run_mode(resident, max_rounds=None):
-        nonlocal carry, hist
         t0 = _time.time()
         done = 0
         fetch = None
         fetched = []
         for r in range(1, min(rounds, max_rounds or rounds)):
-            carry, hist, out = step(carry, hist, get_blk(r, resident))
+            fleet._carry, fleet._hist, out = fleet.step(
+                fleet._carry, fleet._hist, get_blk(r, resident))
             if fetch is not None:        # overlap host work w/ device round
                 if resident:
                     fetched.append(fetch)    # defer byte work past timing
                 else:
-                    consume(*fetch)
-            packed = pack(out)
+                    fleet._consume(*fetch)
+            packed = fleet._pack(out)
             fetch = (np.asarray(packed[0]), np.asarray(packed[1]))
             done += N * K
         dt = _time.time() - t0           # last fetch already materialized
         t1 = _time.time()
         for f in fetched:
-            consume(*f)
+            fleet._consume(*f)
         if fetch is not None:
-            consume(*fetch)
+            fleet._consume(*fetch)
         consume_dt = _time.time() - t1
         msps = done * fs / dt / 1e6
         result = {
@@ -313,20 +279,25 @@ def run_fused(args, iq):
             "host_consume_seconds": round(consume_dt, 3),
             "msps_aggregate": round(msps, 2),
             "realtime_ensembles": round(msps / 2.048, 2),
-            "channels": sum(len(r_.channels) for r_ in rx),
-            "services": sum(len(r_.db.services) for r_ in rx),
-            "access_units": int(aus[0]),
+            "channels": sum(len(r_.channels) for r_ in fleet.receivers),
+            "services": sum(len(r_.db.services) for r_ in fleet.receivers),
+            "access_units": int(fleet.total_aus),
         }
         print(json.dumps(result), flush=True)
+        assert fleet.total_aus > 0, \
+            f"{result['mode']}: no access units - benchmark not end-to-end"
 
     if args.both:
-        run_mode(True)    # receivers keep state; the capture replays for
-        # the link-bound pass on the same compiled step; a few rounds
-        # suffice to measure the tunnel (100 MB/round at K=16)
+        run_mode(True)
+        # link-bound pass on the same compiled step: restart decode state
+        # so the replayed capture stays frame-aligned (no carry-over phase
+        # discontinuity) and its access_units count verifies THIS pass;
+        # a few rounds suffice to measure the tunnel (~100 MB/round K=16)
+        fleet.reset()
+        warmup(False)
         run_mode(False, max_rounds=6)
     else:
         run_mode(use_resident)
-    assert aus[0] > 0, "no access units decoded - benchmark not end-to-end"
     return 0
 
 
