@@ -34,6 +34,29 @@ def _dvb_scrambler_bytes(n: int) -> np.ndarray:
 from ..utils.backend import add_backend_flag, apply_backend
 
 
+def _test_card_png(idx: int, w: int = 96, h: int = 64) -> bytes:
+    """A small valid RGB PNG colour-bar test card (no image library
+    needed; identical rows keep it a few hundred bytes — at 3 AUs per
+    superframe the X-PAD carousel airtime stays in test range)."""
+    import struct
+    import zlib
+    bars = [(255, 255, 255), (255, 255, 0), (0, 255, 255), (0, 255, 0),
+            (255, 0, 255), (255, 0, 0), (0, 0, 255), (40, 40, 40)]
+    row = bytearray([0])                      # filter: none
+    for x in range(w):
+        row += bytes(bars[(x * len(bars) // w + idx) % len(bars)])
+    rows = bytes(row) * h
+
+    def chunk(tag, data):
+        c = struct.pack(">I", len(data)) + tag + data
+        return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(rows)))
+            + chunk(b"IEND", b""))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("-M", "--transmission-mode", type=int, default=1)
@@ -49,6 +72,10 @@ def main(argv=None):
     ap.add_argument("--audio", default="tone", choices=["tone", "random"],
                     help="(ensemble payload) AU content: real decodable "
                          "tone audio (AAC+SBR / MP2) or random bytes")
+    ap.add_argument("--slideshow", action="store_true",
+                    help="(ensemble payload, tone audio) broadcast a "
+                         "test-card MOT slideshow + dynamic label on each "
+                         "service's X-PAD (webmon/tui render them)")
     add_backend_flag(ap)
     args = ap.parse_args(argv)
     apply_backend(args)
@@ -66,6 +93,11 @@ def main(argv=None):
             for i in range(args.services)])
         if args.audio == "tone":
             tx.enable_tone_audio()
+            if args.slideshow:
+                for i in range(args.services):
+                    tx.queue_dynamic_label(3 + i, f"Now: Radio TPU {i + 1}")
+                    tx.queue_slideshow(3 + i, _test_card_png(i),
+                                       name=f"card_{i}.png")
         gen = tx.next_frame_iq
     else:
         mod = OFDMModulator(args.transmission_mode)

@@ -63,7 +63,40 @@ def _state_json(st: _State) -> bytes:
                 {"id": f"{sid:04X}", "label": svc.label}
                 for sid, svc in sorted(db.services.items())]
             out["subchannels"] = sorted(db.subchannels)
+            # the reference GUI's radio browser per-channel view
+            # (gui/basic_radio: dynamic label, slideshow, decoder stats)
+            chans = []
+            for sub_id, ch in sorted(getattr(rx, "channels", {}).items()):
+                mgr = getattr(ch, "slideshows", None)
+                entry = {"subchannel": sub_id,
+                         "kind": type(ch).__name__,
+                         "dynamic_label": getattr(ch, "dynamic_label", ""),
+                         "slideshows": len(mgr.slideshows) if mgr else 0}
+                sf = getattr(ch, "superframe", None)
+                if sf is not None:
+                    entry["stats"] = dict(sf.stats)
+                dec = getattr(ch, "_audio_decoder", None)
+                if dec is not None and dec.is_available:
+                    entry["pcm_ok"] = dec.total_decoded
+                    entry["pcm_err"] = dec.total_errors
+                    if getattr(dec, "pcm_mode", None):
+                        entry["pcm_mode"] = dec.pcm_mode
+                chans.append(entry)
+            out["channels"] = chans
     return json.dumps(out).encode()
+
+
+def _slideshow_img(st: _State, sub_id: int):
+    """Latest slideshow image for a subchannel -> (bytes, content-type)."""
+    with st.lock:
+        rx = st.rx
+        ch = getattr(rx, "channels", {}).get(sub_id) if rx else None
+        mgr = getattr(ch, "slideshows", None)
+        if not mgr or not mgr.slideshows:
+            return None, None
+        s = mgr.slideshows[0]            # most recent first
+        return bytes(s.data), \
+            "image/jpeg" if s.image_type == "jpeg" else "image/png"
 
 
 def _dashboard_png(st: _State) -> bytes:
@@ -88,13 +121,23 @@ def _dashboard_png(st: _State) -> bytes:
 _PAGE = b"""<!doctype html><title>DAB-Radio TPU</title>
 <body style="background:#111;color:#ddd;font-family:monospace">
 <h3>DAB-Radio TPU &mdash; live monitor</h3>
+<div id="ss"></div>
 <pre id="s"></pre><img id="d" src="/dashboard.png" width="900">
 <script>
 async function tick(){
  try{
   const r = await fetch('/state.json');
-  document.getElementById('s').textContent =
-      JSON.stringify(await r.json(), null, 1);
+  const j = await r.json();
+  document.getElementById('s').textContent = JSON.stringify(j, null, 1);
+  let h = '';
+  for (const c of (j.channels || [])) {
+   if (c.slideshows > 0)
+    h += '<figure style="display:inline-block;margin:4px">' +
+         '<img src="/slideshow/' + c.subchannel + '?' + Date.now() +
+         '" height="120"><figcaption>sub ' + c.subchannel + ' ' +
+         (c.dynamic_label || '') + '</figcaption></figure>';
+  }
+  document.getElementById('ss').innerHTML = h;
   document.getElementById('d').src = '/dashboard.png?' + Date.now();
  }catch(e){}
  setTimeout(tick, 2000);
@@ -117,6 +160,16 @@ def _make_handler(st: _State):
                 body, ctype = _dashboard_png(st), "image/png"
                 if not body:
                     self.send_response(503)
+                    self.end_headers()
+                    return
+            elif path.startswith("/slideshow/"):
+                try:
+                    sub_id = int(path.rsplit("/", 1)[1])
+                except ValueError:
+                    sub_id = -1
+                body, ctype = _slideshow_img(st, sub_id)
+                if body is None:
+                    self.send_response(404)
                     self.end_headers()
                     return
             else:

@@ -146,22 +146,38 @@ class ToneAudioSource:
                 sh, header.sampling_rate, 15,
                 [[env]] * ch, [[noise]] * ch, is_cpe=(ch == 2),
                 ps_data=ps_data)
-        self._au = encode_au_960(
-            _SAMPLE_RATE_INDEX[core], coeffs, global_gain,
-            dse_payload=bytes(xpad) + bytes(fpad),
-            sbr_payload=sbr_payload, sbr_payload_bits=sbr_bits)
+        self._enc = encode_au_960
+        self._enc_args = (_SAMPLE_RATE_INDEX[core], coeffs, global_gain,
+                          sbr_payload, sbr_bits)
+        self._au = self._make_au(bytes(xpad) + bytes(fpad))
+        # PAD carousel: (fpad, xpad_reversed) pairs consumed one per AU
+        # (models/pad_writer.py builds label/slideshow sequences)
+        from collections import deque
+        self.pad_fields = deque()
+
+    def _make_au(self, dse_payload: bytes) -> bytes:
+        sri, coeffs, gg, sp, sb = self._enc_args
+        return self._enc(sri, coeffs, gg, dse_payload=dse_payload,
+                         sbr_payload=sp, sbr_payload_bits=sb)
 
     def __call__(self, cap: int, num: int) -> List[bytes]:
         base = cap // num
         sizes = [base] * (num - 1) + [cap - base * (num - 1)]
-        if any(len(self._au) > n for n in sizes):
-            raise ValueError(
-                f"tone AU ({len(self._au)}B) exceeds superframe slot "
-                f"{min(sizes)}B — lower the subchannel bitrate demands")
-        # zero padding after END (libavcodec's raw-AAC parser chokes on
-        # non-zero trailing bytes); the superframe firecode guard rejects
-        # the degenerate all-zero sync window this creates
-        return [self._au + b"\x00" * (n - len(self._au)) for n in sizes]
+        aus = []
+        for n in sizes:
+            au = self._au
+            if self.pad_fields:
+                fpad, xpad_rev = self.pad_fields.popleft()
+                au = self._make_au(bytes(xpad_rev) + bytes(fpad))
+            if len(au) > n:
+                raise ValueError(
+                    f"tone AU ({len(au)}B) exceeds superframe slot "
+                    f"{n}B — lower the subchannel bitrate demands")
+            # zero padding after END (libavcodec's raw-AAC parser chokes
+            # on non-zero trailing bytes); the superframe firecode guard
+            # rejects the degenerate all-zero sync window this creates
+            aus.append(au + b"\x00" * (n - len(au)))
+        return aus
 
 
 class MP2ToneSource:
@@ -315,6 +331,29 @@ class EnsembleTransmitter:
     def push_packet_data_group(self, subchannel_id: int, group: bytes):
         """Queue an MSC data group onto a packet service's carousel."""
         self.packet_encoders[subchannel_id].push_data_group(group)
+
+    def _tone_source(self, subchannel_id: int) -> "ToneAudioSource":
+        src = self._au_source.get(subchannel_id)
+        if not isinstance(src, ToneAudioSource):
+            raise ValueError(f"subchannel {subchannel_id} has no tone AU "
+                             "source (call enable_tone_audio first)")
+        return src
+
+    def queue_dynamic_label(self, subchannel_id: int, text: str):
+        """Broadcast a dynamic label on a DAB+ service's X-PAD (one PAD
+        field per AU until the sequence drains)."""
+        from .pad_writer import dynamic_label_pad_fields
+        self._tone_source(subchannel_id).pad_fields.extend(
+            dynamic_label_pad_fields(text))
+
+    def queue_slideshow(self, subchannel_id: int, image: bytes,
+                        name: str = "slide.png", image_type: str = "png",
+                        tid: int = 1):
+        """Broadcast a MOT slideshow image on a DAB+ service's X-PAD."""
+        from .pad_writer import slideshow_pad_fields
+        self._tone_source(subchannel_id).pad_fields.extend(
+            slideshow_pad_fields(image, name=name, image_type=image_type,
+                                 tid=tid))
 
     def _next_mp2_frame(self, nb_bytes: int) -> bytes:
         """A frame-header-valid MP2-shaped payload (content is random; the

@@ -261,13 +261,14 @@ def test_webmon_serves_dashboard_and_state(tmp_path):
     import urllib.request
     iq_path = tmp_path / "iq.bin"
     r = _run(["dab_radio_tpu.apps.simulate_transmitter", "--payload",
-              "ensemble", "-n", "10", "-F", "u8"], timeout=400)
+              "ensemble", "-n", "24", "-F", "u8", "--slideshow"],
+             timeout=400)
     iq_path.write_bytes(r.stdout)
     port = 8791
     proc = subprocess.Popen(
         [sys.executable, "-m", "dab_radio_tpu.apps.webmon",
          "-i", str(iq_path), "-F", "u8", "--port", str(port),
-         "--max-frames", "8"],
+         "--max-frames", "22"],
         env=ENV, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
     try:
         state = None
@@ -278,13 +279,13 @@ def test_webmon_serves_dashboard_and_state(tmp_path):
                         f"http://127.0.0.1:{port}/state.json",
                         timeout=5) as resp:
                     state = json_mod.loads(resp.read())
-                if state.get("done") and state.get("frames", 0) >= 8:
+                if state.get("done") and state.get("frames", 0) >= 22:
                     break
             except Exception:
                 continue
         assert state is not None, proc.stderr.read().decode()[-400:] \
             if proc.poll() is not None else "server never answered"
-        assert state["frames"] >= 8
+        assert state["frames"] >= 22
         assert state["ensemble"]["id"] == "C0FE"
         assert any("Radio TPU" in s["label"] for s in state["services"])
         with urllib.request.urlopen(
@@ -294,6 +295,20 @@ def test_webmon_serves_dashboard_and_state(tmp_path):
         with urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/", timeout=5) as resp:
             assert b"live monitor" in resp.read()
+        # radio-browser surface: per-channel state incl. the broadcast
+        # dynamic label, and the MOT slideshow image endpoint
+        chans = state.get("channels", [])
+        assert chans, state
+        labeled = [c for c in chans if c.get("dynamic_label")]
+        assert labeled and labeled[0]["dynamic_label"].startswith("Now:")
+        with_ss = [c for c in chans if c.get("slideshows", 0) > 0]
+        assert with_ss, chans
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/slideshow/"
+                f"{with_ss[0]['subchannel']}", timeout=5) as resp:
+            img = resp.read()
+            assert resp.headers["Content-Type"] == "image/png"
+        assert img[:8] == b"\x89PNG\r\n\x1a\n"
     finally:
         proc.terminate()
         proc.wait(timeout=10)

@@ -14,43 +14,10 @@ from dab_radio_tpu.dab.packets import (
 from dab_radio_tpu.dab.mot import HEADER, UNSCRAMBLED_BODY
 
 
-# ---- TX-side builders ----
+# ---- TX-side builders (shared with the transmitter: models/pad_writer) ----
 
-def build_data_group(dg_type, continuity, segment_number, is_last, tid, data):
-    """MSC data group with CRC + session header + transport id."""
-    b = bytearray()
-    b.append((0 << 7) | (1 << 6) | (1 << 5) | (1 << 4) | (dg_type & 0xF))
-    b.append(((continuity & 0xF) << 4) | 0)
-    b.append((int(is_last) << 7) | ((segment_number >> 8) & 0x7F))
-    b.append(segment_number & 0xFF)
-    b.append((1 << 4) | 2)                   # transport id flag, length=2
-    b += tid.to_bytes(2, "big")
-    b += data
-    b += crc16(bytes(b)).to_bytes(2, "big")
-    return bytes(b)
-
-
-def build_mot_segment(dg_type, seg_num, is_last, tid, seg_data, ci=0):
-    payload = bytes([(0 << 5) | ((len(seg_data) >> 8) & 0x1F),
-                     len(seg_data) & 0xFF]) + seg_data
-    return build_data_group(dg_type, ci, seg_num, is_last, tid, payload)
-
-
-def build_mot_header(body: bytes, content_name: str = "test.jpg"):
-    name = content_name.encode()
-    ext = bytes([(0b11 << 6) | 0b001100, 1 + len(name), 0x00]) + name
-    header_size = 7 + len(ext)
-    core = bytearray(7)
-    core[0] = (len(body) >> 20) & 0xFF
-    core[1] = (len(body) >> 12) & 0xFF
-    core[2] = (len(body) >> 4) & 0xFF
-    core[3] = ((len(body) & 0xF) << 4) | ((header_size >> 9) & 0xF)
-    core[4] = (header_size >> 1) & 0xFF
-    content_type, content_sub = 2, 1         # image / jpeg
-    core[5] = ((header_size & 1) << 7) | ((content_type & 0x3F) << 1) \
-        | ((content_sub >> 8) & 1)
-    core[6] = content_sub & 0xFF
-    return bytes(core) + ext
+from dab_radio_tpu.models.pad_writer import (  # noqa: E402
+    build_data_group, build_mot_header, build_mot_segment)
 
 
 def packetize(data_group: bytes, address: int, start_ci=0):

@@ -5,70 +5,14 @@ reconstruction (incl. AAC data_stream_element extraction)."""
 import numpy as np
 import pytest
 
-from dab_radio_tpu.ops.crc import crc16
-from dab_radio_tpu.dab.pad import PADProcessor, CI_LENGTH_TABLE
+from dab_radio_tpu.dab.pad import PADProcessor
 from dab_radio_tpu.dab.aac_data import AACDataDecoder, build_data_stream_element
 from dab_radio_tpu.dab.slideshow import SlideshowManager
-from tests.test_packets import build_mot_segment, build_mot_header  # reuse builders
 from dab_radio_tpu.dab.mot import HEADER, UNSCRAMBLED_BODY
-
-
-# ---- TX-side helpers ----
-
-def fpad_for(xpad_len_kind, ci_flag):
-    """xpad_len_kind: 'short' (0b01) or 'variable' (0b10)."""
-    indicator = 0b01 if xpad_len_kind == "short" else 0b10
-    b0 = (0 << 6) | (indicator << 4)
-    b1 = (int(ci_flag) << 1)
-    return bytes([b0, b1])
-
-
-def label_data_groups(text: str, charset=0):
-    """Dynamic label segments -> list of (is_first, group_bytes)."""
-    data = text.encode("ascii")
-    segs = [data[i:i + 16] for i in range(0, len(data), 16)]
-    groups = []
-    for i, seg in enumerate(segs):
-        is_first = i == 0
-        is_last = i == len(segs) - 1
-        toggle = 1
-        b0 = (toggle << 7) | ((int(is_first) << 1 | int(is_last)) << 5) \
-            | (0 << 4) | (len(seg) - 1)
-        field2 = charset if is_first else i
-        b1 = (field2 << 4)
-        g = bytes([b0, b1]) + seg
-        g += crc16(g).to_bytes(2, "big")
-        groups.append(g)
-    return groups
-
-
-def chunk_xpad_fields(payload: bytes, app_start: int, app_cont: int,
-                      length_prefix: bytes = b""):
-    """Split a data group into variable-size X-PAD subfields with CI lists.
-    Returns a list of (fpad, xpad_reversed) pairs ready for PADProcessor."""
-    fields = []
-    CHUNK = 48
-    pieces = [payload[i:i + CHUNK] for i in range(0, len(payload), CHUNK)]
-    for k, piece in enumerate(pieces):
-        sub = piece.ljust(CHUNK, b"\x00")
-        li = CI_LENGTH_TABLE.index(CHUNK)
-        app = app_start if k == 0 else app_cont
-        cis = bytearray()
-        data = bytearray()
-        if k == 0 and length_prefix:
-            cis.append((CI_LENGTH_TABLE.index(4) << 5) | 1)
-            data += length_prefix.ljust(4, b"\x00")
-        cis.append((li << 5) | app)
-        if len(cis) < 4:
-            cis.append(0)                      # end marker
-        xpad = bytes(cis) + bytes(data) + sub
-        fields.append((fpad_for("variable", True), bytes(reversed(xpad))))
-    return fields
-
-
-def dli_prefix(group_len: int) -> bytes:
-    b = bytes([(group_len >> 8) & 0b111111, group_len & 0xFF])
-    return b + crc16(b).to_bytes(2, "big")
+# TX-side builders live in the package now (models/pad_writer.py)
+from dab_radio_tpu.models.pad_writer import (
+    build_mot_header, build_mot_segment, chunk_xpad_fields, dli_prefix,
+    label_data_groups)
 
 
 def test_dynamic_label():
@@ -135,3 +79,45 @@ def test_mp2_header_and_pad_location():
     fpad, xpad = locate_pad(frame, h)
     assert fpad == frame[-2:]
     assert xpad[-1] == frame[-7]    # 4 scale-factor CRC bytes skipped
+
+
+def test_slideshow_and_label_closed_loop():
+    """Full air-interface closed loop for programme-associated data: the
+    ensemble transmitter queues a dynamic label and a MOT slideshow onto
+    a DAB+ service's X-PAD (models/pad_writer.py), and the receiver's
+    channel surfaces both (dab/pad.py -> dab/mot.py -> dab/slideshow.py)."""
+    from dab_radio_tpu.params import SubchannelConfig
+    from dab_radio_tpu.models.transmitter import (EnsembleTransmitter,
+                                                  ServiceSpec)
+    from dab_radio_tpu.models.demodulator import (OFDMDemodulator,
+                                                  StreamingDemodulator)
+    from dab_radio_tpu.models.receiver import DabReceiver
+    from dab_radio_tpu.dab.aac import SuperFrameHeader
+
+    svc = ServiceSpec(
+        service_id=0xF123, subchannel_id=3, label="Radio TPU",
+        cfg=SubchannelConfig(start_address=0, length=48, is_uep=False,
+                             eep_type="A", eep_prot_level=2),
+        superframe_header=SuperFrameHeader(48000, True, True, False, 0))
+    tx = EnsembleTransmitter(1, services=[svc])
+    tx.enable_tone_audio()
+    rng = np.random.default_rng(5)
+    image = rng.integers(0, 256, 700).astype(np.uint8).tobytes()
+    tx.queue_dynamic_label(3, "Now: TPU Radio")
+    tx.queue_slideshow(3, image, name="cover.png", image_type="png")
+
+    iq = tx.generate(20)
+    demod = OFDMDemodulator(1)
+    sd = StreamingDemodulator(demod)
+    rx = DabReceiver(1)
+    lead = np.zeros(10000, np.complex64)
+    for fr in sd.process(np.concatenate(
+            [lead, iq, np.zeros(200000, np.complex64)])):
+        rx.process_frame(fr)
+
+    ch = rx.channels[3]
+    assert ch.dynamic_label == "Now: TPU Radio"
+    assert len(ch.slideshows.slideshows) == 1
+    s = ch.slideshows.slideshows[0]
+    assert s.name == "cover.png" and s.image_type == "png"
+    assert s.data == image
