@@ -27,7 +27,8 @@ def main(argv=None):
     ap.add_argument("-F", "--format", default="u8")
     ap.add_argument("-M", "--transmission-mode", type=int, default=1)
     ap.add_argument("--audio-out", default="radio_out.wav",
-                    help="WAV sink path ('' for null sink)")
+                    help="WAV sink path, 'alsa' for live playback "
+                         "(needs libasound), or '' for the null sink")
     ap.add_argument("--seconds", type=float, default=30.0)
     add_backend_flag(ap)
     args = ap.parse_args(argv)
@@ -47,8 +48,19 @@ def main(argv=None):
     sd = StreamingDemodulator(demod)
     rx = DabReceiver(args.transmission_mode)
 
-    pipeline = AudioPipeline(
-        sink=WavFileSink(args.audio_out) if args.audio_out else NullSink())
+    if args.audio_out == "alsa":
+        from ..host.audio import AlsaSink
+        if not AlsaSink.is_available():
+            print("# no sound stack (libasound); using null sink",
+                  file=sys.stderr)
+            sink = NullSink()
+        else:
+            sink = AlsaSink()
+    elif args.audio_out:
+        sink = WavFileSink(args.audio_out)
+    else:
+        sink = NullSink()
+    pipeline = AudioPipeline(sink=sink)
 
     def on_channel(sub_id, ch):
         print(f"+ channel {sub_id} ({ch.kind})", file=sys.stderr)

@@ -2,9 +2,10 @@
 
 Parity surface: reference examples/audio/ (audio_pipeline.{h,cpp},
 portaudio_sink, ring_buffer): per-source ring buffer with linear resampling
-to the sink rate, float mixing with clipping, pluggable sinks. This image has
-no sound hardware, so the sinks are WAV files, raw-PCM writers, or a null
-sink; the pipeline API matches so a PortAudio-style sink can slot in.
+to the sink rate, float mixing with clipping, pluggable sinks. Sinks: WAV
+file, null, and a live ALSA sink (ctypes over libasound, the portaudio
+analog) that degrades gracefully on hosts without a sound stack — like
+the build image, where only its unavailability path is exercisable.
 """
 
 import struct
@@ -87,6 +88,90 @@ class NullSink:
 
     def close(self):
         pass
+
+
+class AlsaSink:
+    """Live playback through ALSA (ctypes over libasound) — the analog of
+    the reference's portaudio_sink (examples/audio/portaudio_sink.h:45-77:
+    open default device, blocking stream writes, recover on underrun).
+    Like host/device.py's rtlsdr wrapper, this degrades gracefully:
+    `AlsaSink.is_available()` is False when no libasound/sound hardware
+    exists (as in the build image), and construction raises cleanly."""
+
+    @staticmethod
+    def _lib():
+        import ctypes
+        import ctypes.util
+        name = ctypes.util.find_library("asound")
+        if not name:
+            return None
+        try:
+            lib = ctypes.CDLL(name)
+        except OSError:
+            return None
+        lib.snd_pcm_open.restype = ctypes.c_int
+        lib.snd_pcm_open.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                     ctypes.c_int, ctypes.c_int]
+        lib.snd_pcm_set_params.restype = ctypes.c_int
+        lib.snd_pcm_set_params.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_uint,
+            ctypes.c_uint, ctypes.c_int, ctypes.c_uint]
+        lib.snd_pcm_writei.restype = ctypes.c_long
+        lib.snd_pcm_writei.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_ulong]
+        lib.snd_pcm_recover.restype = ctypes.c_int
+        lib.snd_pcm_recover.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                        ctypes.c_int]
+        lib.snd_pcm_close.argtypes = [ctypes.c_void_p]
+        lib.snd_pcm_drain.argtypes = [ctypes.c_void_p]
+        return lib
+
+    @classmethod
+    def is_available(cls) -> bool:
+        return cls._lib() is not None
+
+    def __init__(self, device: str = "default", sample_rate: int = 48000,
+                 latency_us: int = 100000):
+        import ctypes
+        lib = self._lib()
+        if lib is None:
+            raise RuntimeError("libasound not available (no sound stack)")
+        self._ct = ctypes
+        self._alsa = lib
+        self._pcm = ctypes.c_void_p()
+        # stream=0 playback; format 2 = SND_PCM_FORMAT_S16_LE;
+        # access 3 = SND_PCM_ACCESS_RW_INTERLEAVED
+        rc = lib.snd_pcm_open(ctypes.byref(self._pcm), device.encode(),
+                              0, 0)
+        if rc < 0:
+            raise RuntimeError(f"snd_pcm_open failed ({rc})")
+        rc = lib.snd_pcm_set_params(self._pcm, 2, 3, 2, sample_rate, 1,
+                                    latency_us)
+        if rc < 0:
+            lib.snd_pcm_close(self._pcm)
+            raise RuntimeError(f"snd_pcm_set_params failed ({rc})")
+
+    def write_frames(self, frames: np.ndarray):
+        pcm = np.ascontiguousarray(
+            np.clip(frames * 32767.0, -32768, 32767).astype("<i2"))
+        nb = pcm.shape[0]
+        done = 0
+        while done < nb:
+            chunk = pcm[done:]
+            n = self._alsa.snd_pcm_writei(
+                self._pcm, chunk.ctypes.data, chunk.shape[0])
+            if n < 0:                        # underrun/suspend: recover
+                if self._alsa.snd_pcm_recover(self._pcm, int(n), 1) < 0:
+                    raise RuntimeError(f"ALSA write failed ({int(n)})")
+                continue
+            done += int(n)
+
+    def close(self):
+        try:
+            self._alsa.snd_pcm_drain(self._pcm)
+            self._alsa.snd_pcm_close(self._pcm)
+        except Exception:
+            pass
 
 
 class WavFileSink:

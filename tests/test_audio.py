@@ -5,6 +5,7 @@ import struct
 import wave
 
 import numpy as np
+import pytest
 
 from dab_radio_tpu.host.audio import (AudioPipeline, AudioSource, NullSink,
                                       WavFileSink)
@@ -69,3 +70,21 @@ def test_wav_sink_roundtrip(tmp_path):
         raw = w.readframes(4800)
     data = np.frombuffer(raw, np.int16).reshape(-1, 2)
     np.testing.assert_allclose(data[:, 0] / 32767.0, tone, atol=1e-3)
+
+
+def test_alsa_sink_graceful_degradation():
+    """The live ALSA sink (portaudio_sink analog) must report honestly and
+    raise cleanly when no sound stack exists; when libasound IS present
+    (real deployments), construction succeeds or raises RuntimeError —
+    never an attribute/segfault class of failure."""
+    from dab_radio_tpu.host.audio import AlsaSink
+    if not AlsaSink.is_available():
+        with pytest.raises(RuntimeError):
+            AlsaSink()
+        return
+    try:
+        sink = AlsaSink()
+    except RuntimeError:
+        return                  # lib present but no device: clean failure
+    sink.write_frames(np.zeros((480, 2), np.float32))
+    sink.close()
