@@ -50,12 +50,12 @@ def main(argv=None):
 
     if args.audio_out == "alsa":
         from ..host.audio import AlsaSink
-        if not AlsaSink.is_available():
-            print("# no sound stack (libasound); using null sink",
+        try:
+            sink = AlsaSink()
+        except RuntimeError as e:     # no libasound OR no playback device
+            print(f"# live audio unavailable ({e}); using null sink",
                   file=sys.stderr)
             sink = NullSink()
-        else:
-            sink = AlsaSink()
     elif args.audio_out:
         sink = WavFileSink(args.audio_out)
     else:

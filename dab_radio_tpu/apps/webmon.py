@@ -129,15 +129,24 @@ async function tick(){
   const r = await fetch('/state.json');
   const j = await r.json();
   document.getElementById('s').textContent = JSON.stringify(j, null, 1);
-  let h = '';
+  // dynamic labels are OVER-AIR data: build DOM via textContent, never
+  // innerHTML (a hostile broadcast must not script the operator page)
+  const box = document.getElementById('ss');
+  box.replaceChildren();
   for (const c of (j.channels || [])) {
-   if (c.slideshows > 0)
-    h += '<figure style="display:inline-block;margin:4px">' +
-         '<img src="/slideshow/' + c.subchannel + '?' + Date.now() +
-         '" height="120"><figcaption>sub ' + c.subchannel + ' ' +
-         (c.dynamic_label || '') + '</figcaption></figure>';
+   if (c.slideshows > 0) {
+    const fig = document.createElement('figure');
+    fig.style.cssText = 'display:inline-block;margin:4px';
+    const img = document.createElement('img');
+    img.src = '/slideshow/' + encodeURIComponent(c.subchannel) +
+              '?' + Date.now();
+    img.height = 120;
+    const cap = document.createElement('figcaption');
+    cap.textContent = 'sub ' + c.subchannel + ' ' + (c.dynamic_label || '');
+    fig.append(img, cap);
+    box.append(fig);
+   }
   }
-  document.getElementById('ss').innerHTML = h;
   document.getElementById('d').src = '/dashboard.png?' + Date.now();
  }catch(e){}
  setTimeout(tick, 2000);

@@ -233,7 +233,17 @@ def write_ps_data(bw: BitWriter, d: PSData, nts: int = 32,
     if d.enable_icc:
         pars(d.icc_par, _huff("icc_df"), _huff("icc_dt"),
              getattr(d, "icc_dt", None), getattr(d, "prev_icc", None))
+    if not want_ext and not send_header and d.enable_ext:
+        # headerless frame under a persistent enable_ext config: the
+        # parser WILL read an extension length, so emit an empty one
+        # (cnt=0) instead of desyncing the payload
+        bw.write(0, 4)
     if want_ext:
+        if not send_header and not d.enable_ext:
+            raise ValueError(
+                "ipd/opd on a headerless frame needs enable_ext=True in "
+                "the stream's last header frame (the parser only reads "
+                "the extension length under that config)")
         # ipdopd extension (ext id 0): per envelope an ipd row then an opd
         # row, delta-freq or delta-time coded modulo 8 (offset-free
         # huffman, mirrors PSBitstream.parse's mod=8 path)

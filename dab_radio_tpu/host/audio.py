@@ -152,6 +152,13 @@ class AlsaSink:
             raise RuntimeError(f"snd_pcm_set_params failed ({rc})")
 
     def write_frames(self, frames: np.ndarray):
+        frames = np.asarray(frames, np.float32)
+        if frames.ndim == 1:                  # mono vector -> stereo frames
+            frames = frames.reshape(-1, 1)
+        if frames.shape[1] == 1:
+            frames = np.repeat(frames, 2, axis=1)
+        elif frames.shape[1] > 2:
+            frames = frames[:, :2]
         pcm = np.ascontiguousarray(
             np.clip(frames * 32767.0, -32768, 32767).astype("<i2"))
         nb = pcm.shape[0]

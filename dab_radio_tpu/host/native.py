@@ -28,12 +28,22 @@ def _build(target: str):
         return False
 
 
+def _stale(so_path: str, *sources: str) -> bool:
+    """True when the .so is missing or older than its sources — the only
+    cases worth spawning make for (hosts with the prebuilt .so and no
+    toolchain must stay silent and fast)."""
+    if not os.path.exists(so_path):
+        return True
+    t = os.path.getmtime(so_path)
+    return any(os.path.exists(s) and os.path.getmtime(s) > t
+               for s in (*sources, os.path.join(_NATIVE_DIR, "Makefile")))
+
+
 @functools.lru_cache(maxsize=1)
 def io_lib():
     path = os.path.join(_BUILD_DIR, "libdabio.so")
-    # always invoke make: a no-op when fresh, a rebuild when io_kernels.cpp
-    # changed (a stale .so would fail symbol configuration below)
-    if not _build("build/libdabio.so") and not os.path.exists(path):
+    if _stale(path, os.path.join(_NATIVE_DIR, "io_kernels.cpp")) \
+            and not _build("build/libdabio.so") and not os.path.exists(path):
         return None
     try:
         lib = ctypes.CDLL(path)

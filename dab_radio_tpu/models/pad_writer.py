@@ -32,9 +32,27 @@ def fpad_for(xpad_len_kind: str, ci_flag: bool) -> bytes:
     return bytes([b0, b1])
 
 
-def label_data_groups(text: str, charset: int = 0) -> List[bytes]:
-    """Dynamic label text -> X-PAD data groups (16-char segments, CRC16)."""
-    data = text.encode("ascii")
+def label_data_groups(text, charset: int = 0) -> List[bytes]:
+    """Dynamic label text -> X-PAD data groups (16-char segments, CRC16).
+
+    Accepts str (must encode to the charset's byte set; pass bytes for
+    non-ASCII charsets) up to the DAB maximum of 128 label bytes
+    (8 segments x 16 — the 3-bit continuation SegNum field wraps beyond
+    that and receivers would assemble a corrupted label)."""
+    if isinstance(text, bytes):
+        data = text
+    else:
+        try:
+            data = text.encode("ascii")
+        except UnicodeEncodeError as e:
+            raise ValueError(
+                "non-ASCII dynamic label: pre-encode to the target "
+                "charset and pass bytes") from e
+    if len(data) > 128:
+        raise ValueError(f"dynamic label is {len(data)} bytes; "
+                         "DAB allows at most 128")
+    if not data:
+        raise ValueError("empty dynamic label")
     segs = [data[i:i + 16] for i in range(0, len(data), 16)]
     groups = []
     for i, seg in enumerate(segs):

@@ -375,3 +375,35 @@ def test_fused_fleet_per_stream_ensembles():
     assert fleet.receivers[0].db.ensemble.label == "Own 0"
     assert fleet.receivers[1].db.ensemble.label == "Own 1"
     assert fleet.receivers[1].db.subchannels[0].eep_type == "B"
+
+
+def test_fused_fleet_reset_reproduces_fresh_decode():
+    """reset() restarts device carry + host byte layer while keeping the
+    compiled program: replaying the capture after reset must reproduce the
+    fresh fleet's decode exactly (the bench --both link-bound pass relies
+    on this for frame alignment and per-pass AU verification)."""
+    from dab_radio_tpu.models.fused_fleet import FusedFleet
+    from dab_radio_tpu.params import SubchannelConfig
+
+    iq = _api_iq()
+    cfgs = [SubchannelConfig(0, 48, False, eep_type="A", eep_prot_level=2),
+            SubchannelConfig(48, 48, False, eep_type="A", eep_prot_level=2)]
+    fleet = FusedFleet(2, cfgs, transmission_mode=1, frames_per_step=4)
+    chunk = 2 * fleet.round_samples
+
+    def run():
+        aus = []
+        cb = lambda b, s, i, n, au, h: aus.append((b, s, bytes(au)))
+        fleet.on_access_unit.append(cb)
+        for r in range(iq.shape[0] // chunk):
+            fleet.process_round(
+                np.tile(iq[r * chunk:(r + 1) * chunk][None], (2, 1)))
+        fleet.on_access_unit.remove(cb)
+        return aus, fleet.total_aus
+
+    first, n1 = run()
+    fleet.reset()
+    again, n2 = run()
+    assert n1 > 0 and n2 == n1
+    assert again == first
+    assert fleet.receivers[0].db.ensemble.label == "TPU Ensemble"

@@ -121,3 +121,16 @@ def test_slideshow_and_label_closed_loop():
     s = ch.slideshows.slideshows[0]
     assert s.name == "cover.png" and s.image_type == "png"
     assert s.data == image
+
+
+def test_label_writer_validation():
+    """TX label builder: DAB's 128-byte maximum and charset honesty."""
+    from dab_radio_tpu.models.pad_writer import label_data_groups
+    assert len(label_data_groups("x" * 128)) == 8
+    with pytest.raises(ValueError):
+        label_data_groups("x" * 129)
+    with pytest.raises(ValueError):
+        label_data_groups("Café")          # pre-encode for non-ASCII
+    assert label_data_groups(b"\xc9af\xe9")     # bytes pass through
+    with pytest.raises(ValueError):
+        label_data_groups("")

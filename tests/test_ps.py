@@ -534,3 +534,41 @@ def test_ps_ipd_resolution_switch_no_crash():
     assert p1.ipd_par.shape[1] == 11   # stale 5-band prev reset, no crash
     p2 = frame(0, True)                # back down: 11 -> 5
     assert p2.ipd_par.shape[1] == 5
+
+
+def test_ps_headerless_frame_under_enable_ext_config():
+    """A send_header=False frame without ipd rows, following a header that
+    enabled extensions, must emit an EMPTY extension length (the parser
+    reads one under the persisted config) — not desync the payload."""
+    bs = PSBitstream(32)
+
+    d0 = PSData(enable_iid=True, iid_mode=1, num_env=1, enable_ipdopd=True)
+    d0.iid_par = np.zeros((1, nr_par(1)), np.int64)
+    d0.ipd_par = np.zeros((1, 11), np.int64)
+    d0.opd_par = np.zeros((1, 11), np.int64)
+    bw = BitWriter()
+    write_ps_data(bw, d0, nts=32)
+    p0 = bs.parse(BitReader(bw.tobytes()))
+    assert p0.enable_ext and p0.ipd_par is not None
+
+    # headerless follow-up with no ipd: sentinel bits after the PS frame
+    # must land exactly where the parser resumes
+    d1 = PSData(enable_iid=True, iid_mode=1, num_env=1, enable_ext=True)
+    d1.iid_par = np.arange(nr_par(1)).reshape(1, -1) % 3
+    bw = BitWriter()
+    write_ps_data(bw, d1, nts=32, send_header=False)
+    sentinel_pos = len(bw)
+    bw.write(0b1011, 4)
+    br = BitReader(bw.tobytes())
+    p1 = bs.parse(br)
+    np.testing.assert_array_equal(p1.iid_par, d1.iid_par)
+    assert br.pos == sentinel_pos
+    assert br.read(4) == 0b1011
+
+    # headerless ipd under a header that did NOT enable ext: writer refuses
+    d2 = PSData(enable_iid=True, iid_mode=1, num_env=1, enable_ipdopd=True)
+    d2.iid_par = np.zeros((1, nr_par(1)), np.int64)
+    d2.ipd_par = np.zeros((1, 11), np.int64)
+    d2.opd_par = np.zeros((1, 11), np.int64)
+    with pytest.raises(ValueError):
+        write_ps_data(BitWriter(), d2, nts=32, send_header=False)
