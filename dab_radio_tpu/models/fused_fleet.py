@@ -43,7 +43,8 @@ class FusedFleet:
     def __init__(self, nb_streams: int,
                  subchannel_cfgs: List[SubchannelConfig],
                  transmission_mode: int = 1, frames_per_step: int = 8,
-                 mesh=None, block_tracking: bool = False):
+                 mesh=None, block_tracking: bool = False,
+                 subchannel_kinds=None):
         import jax
         import jax.numpy as jnp
         from ..parallel.mesh import (make_receiver_mesh,
@@ -72,16 +73,39 @@ class FusedFleet:
             subchannels_per_shard=subs, ensembles_per_shard=ens,
             ingest="u8", subchannel_cfgs=subchannel_cfgs,
             block_tracking=block_tracking)
+        # per-(stream, sub) byte-layer kind: "audio" (DAB+ superframes),
+        # "mp2" (classic DAB: each logical frame IS one MP2 frame, fired
+        # via on_mp2_frame + optional PCM decode), or ("packet",
+        # packet_address, fec_scheme) for packet-mode data subchannels
+        # (reference msc_data_packet path). `subchannel_kinds` mirrors
+        # subchannel_cfgs' shape (flat list shared by all streams, or
+        # per-stream rows); None entries default to "audio".
+        def kind_row(row):
+            row = list(row) if row is not None else []
+            row += [None] * (self.S - len(row))
+            return ["audio" if k is None else k for k in row]
+        if subchannel_kinds is None:
+            self._kinds = [kind_row(None)] * self.N
+        elif subchannel_kinds and \
+                isinstance(subchannel_kinds[0], (list, tuple)) and not (
+                    len(subchannel_kinds[0]) and
+                    subchannel_kinds[0][0] == "packet"):
+            self._kinds = [kind_row(r) for r in subchannel_kinds]
+        else:
+            self._kinds = [kind_row(subchannel_kinds)] * self.N
         self.receivers = [DabReceiver(transmission_mode)
                           for _ in range(self.N)]
-        self._sfp = [[SuperframeProcessor() for _ in range(self.S)]
-                     for _ in range(self.N)]
         self.on_access_unit: List[Callable] = []
         self.on_audio_data: List[Callable] = []   # (stream, sub, pcm, rate, nch)
+        self.on_data_group: List[Callable] = []   # (stream, sub, DataGroupResult)
+        self.on_mp2_frame: List[Callable] = []    # (stream, sub, frame bytes)
         self._audio_enabled = set()               # (stream, sub) pairs
-        self._decoders = {}                       # (stream, sub) -> AACDecoder
+        self._decoders = {}                       # (stream, sub) -> decoder
+        self._sfp = self._make_procs()
         self.total_rounds = 0
         self.total_aus = 0
+        self.total_data_groups = 0
+        self.total_mp2_frames = 0
 
         w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
 
@@ -98,22 +122,50 @@ class FusedFleet:
         self._pending: Optional[tuple] = None
         self._init_state = (self._carry, self._hist)
 
+    def _make_procs(self):
+        """Fresh per-(stream, sub) byte-layer processors: superframe
+        decoders for audio subchannels, packet processors (with RS FEC
+        when the FIG 0/14 scheme says so) for packet-mode data."""
+        from ..dab.packets import PacketProcessor
+        procs = []
+        for b in range(self.N):
+            row = []
+            for s in range(self.S):
+                k = self._kinds[b][s]
+                if k == "audio":
+                    row.append(SuperframeProcessor())
+                elif k == "mp2":
+                    row.append(None)          # frames fire directly
+                else:
+                    _, addr, fec = k
+                    p = PacketProcessor(addr or 0, use_fec=(fec == 1))
+
+                    def relay(res, b=b, s=s):
+                        self.total_data_groups += 1
+                        for cb in self.on_data_group:
+                            cb(b, s, res)
+                    p.on_data_group.append(relay)
+                    row.append(p)
+            procs.append(row)
+        return procs
+
     def reset(self):
         """Restart decode state — device carry/deinterleaver history AND
-        the host byte layer (receiver databases, superframe sync, audio
-        decoders, counters) — while keeping the compiled round program
-        and registered callbacks. Used to retune a serving fleet to a new
-        capture/frequency without paying the compile again."""
+        the host byte layer (receiver databases, superframe/packet sync,
+        audio decoders, counters) — while keeping the compiled round
+        program and registered callbacks. Used to retune a serving fleet
+        to a new capture/frequency without paying the compile again."""
         self._carry, self._hist = self._init_state
         self.receivers = [DabReceiver(self._mode) for _ in range(self.N)]
-        self._sfp = [[SuperframeProcessor() for _ in range(self.S)]
-                     for _ in range(self.N)]
+        self._sfp = self._make_procs()
         for dec in self._decoders.values():
             dec.close()
         self._decoders = {}
         self._pending = None
         self.total_rounds = 0
         self.total_aus = 0
+        self.total_data_groups = 0
+        self.total_mp2_frames = 0
 
     @classmethod
     def from_receiver(cls, receiver, nb_streams: int = None,
@@ -124,16 +176,37 @@ class FusedFleet:
         ensemble layouts. The deployment flow is: run the dynamic path
         until the database completes, then switch the hot loop to the
         fused program (decode state restarts; databases carry over)."""
+        from ..dab.database import PACKET_DATA
+
         def row(rx):
             return [_cfg_from_db(rx.db.subchannels[k])
                     for k in sorted(rx.db.subchannels)]
+
+        def kinds(rx):
+            from ..dab.database import AUDIO_DAB, STREAM_AUDIO
+            out = []
+            for k in sorted(rx.db.subchannels):
+                comp = rx.db.component_by_subchannel(k)
+                sub = rx.db.subchannels[k]
+                if comp is not None and comp.transport_mode == PACKET_DATA:
+                    out.append(("packet", comp.packet_address or 0,
+                                sub.fec_scheme or 0))
+                elif (comp is not None
+                      and comp.transport_mode == STREAM_AUDIO
+                      and comp.audio_service_type == AUDIO_DAB):
+                    out.append("mp2")
+                else:
+                    out.append("audio")
+            return out
         if isinstance(receiver, (list, tuple)):
             rxs = list(receiver)
-            fleet = cls(nb_streams or len(rxs), [row(r) for r in rxs], **kw)
+            fleet = cls(nb_streams or len(rxs), [row(r) for r in rxs],
+                        subchannel_kinds=[kinds(r) for r in rxs], **kw)
             for b, r in enumerate(rxs):
                 fleet.receivers[b].updater = r.updater
         else:
-            fleet = cls(nb_streams or 1, row(receiver), **kw)
+            fleet = cls(nb_streams or 1, row(receiver),
+                        subchannel_kinds=kinds(receiver), **kw)
             fleet.receivers[0].updater = receiver.updater
         return fleet
 
@@ -221,8 +294,23 @@ class FusedFleet:
                      in zip(fibs[b, f], ok[b, f]) if o])
             for s in range(self.S):
                 nb = self._nbytes[b][s]
+                proc = self._sfp[b][s]
+                kind = self._kinds[b][s]
+                if kind == "mp2":
+                    for c in range(msc_bytes.shape[2]):
+                        payload = msc_bytes[b, s, c][:nb].tobytes()
+                        self.total_mp2_frames += 1
+                        for cb in self.on_mp2_frame:
+                            cb(b, s, payload)
+                        if (b, s) in self._audio_enabled:
+                            self._decode_mp2(b, s, payload)
+                    continue
+                if kind != "audio":
+                    for c in range(msc_bytes.shape[2]):
+                        proc.process(msc_bytes[b, s, c][:nb].tobytes())
+                    continue
                 for c in range(msc_bytes.shape[2]):
-                    res = self._sfp[b][s].process_frame(
+                    res = proc.process_frame(
                         msc_bytes[b, s, c][:nb].tobytes())
                     if res is None:
                         continue
@@ -240,6 +328,20 @@ class FusedFleet:
         host/codecs.py). Off by default — serving deployments usually ship
         AUs downstream."""
         self._audio_enabled.add((stream, sub))
+
+    def _decode_mp2(self, b, s, frame: bytes):
+        from ..host.codecs import MP2Decoder
+        dec = self._decoders.get((b, s))
+        if dec is None:
+            dec = MP2Decoder()
+            self._decoders[(b, s)] = dec
+        if not dec.is_available:
+            return
+        out = dec.decode(frame)
+        if out is not None:
+            pcm, rate, nch = out
+            for cb in self.on_audio_data:
+                cb(b, s, pcm, rate, nch)
 
     def _decode_audio(self, b, s, header, aus):
         from ..host.codecs import AACDecoder
@@ -264,5 +366,7 @@ class FusedFleet:
             "rounds": self.total_rounds,
             "frames": self.total_rounds * self.frames_per_round * self.N,
             "access_units": self.total_aus,
+            "data_groups": self.total_data_groups,
+            "mp2_frames": self.total_mp2_frames,
             "services": sum(len(r.db.services) for r in self.receivers),
         }

@@ -407,3 +407,79 @@ def test_fused_fleet_reset_reproduces_fresh_decode():
     assert n1 > 0 and n2 == n1
     assert again == first
     assert fleet.receivers[0].db.ensemble.label == "TPU Ensemble"
+
+
+def test_fused_fleet_mixed_kinds_audio_mp2_packet():
+    """The fused byte layer routes every reference channel kind: DAB+
+    superframes -> AUs, classic DAB -> MP2 frames, packet mode -> MOT
+    data groups — all decoded by ONE jitted round program (the dynamic
+    path's channel taxonomy, receiver.py:_update_channels, in serving
+    form)."""
+    from dab_radio_tpu.models.fused_fleet import FusedFleet
+    from dab_radio_tpu.models.pad_writer import (build_mot_header,
+                                                 build_mot_segment)
+    from dab_radio_tpu.dab.mot import HEADER, UNSCRAMBLED_BODY
+    from dab_radio_tpu.dab.mp2 import parse_mp2_header
+
+    services = [
+        ServiceSpec(0xA001, 1, "AAC Service",
+                    SubchannelConfig(0, 48, False, eep_type="A",
+                                     eep_prot_level=2), kind="dab+"),
+        ServiceSpec(0xA002, 2, "MP2 Service",
+                    SubchannelConfig(48, 84, True, uep_table_index=33),
+                    kind="dab"),
+        ServiceSpec(0xA003, 3, "Data Service",
+                    SubchannelConfig(132, 48, False, eep_type="A",
+                                     eep_prot_level=2), kind="packet",
+                    scid=0x10, packet_address=2),
+    ]
+    tx = EnsembleTransmitter(1, services=services)
+    rng = np.random.default_rng(7)
+    body = rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+    segs = [body[i:i + 128] for i in range(0, len(body), 128)]
+    for _ in range(14):
+        tx.push_packet_data_group(
+            3, build_mot_segment(HEADER, 0, True, 0x42,
+                                 build_mot_header(body, "file.bin")))
+        for i, s in enumerate(segs):
+            tx.push_packet_data_group(
+                3, build_mot_segment(UNSCRAMBLED_BODY, i,
+                                     i == len(segs) - 1, 0x42, s))
+    from dab_radio_tpu.host.native import iq_quantize_u8
+
+    def frame_u8():
+        f = tx.next_frame_iq()
+        return iq_quantize_u8(f * (0.5 / max(np.abs(f).max(), 1e-9)))
+    iq = np.frombuffer(b"".join(frame_u8() for _ in range(24)), np.uint8)
+
+    cfgs = [s.cfg for s in services]
+    kinds = ["audio", "mp2", ("packet", 2, 0)]
+    fleet = FusedFleet(1, cfgs, transmission_mode=1, frames_per_step=4,
+                       subchannel_kinds=kinds)
+    got = {"aus": 0, "mp2": [], "dg": 0}
+    fleet.on_access_unit.append(lambda *a: got.__setitem__(
+        "aus", got["aus"] + 1))
+    fleet.on_mp2_frame.append(lambda b, s, fr: got["mp2"].append(fr))
+    mot = []
+    fleet._sfp[0][2].mot.on_entity.append(mot.append)
+    fleet.on_data_group.append(lambda *a: got.__setitem__(
+        "dg", got["dg"] + 1))
+    chunk = 2 * fleet.round_samples
+    for r in range(iq.shape[0] // chunk):
+        fleet.process_round(iq[r * chunk:(r + 1) * chunk][None])
+
+    assert got["aus"] > 0
+    assert got["dg"] > 0
+    assert len(got["mp2"]) >= 10
+    # the first 16 frames carry deinterleaver warm-up garbage (16-CIF
+    # depth = 16 logical frames; the fused path decodes from round 1
+    # while the dynamic path's channels spawn post-FIC): the settled
+    # tail must be valid 384-byte 48 kHz MP2 frames
+    parsed = [parse_mp2_header(f) for f in got["mp2"][16:]]
+    assert parsed and all(h is not None and h.sample_rate == 48000
+                          for h in parsed)
+    assert all(len(f) == 384 for f in got["mp2"][16:])
+    assert mot and mot[0].body == body \
+        and mot[0].header.content_name == "file.bin"
+    s = fleet.summary()
+    assert s["data_groups"] == got["dg"] and s["mp2_frames"] >= 10
