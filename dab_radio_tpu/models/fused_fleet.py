@@ -323,10 +323,11 @@ class FusedFleet:
                         self._decode_audio(b, s, header, aus)
 
     def enable_audio(self, stream: int, sub: int):
-        """Decode this (stream, subchannel)'s AUs to PCM and fire
-        on_audio_data (DAB+ HE-AAC incl. SBR@960 and parametric stereo,
-        host/codecs.py). Off by default — serving deployments usually ship
-        AUs downstream."""
+        """Decode this (stream, subchannel) to PCM and fire on_audio_data:
+        DAB+ AUs through HE-AAC (incl. SBR@960 and parametric stereo) or,
+        for an 'mp2' subchannel, classic DAB MP2 frames (host/codecs.py).
+        Off by default — serving deployments usually ship the bitstream
+        downstream."""
         self._audio_enabled.add((stream, sub))
 
     def _decode_mp2(self, b, s, frame: bytes):
