@@ -27,10 +27,13 @@ from ..utils.backend import add_backend_flag, apply_backend
 
 
 def parse_subchannels(spec: str):
-    """"start:lenCU:PROT,..." where PROT is EEP<n>A, EEP<n>B or UEP<idx>."""
-    cfgs = []
+    """"start:lenCU:PROT[:KIND],..." where PROT is EEP<n>A, EEP<n>B or
+    UEP<idx>, and the optional KIND is audio (default), mp2, or
+    packet@<address>[+fec]. Returns (cfgs, kinds) for FusedFleet."""
+    cfgs, kinds = [], []
     for part in spec.split(","):
-        start, length, prot = part.strip().split(":")
+        fields = part.strip().split(":")
+        start, length, prot = fields[:3]
         prot = prot.upper()
         if prot.startswith("UEP"):
             cfgs.append(SubchannelConfig(int(start), int(length), True,
@@ -40,7 +43,16 @@ def parse_subchannels(spec: str):
             cfgs.append(SubchannelConfig(
                 int(start), int(length), False, eep_type=prot[-1],
                 eep_prot_level=int(prot[3:-1]) - 1))
-    return cfgs
+        kind = fields[3].lower() if len(fields) > 3 else "audio"
+        if kind.startswith("packet@"):
+            addr = kind[len("packet@"):]
+            fec = addr.endswith("+fec")
+            kinds.append(("packet", int(addr[:-4] if fec else addr),
+                          1 if fec else 0))
+        else:
+            assert kind in ("audio", "mp2"), kind
+            kinds.append(kind)
+    return cfgs, kinds
 
 
 def _discover(iq: np.ndarray, mode: int, max_frames: int = 8):
@@ -67,8 +79,9 @@ def main(argv=None):
     ap.add_argument("--shared-input", action="store_true")
     ap.add_argument("-M", "--transmission-mode", type=int, default=1)
     ap.add_argument("--subchannels", default=None,
-                    help="static layout start:lenCU:PROT,... (shared by "
-                         "all streams); omit with --discover")
+                    help="static layout start:lenCU:PROT[:KIND],... "
+                         "(KIND: audio|mp2|packet@<addr>[+fec]; shared "
+                         "by all streams); omit with --discover")
     ap.add_argument("--discover", action="store_true",
                     help="dynamic FIC discovery per stream, then fused "
                          "handoff")
@@ -113,9 +126,10 @@ def main(argv=None):
                 frames_per_step=args.frames_per_step)
     else:
         assert args.subchannels, "--subchannels or --discover required"
-        fleet = FusedFleet(N, parse_subchannels(args.subchannels),
-                           transmission_mode=mode,
-                           frames_per_step=args.frames_per_step)
+        cfgs, kinds = parse_subchannels(args.subchannels)
+        fleet = FusedFleet(N, cfgs, transmission_mode=mode,
+                           frames_per_step=args.frames_per_step,
+                           subchannel_kinds=kinds)
 
     if args.audio:
         b, s = (int(x) for x in args.audio.split(":"))
