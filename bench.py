@@ -215,22 +215,34 @@ def viterbi_worker(batch: int, inner: int, mode: str = "exact",
 def _run_sub(args, timeout):
     """Run a worker subprocess; return parsed JSON dicts from stdout."""
     out = []
+
+    def harvest(stdout_bytes):
+        for ln in (stdout_bytes or b"").decode(errors="replace").splitlines():
+            ln = ln.strip()
+            if ln.startswith("{"):
+                try:
+                    res = json.loads(ln)
+                except ValueError:
+                    continue
+                out.append(res)
+                print(f"# {res}", file=sys.stderr)
+
     try:
         r = subprocess.run(
             [sys.executable] + args, capture_output=True, timeout=timeout,
             cwd=os.path.dirname(os.path.abspath(__file__)))
-        for ln in r.stdout.decode().splitlines():
-            ln = ln.strip()
-            if ln.startswith("{"):
-                res = json.loads(ln)
-                out.append(res)
-                print(f"# {res}", file=sys.stderr)
+        harvest(r.stdout)
         if not out:
             tail = r.stderr.decode()[-300:].replace("\n", " | ")
             print(f"# {args[1:3]} no result (rc={r.returncode}): {tail}",
                   file=sys.stderr)
-    except subprocess.TimeoutExpired:
-        print(f"# {args[1:3]} timed out", file=sys.stderr)
+    except subprocess.TimeoutExpired as e:
+        # a worker can hang AFTER printing good results (e.g. the fleet's
+        # resident line lands, then the link-bound pass stalls on a
+        # degraded relay) — keep everything already on stdout
+        harvest(e.stdout)
+        print(f"# {args[1:3]} timed out "
+              f"({len(out)} partial result(s) kept)", file=sys.stderr)
     except Exception as e:
         print(f"# {args[1:3]} failed: {e}", file=sys.stderr)
     return out
