@@ -79,3 +79,43 @@ def test_superframe_processor_fuzz():
     for _ in range(1500):
         sfp.process_frame(rng.integers(0, 256, 192,
                                        dtype=np.uint8).tobytes())
+
+
+def test_aac_decoder_fuzz_corrupted_aus():
+    """Bit-corrupted / truncated access units through the FULL HE-AAC v2
+    decode (raw_data_block walker -> core -> SBR -> PS synthesis): every
+    AU must decode or be rejected — no exception may escape decode_au
+    (the superframe CRC gate is not a security boundary; post-CRC
+    corruption happens on real RF)."""
+    import numpy as np
+    from dab_radio_tpu.models.transmitter import ToneAudioSource
+    from dab_radio_tpu.dab.aac import SuperFrameHeader
+    from dab_radio_tpu.host.codecs import AACDecoder
+
+    hdr = SuperFrameHeader(sampling_rate=48000, is_stereo=False, sbr=True,
+                           ps=True, mpeg_surround=0)
+    aus = ToneAudioSource(hdr, freq=440.0)(700, 3)
+    dec = AACDecoder(hdr)
+    if not dec.is_available:
+        import pytest
+        pytest.skip("codec shim unavailable")
+    rng = np.random.default_rng(99)
+    ok = err = 0
+    for i in range(300):
+        au = bytearray(aus[i % len(aus)])
+        nflip = int(rng.integers(1, 12))
+        for _ in range(nflip):
+            p = int(rng.integers(0, len(au)))
+            au[p] ^= 1 << int(rng.integers(0, 8))
+        if rng.random() < 0.25:
+            au = au[:int(rng.integers(1, len(au)))]
+        out = dec.decode_au(bytes(au))
+        if out is None:
+            err += 1
+        else:
+            pcm, rate, ch = out
+            assert rate == 48000 and ch in (1, 2)
+            ok += 1
+    # both outcomes must occur: silent acceptance of every corruption
+    # would mean the parsers aren't validating at all
+    assert ok > 0 and err > 0, (ok, err)
