@@ -434,6 +434,7 @@ def test_fused_fleet_mixed_kinds_audio_mp2_packet():
                     scid=0x10, packet_address=2),
     ]
     tx = EnsembleTransmitter(1, services=services)
+    tx.enable_tone_audio()     # real AAC + MP2 tone audio on the air
     rng = np.random.default_rng(7)
     body = rng.integers(0, 256, 300).astype(np.uint8).tobytes()
     segs = [body[i:i + 128] for i in range(0, len(body), 128)]
@@ -456,10 +457,13 @@ def test_fused_fleet_mixed_kinds_audio_mp2_packet():
     kinds = ["audio", "mp2", ("packet", 2, 0)]
     fleet = FusedFleet(1, cfgs, transmission_mode=1, frames_per_step=4,
                        subchannel_kinds=kinds)
-    got = {"aus": 0, "mp2": [], "dg": 0}
+    got = {"aus": 0, "mp2": [], "dg": 0, "pcm": []}
     fleet.on_access_unit.append(lambda *a: got.__setitem__(
         "aus", got["aus"] + 1))
     fleet.on_mp2_frame.append(lambda b, s, fr: got["mp2"].append(fr))
+    fleet.enable_audio(0, 1)               # MP2 -> PCM through the codec
+    fleet.on_audio_data.append(
+        lambda b, s, pcm, rate, nch: got["pcm"].append((s, pcm, rate)))
     mot = []
     fleet._sfp[0][2].mot.on_entity.append(mot.append)
     fleet.on_data_group.append(lambda *a: got.__setitem__(
@@ -481,5 +485,10 @@ def test_fused_fleet_mixed_kinds_audio_mp2_packet():
     assert all(len(f) == 384 for f in got["mp2"][16:])
     assert mot and mot[0].body == body \
         and mot[0].header.content_name == "file.bin"
+    # MP2 tone -> non-silent PCM through the fused audio path
+    settled = [p for s_, p, r in got["pcm"][8:] if s_ == 1]
+    if settled:                 # (empty only if the codec shim is absent)
+        pcm = np.concatenate(settled).astype(np.float64)
+        assert np.sqrt((pcm ** 2).mean()) > 100
     s = fleet.summary()
     assert s["data_groups"] == got["dg"] and s["mp2_frames"] >= 10
