@@ -299,24 +299,24 @@ def main():
                     line["viterbi_batch"] = res["batch"]
             emit()
 
-    # Stage 1: one demod rung -> headline value on record ASAP
-    demod_stage(128, 30, 0, cap=300)
+    # Stage 1: one demod rung -> headline value on record ASAP.
+    # cap 380: relay compile alone measured 60-290 s across sessions
+    # (a 300 s cap killed an otherwise-successful 289 s-compile worker)
+    demod_stage(128, 30, 0, cap=380)
 
     # Stage 2: fleet — resident (chip-bound) and honest-ingest (link-bound)
     # measured in ONE process sharing the compiled program (--both). Runs
     # before the Viterbi ladder: its compile is the most variable on the
     # relay (15-365 s observed) and the fleet number is the north star.
     fleet_tool = os.path.join(here, "tools", "bench_fleet.py")
-    for extra in (["--fused", "--both", "--frames", "160",
-                   "--frames-per-step", "16"],
-                  ["--fused", "--both", "--frames", "80",
-                   "--frames-per-step", "8"]):
-        if _remaining() < 120:
-            break
-        if line.get("fleet_resident_rt", 0) > 0:
-            break          # one successful --both run carries both numbers
-        for res in _run_sub([fleet_tool, "--streams", "16"] + extra,
-                            timeout=min(460, max(_remaining(), 120))):
+
+    def fleet_stage(streams, frames, k, cap):
+        if _remaining() < 120 or line.get("fleet_resident_rt", 0) > 0:
+            return         # one successful --both run carries both numbers
+        for res in _run_sub(
+                [fleet_tool, "--streams", str(streams), "--fused", "--both",
+                 "--frames", str(frames), "--frames-per-step", str(k)],
+                timeout=min(cap, max(_remaining(), 120))):
             rt = res.get("realtime_ensembles", 0.0)
             key = ("fleet_resident_rt" if res.get("mode") == "fused-resident"
                    else "fleet_rt_ensembles")
@@ -325,22 +325,42 @@ def main():
                 line["fleet_streams"] = res["streams"]
         emit()
 
-    # Stage 3: Viterbi (more configs only on leftover budget — each new
-    # batch shape costs a fresh relay compile, ~150-300 s)
+    fleet_stage(16, 160, 16, cap=460)
+
+    # Stage 3: Viterbi BEFORE a second fleet attempt — in a slow-compile
+    # window, diversifying which metrics land beats retrying one stage
+    # (each worker pays a fresh 60-400 s relay compile; no cache)
     if _remaining() >= 300:
         viterbi_stage([(16384, 8, "exact", 2), (8192, 10, "tiled512", 2)])
 
-    # Stage 4: spend any leftover budget widening the ladders
+    # fleet fallback: the 8-stream x 8-frame program is a much smaller
+    # compile than 16x16 — a lower but nonzero resident record for
+    # degraded windows
+    fleet_stage(8, 80, 8, cap=320)
+
+    # Stage 4: spend any leftover budget widening the ladders. If the
+    # headline is still empty, retry the KNOWN-GOOD shape first — a new
+    # batch shape costs the same fresh relay compile without the track
+    # record (every subprocess pays full compile; no persistent cache)
     if _remaining() > 300 and line.get("viterbi_mbps", 0) < 150:
         viterbi_stage([(20480, 6, "exact", 2)])
-    for batch, iters, chunk in ((64, 50, 0), (256, 15, 19)):
+    rungs = ((64, 50, 0), (256, 15, 19))
+    if line["value"] == 0.0:
+        rungs = ((128, 30, 0),) + rungs
+    for batch, iters, chunk in rungs:
         if _remaining() < 150:
             break
-        demod_stage(batch, iters, chunk, cap=240)
+        demod_stage(batch, iters, chunk, cap=380)
 
-    if line["value"] == 0.0 and not demod_results:
+    landed = (line["value"] > 0.0 or line.get("viterbi_mbps", 0) > 0
+              or line.get("fleet_resident_rt", 0) > 0
+              or line.get("fleet_rt_ensembles", 0) > 0)
+    if not landed:
         line["error"] = ("no measurement completed (TPU backend "
                          "unavailable/unsynchronisable)")
+    elif line["value"] == 0.0:
+        line["note"] = ("partial record: some worker compiles exceeded "
+                        "their stage caps in this relay window")
     emit()
 
 
