@@ -17,6 +17,49 @@ from ..ops import sync as sync_ops
 from ..utils.profiler import get_profiler
 
 
+def mer_db_from_dqpsk(points) -> float:
+    """Modulation error ratio of differential (pi/4-DQPSK) symbols in dB:
+    unit-magnitude phase projection against the nearest ideal point, so
+    MER = E[|ideal|^2] / E[|err|^2]. Computed on the DIFFERENTIAL stream
+    (the quantity that drives DQPSK BER); amplitude carries no
+    information and is normalized out."""
+    z = np.asarray(points).ravel()
+    z = z[np.abs(z) > 0]
+    if z.size == 0:
+        return float("nan")
+    ang = np.angle(z)
+    ideal = np.pi / 4 + np.round((ang - np.pi / 4) / (np.pi / 2)) * np.pi / 2
+    err2 = np.mean(2.0 * (1.0 - np.cos(ang - ideal)))
+    return float(10.0 * np.log10(1.0 / max(err2, 1e-12)))
+
+
+def estimate_mer_db(demod: OFDMDemodulator, window, nb_transitions=8):
+    """Light per-frame signal-quality probe over a locked frame window
+    (a few sampled symbol transitions; the webmon/TUI status metric)."""
+    p = demod.params
+    w = np.asarray(window)
+    if w.ndim == 2:            # float32 (N, 2) IQ pairs
+        w = w[:, 0] + 1j * w[:, 1]
+    w = w.astype(np.complex128)   # headroom for |FFT|^2-scale products
+    if w.shape[0] < p.nb_null_period + 2 * p.nb_symbol_period + p.nb_fft:
+        return float("nan")
+    bins = np.concatenate([np.arange(1, p.nb_data_carriers // 2 + 1),
+                           np.arange(p.nb_fft - p.nb_data_carriers // 2,
+                                     p.nb_fft)])
+    last_sym = p.nb_frame_symbols - 2
+    pts = []
+    for k in sorted(set(np.linspace(0, last_sym, nb_transitions)
+                        .astype(int))):
+        s0 = p.nb_null_period + k * p.nb_symbol_period + p.nb_cyclic_prefix
+        s1 = s0 + p.nb_symbol_period
+        if s1 + p.nb_fft > w.shape[0]:
+            break
+        f0 = np.fft.fft(w[s0:s0 + p.nb_fft])
+        f1 = np.fft.fft(w[s1:s1 + p.nb_fft])
+        pts.append((f1 * np.conj(f0))[bins])
+    return mer_db_from_dqpsk(np.concatenate(pts)) if pts else float("nan")
+
+
 def collect_diagnostics(demod: OFDMDemodulator, window: np.ndarray,
                         carry) -> dict:
     """Recompute the GUI-visible intermediates for one frame window."""
@@ -48,11 +91,13 @@ def collect_diagnostics(demod: OFDMDemodulator, window: np.ndarray,
         carrier_bins=jnp.asarray(demod.carrier_bins),
         carrier_map=jnp.asarray(demod.carrier_map))
     dq = jnp.conj(fft_frame[1:]) * fft_frame[:-1]
-    constellation = np.asarray(dq[:, jnp.asarray(demod.carrier_bins)][:8]).reshape(-1)
+    dq_carriers = np.asarray(dq[:, jnp.asarray(demod.carrier_bins)])
+    constellation = dq_carriers[:8].reshape(-1)
     return {
         "impulse_db": np.asarray(impulse_db),
         "freq_response_db": np.asarray(freq_response_db),
         "constellation": constellation,
+        "mer_db": mer_db_from_dqpsk(dq_carriers),
         "bits": np.asarray(bits),
         "spectrum_db": 20 * np.log10(np.abs(np.fft.fftshift(
             np.asarray(fft_frame[1]))) + 1e-9),
@@ -84,7 +129,9 @@ def render_dashboard(diag: dict, carry, out_path: str):
     c = diag["constellation"]
     c = c / (np.abs(c).mean() + 1e-12)
     ax.plot(np.real(c), np.imag(c), ".", ms=1, alpha=0.3)
-    ax.set_title("DQPSK constellation (first 8 symbols)")
+    mer = diag.get("mer_db")
+    ax.set_title("DQPSK constellation (first 8 symbols)"
+                 + (f" — MER {mer:.1f} dB" if mer == mer else ""))
     ax.set_aspect("equal")
 
     ax = axes[2, 0]

@@ -190,9 +190,16 @@ def render_lines(demod, sd, rx, stats, nb_frames, t0, show_constellation=True,
     lines.append(
         f"DAB-Radio TPU   mode I   {nb_frames} frames   "
         f"{time.time() - t0:6.1f}s   state={'TRACK' if sd.state else 'ACQUIRE'}")
+    mer = ""
+    if sd.last_window is not None:
+        from .monitor import estimate_mer_db
+        m = estimate_mer_db(demod, np.asarray(sd.last_window),
+                            nb_transitions=4)
+        if m == m:
+            mer = f"  MER={m:5.1f} dB"
     lines.append(
         f"demod: read={int(c.total_frames)} desync={int(c.total_desync)} "
-        f"cfo={freq:+8.1f} Hz  signal_l1={float(c.signal_l1_avg):.4f}")
+        f"cfo={freq:+8.1f} Hz  signal_l1={float(c.signal_l1_avg):.4f}{mer}")
     db = rx.db
     lines.append(
         f"ensemble {db.ensemble.id:04X} '{db.ensemble.label}'  "

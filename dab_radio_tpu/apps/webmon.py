@@ -55,6 +55,11 @@ def _state_json(st: _State) -> bytes:
                 (float(sd.carry.freq_coarse) + float(sd.carry.freq_fine))
                 * 2.048e6, 1)
             out["desync"] = int(sd.carry.total_desync)
+            if sd.last_window is not None:
+                from .monitor import estimate_mer_db
+                mer = estimate_mer_db(st.demod, np.asarray(sd.last_window))
+                if mer == mer:
+                    out["mer_db"] = round(mer, 1)
         if rx is not None:
             db = rx.db
             out["ensemble"] = {"id": f"{db.ensemble.id:04X}",

@@ -288,3 +288,31 @@ def test_wrap_fine_offset_preserves_fraction():
     for bins in (0.0, 0.2, -0.45, 0.504):
         w = float(sync_ops.wrap_fine_offset(jnp.float32(bins / nfft), nfft))
         assert abs(w * nfft - bins) < 1e-4, (bins, w * nfft)
+
+
+def test_mer_estimate_tracks_noise():
+    """The MER signal-quality estimate (monitor.estimate_mer_db, shown in
+    TUI/webmon/dashboard) must read high on a clean closed-loop signal and
+    fall monotonically as channel noise is added."""
+    from dab_radio_tpu.apps.monitor import estimate_mer_db, mer_db_from_dqpsk
+    mod = OFDMModulator(1)
+    demod = OFDMDemodulator(1)
+    rng = np.random.default_rng(5)
+    bits = rng.integers(0, 2, mod.params.nb_data_symbols
+                        * mod.params.nb_data_carriers * 2)
+    iq = np.asarray(mod.modulate_frame(np.where(bits > 0, 100, -100)
+                                       .astype(np.int8)))
+    window = np.concatenate([iq, iq[:demod.params.nb_symbol_period * 2]])
+
+    mers = []
+    for sigma in (0.0, 0.02, 0.08, 0.3):
+        noisy = window + sigma * (
+            rng.standard_normal(window.shape[0])
+            + 1j * rng.standard_normal(window.shape[0])).astype(np.complex64)
+        mers.append(estimate_mer_db(demod, noisy))
+    assert mers[0] > 25.0, mers
+    assert all(a > b for a, b in zip(mers, mers[1:])), mers
+    # ideal constellation: effectively infinite MER
+    ideal = np.exp(1j * (np.pi / 4 + np.pi / 2
+                         * np.arange(4, dtype=np.float64)))
+    assert mer_db_from_dqpsk(np.tile(ideal, 64)) > 100.0
