@@ -302,7 +302,13 @@ def main():
     # Stage 1: one demod rung -> headline value on record ASAP.
     # cap 380: relay compile alone measured 60-290 s across sessions
     # (a 300 s cap killed an otherwise-successful 289 s-compile worker)
+    t0_demod = time.time()
     demod_stage(128, 30, 0, cap=380)
+    # window-health probe: the demod worker's wall time predicts every
+    # later compile in this relay window (observed 60 s-420+ s swings
+    # within hours); in a slow window, smaller programs first — a
+    # guaranteed partial record beats a likely 460 s timeout
+    slow_window = line["value"] == 0.0 or (time.time() - t0_demod) > 240
 
     # Stage 2: fleet — resident (chip-bound) and honest-ingest (link-bound)
     # measured in ONE process sharing the compiled program (--both). Runs
@@ -325,18 +331,22 @@ def main():
                 line["fleet_streams"] = res["streams"]
         emit()
 
-    fleet_stage(16, 160, 16, cap=460)
-
-    # Stage 3: Viterbi BEFORE a second fleet attempt — in a slow-compile
-    # window, diversifying which metrics land beats retrying one stage
-    # (each worker pays a fresh 60-400 s relay compile; no cache)
-    if _remaining() >= 300:
-        viterbi_stage([(16384, 8, "exact", 2), (8192, 10, "tiled512", 2)])
-
-    # fleet fallback: the 8-stream x 8-frame program is a much smaller
-    # compile than 16x16 — a lower but nonzero resident record for
-    # degraded windows
-    fleet_stage(8, 80, 8, cap=320)
+    if slow_window:
+        # small fleet program first, then one small-batch Viterbi rung;
+        # only then gamble the remainder on the full-size programs
+        fleet_stage(8, 80, 8, cap=340)
+        if _remaining() >= 280:
+            viterbi_stage([(8192, 10, "exact", 2)])
+        fleet_stage(16, 160, 16, cap=460)
+    else:
+        fleet_stage(16, 160, 16, cap=460)
+        # Stage 3: Viterbi BEFORE a second fleet attempt — diversifying
+        # which metrics land beats retrying one stage (each worker pays a
+        # fresh relay compile; no cache)
+        if _remaining() >= 300:
+            viterbi_stage([(16384, 8, "exact", 2),
+                           (8192, 10, "tiled512", 2)])
+        fleet_stage(8, 80, 8, cap=320)
 
     # Stage 4: spend any leftover budget widening the ladders. If the
     # headline is still empty, retry the KNOWN-GOOD shape first — a new
