@@ -154,9 +154,14 @@ def main(argv=None):
     rounds = min(s.shape[0] for s in aligned) // chunk
     if args.max_rounds:
         rounds = min(rounds, args.max_rounds)
+    tb = fleet.tail_bytes
     for r in range(rounds):
         blk = np.stack([s[r * chunk:(r + 1) * chunk] for s in aligned])
-        fleet.process_round(blk, defer_fetch=True)
+        # next round's head feeds the final frame's timing margin
+        tails = [s[(r + 1) * chunk:(r + 1) * chunk + tb] for s in aligned]
+        tail = np.stack(tails) if all(t.shape[0] == tb for t in tails) \
+            else None
+        fleet.process_round(blk, defer_fetch=True, tail_u8=tail)
     fleet.flush()
 
     for k, rx in enumerate(fleet.receivers):

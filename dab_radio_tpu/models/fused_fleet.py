@@ -255,16 +255,28 @@ class FusedFleet:
             ptr += d.window_len - p.nb_null_period
         return None
 
-    def process_round(self, iq_u8, defer_fetch: bool = False):
+    @property
+    def tail_bytes(self) -> int:
+        """u8 bytes of the NEXT round's head to pass as process_round's
+        tail (2 bytes per sample; feeds the final frame's timing margin)."""
+        return 2 * self.step.tail_samples
+
+    def process_round(self, iq_u8, defer_fetch: bool = False, tail_u8=None):
         """One K-frame round for all N streams. iq_u8: (N, 2*K*fs) uint8
-        (numpy or device array). With defer_fetch, the previous round's
-        byte layer is consumed while this round runs on device (one round
-        of latency, hides the device round trip)."""
+        (numpy or device array). tail_u8: (N, tail_bytes) — the stream
+        bytes that FOLLOW this round (next round's head); without it the
+        final frame's timing margin reads zeros, which corrupts that frame
+        whenever sample-clock drift pushes the fine-time offset positive
+        (omit only at end of stream). With defer_fetch, the previous
+        round's byte layer is consumed while this round runs on device
+        (one round of latency, hides the device round trip)."""
         import jax.numpy as jnp
+        if tail_u8 is not None and isinstance(tail_u8, np.ndarray):
+            tail_u8 = jnp.asarray(tail_u8)
         self._carry, self._hist, out = self.step(
             self._carry, self._hist,
             iq_u8 if not isinstance(iq_u8, np.ndarray)
-            else jnp.asarray(iq_u8))
+            else jnp.asarray(iq_u8), tail_u8)
         packed = self._pack(out)
         if defer_fetch:
             prev, self._pending = self._pending, packed

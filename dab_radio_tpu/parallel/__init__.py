@@ -12,5 +12,11 @@ from .mesh import (
     make_receiver_mesh,
     shard_demod_batch,
     make_timesharded_demod,
+    make_coldstart_timesharded_demod,
     multichip_receiver_step,
+)
+from .distributed import (
+    initialize,
+    global_receiver_mesh,
+    host_local_iq_to_global,
 )

@@ -24,6 +24,19 @@ from .mesh import make_receiver_mesh
 _initialized = False
 
 
+def _runtime_already_up() -> bool:
+    """Whether jax.distributed is already initialized — WITHOUT touching
+    any API (jax.process_count() etc.) that would itself instantiate the
+    XLA backend: jax.distributed.initialize() hard-fails after any such
+    call, so the guard must stay backend-free."""
+    try:
+        from jax._src import distributed as _dist
+        gs = _dist.global_state
+        return gs.client is not None or gs.coordinator_address is not None
+    except Exception:
+        return False
+
+
 def initialize(coordinator_address=None, num_processes=None,
                process_id=None, auto=False, **kw):
     """Bring up the jax.distributed runtime. Idempotent: a second call
@@ -31,9 +44,10 @@ def initialize(coordinator_address=None, num_processes=None,
     single-host process. On managed TPU pods pass auto=True to let
     jax.distributed auto-detect the cluster (env sniffing is unreliable:
     single-chip relays also set TPU_* variables); set the arguments
-    explicitly for manual bring-up (coordinator 'host0:port')."""
+    explicitly for manual bring-up (coordinator 'host0:port'). Must be
+    the first JAX call in the process (jax.distributed's own contract)."""
     global _initialized
-    if _initialized or jax.process_count() > 1:
+    if _initialized or _runtime_already_up():
         return False                         # already initialized
     if coordinator_address is None and num_processes is None and not auto:
         return False                         # plain single-host process

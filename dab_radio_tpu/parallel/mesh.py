@@ -34,7 +34,8 @@ def make_receiver_mesh(n_devices: int | None = None, axis_sizes=None) -> Mesh:
     odd/prime n -> (n,1,1). Pass axis_sizes to override.
     """
     devices = np.array(jax.devices())
-    n = n_devices or devices.size
+    n = devices.size if n_devices is None else n_devices
+    assert n > 0, "n_devices must be positive"
     devices = devices[:n]
     if axis_sizes is None:
         sub = 2 if n % 2 == 0 else 1
@@ -46,15 +47,13 @@ def make_receiver_mesh(n_devices: int | None = None, axis_sizes=None) -> Mesh:
 
 def shard_demod_batch(demod: OFDMDemodulator, mesh: Mesh):
     """Data-parallel frame step: batch axis sharded over every mesh axis."""
-    spec = P(("ens", "time", "sub"))
-    win_sh = NamedSharding(mesh, spec)
-    carry_sh = NamedSharding(mesh, P(("ens", "time", "sub")))
+    sh = NamedSharding(mesh, P(("ens", "time", "sub")))
     step = jax.jit(
         jax.vmap(demod._frame_step_impl),
-        in_shardings=(carry_sh, win_sh),
-        out_shardings=(carry_sh, NamedSharding(mesh, spec)),
+        in_shardings=(sh, sh),
+        out_shardings=(sh, sh),
     )
-    return step, win_sh, carry_sh
+    return step, sh, sh
 
 
 def make_timesharded_demod(demod: OFDMDemodulator, mesh: Mesh,
@@ -66,8 +65,13 @@ def make_timesharded_demod(demod: OFDMDemodulator, mesh: Mesh,
     aligned so frame f starts at f*frame_samples. Each time shard demodulates
     its local frames with a lax.scan carry; the trailing window margin
     (window_len - frame_samples) comes from the right neighbor via ppermute.
-    Returns a jitted fn (carry, iq) -> (carry, bits) where carry has shape
-    (B, n_time) leading dims (each shard tracks its own steady-state sync).
+    The GLOBALLY last frame's margin has no right neighbor: callers pass
+    `tail` — the (B, halo, 2) samples that FOLLOW this block in the stream
+    (i.e. the next block's head). With a zero tail, a positive fine-time
+    offset (real RX/TX sample-clock drift) would read garbage for the last
+    frame of every block. Returns a jitted fn (carry, iq, tail) ->
+    (carry, bits) where carry has (B, n_time) leading dims (each shard
+    tracks its own steady-state sync).
 
     block_tracking=True is the serving fast path: all frames_per_shard
     frames demodulate as ONE vmap batch using the block-start sync state,
@@ -83,16 +87,17 @@ def make_timesharded_demod(demod: OFDMDemodulator, mesh: Mesh,
     n_time = mesh.shape["time"]
     f_loc = frames_per_shard
 
-    def local_demod(carry, iq_local):
+    def local_demod(carry, iq_local, tail_local):
         # iq_local: (B_loc, f_loc*fs, 2) f32 pairs after shard_map splits
         # 'time' (complex never crosses the host<->device boundary, ops/iq.py)
         axis = "time"
         right = [(i, (i - 1) % n_time) for i in range(n_time)]
         halo_samples = jax.lax.ppermute(iq_local[:, :halo], axis, right)
         idx = jax.lax.axis_index(axis)
-        # last shard has no right neighbor: zero halo
+        # last shard's margin comes from the caller-supplied stream tail
+        # (the next block's head; replicated over 'time', tiny)
         halo_samples = jnp.where(idx == n_time - 1,
-                                 jnp.zeros_like(halo_samples), halo_samples)
+                                 tail_local, halo_samples)
         ext = jnp.concatenate([iq_local, halo_samples], axis=1)
         carry = jax.tree.map(lambda x: x[:, 0], carry)
 
@@ -126,11 +131,20 @@ def make_timesharded_demod(demod: OFDMDemodulator, mesh: Mesh,
 
     sharded = shard_map(
         local_demod, mesh=mesh,
-        in_specs=(P("ens", "time"), P("ens", "time")),
+        in_specs=(P("ens", "time"), P("ens", "time"), P("ens", None, None)),
         out_specs=(P("ens", "time"), P("ens", "time", None, None)),
         check_vma=False,
     )
-    return jax.jit(sharded)
+
+    jitted = jax.jit(sharded)
+
+    def run(carry, iq, tail=None):
+        if tail is None:        # end-of-stream: nothing follows the block
+            tail = jnp.zeros((iq.shape[0], halo, 2), jnp.float32)
+        return jitted(carry, iq, tail)
+
+    run.halo = halo
+    return run
 
 
 def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
@@ -154,8 +168,10 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
            deinterleave (explicit carry) -> depuncture + Viterbi ->
            descramble
 
-    Returns (fn, example_args). fn(demod_carry, deint_hist, iq) ->
-    (demod_carry, deint_hist, outputs) where outputs has:
+    Returns (fn, example_args). fn(demod_carry, deint_hist, iq,
+    tail=None) -> (demod_carry, deint_hist, outputs); `tail` is the next
+    block's first fn.tail_samples samples (same format as iq) feeding the
+    final frame's timing margin — omit only at end of stream. outputs has:
       fib_bits (B, F, n_groups, 768) descrambled FIB-group bits,
       msc_bits (B, S, F*nb_cifs, nb_data) descrambled subchannel payload
       bits (valid once the deinterleaver history is full - 16 CIFs).
@@ -179,6 +195,10 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
     from ..params import (fic_puncture_schedule, msc_puncture_schedule,
                           SubchannelConfig, get_dab_params)
 
+    if transmission_mode == 3:
+        raise NotImplementedError(
+            "transmission mode III FIC (32-CU FIB groups) is unsupported "
+            "— the reference rejects it identically (fic_decoder.cpp:66-73)")
     demod = OFDMDemodulator(transmission_mode)
     dab = get_dab_params(transmission_mode)
     n_ens = mesh.shape["ens"]
@@ -255,13 +275,16 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
     time_sh = NamedSharding(mesh, P("ens", "time"))
 
     @jax.jit
-    def step(carry, deint_hist, iq):
+    def step(carry, deint_hist, iq, tail=None):
         if ingest == "u8":
             # raw interleaved uint8 IQ -> f32 pairs on device (QuantisedIQ
             # convention); 4x less host->device traffic than f32 pairs
             iq = ((iq.astype(jnp.float32) - 127.5) * (1.0 / 127.5)
                   ).reshape(iq.shape[0], -1, 2)
-        carry, bits = demod_fn(carry, iq)           # (B, n_time, f_loc, nb)
+            if tail is not None:
+                tail = ((tail.astype(jnp.float32) - 127.5) * (1.0 / 127.5)
+                        ).reshape(tail.shape[0], -1, 2)
+        carry, bits = demod_fn(carry, iq, tail)     # (B, n_time, f_loc, nb)
         # gather the time shards: frames are decoded ensemble-parallel
         frames = jax.lax.with_sharding_constraint(
             bits.reshape(B, F, dab.nb_frame_bits),
@@ -285,10 +308,16 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
             j = np.arange(nb_sub_bits)
             idx = np.minimum(starts[..., None] + j, dab.nb_cif_bits - 1)
             valid = j[None, None, :] < lens[..., None]
-            subs = jnp.take_along_axis(
-                jnp.broadcast_to(cifs[:, None], (B, S, C, dab.nb_cif_bits)),
-                jnp.broadcast_to(jnp.asarray(idx)[:, :, None, :],
-                                 (B, S, C, nb_sub_bits)), axis=-1)
+            # vmap over the S axis gathering from the SHARED (B, C, bits)
+            # cifs — no S-times-wider broadcast operand for XLA to
+            # (potentially) materialize
+            idx_bsj = jnp.asarray(idx)                  # (B, S, nb_sub_bits)
+
+            def one_sub(ix):                            # ix: (B, nb_sub)
+                return jnp.take_along_axis(
+                    cifs, jnp.broadcast_to(ix[:, None], (B, C, nb_sub_bits)),
+                    axis=-1)
+            subs = jax.vmap(one_sub, in_axes=1, out_axes=1)(idx_bsj)
             subs = jnp.where(jnp.asarray(valid)[:, :, None, :], subs, 0)
         else:
             sub_slices = []
@@ -345,6 +374,10 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
     step.subchannel_cfgs = grid if per_stream else cfgs   # consumer metadata
     step.per_stream = per_stream
     step.msc_nb_data_bits = nb_data_list  # payload bits per (stream,) sub
+    # stream-tail contract: pass the next block's first `tail_samples`
+    # samples as `tail` so the final frame's timing margin reads real
+    # data (a zero tail corrupts it whenever fine-time offset > 0)
+    step.tail_samples = demod_fn.halo
     return step, (carry, deint_hist, iq)
 
 
@@ -375,15 +408,17 @@ def make_coldstart_timesharded_demod(demod: OFDMDemodulator, mesh: Mesh,
     rewind = 2 * demod.cfg.null_search_nb_samples
     BIG = jnp.asarray(2 ** 30, jnp.int32)
 
-    def local(iq_local):
+    def local(iq_local, tail_local):
         axis = "time"
         idx = jax.lax.axis_index(axis)
         base = idx * T_loc
         # halo: the first window_len samples of the right neighbor (frames
-        # can start anywhere in the local block after acquisition)
+        # can start anywhere in the local block after acquisition); the
+        # globally last shard uses the caller-supplied stream tail so a
+        # late-starting frame decodes real data instead of zeros
         right = [(i, (i - 1) % n_time) for i in range(n_time)]
         halo_s = jax.lax.ppermute(iq_local[:, :halo], axis, right)
-        halo_s = jnp.where(idx == n_time - 1, jnp.zeros_like(halo_s), halo_s)
+        halo_s = jnp.where(idx == n_time - 1, tail_local, halo_s)
         ext = jnp.concatenate([iq_local, halo_s], axis=1)
 
         l1_loc = jax.vmap(lambda b: demod._l1(b))(iq_local)
@@ -430,9 +465,17 @@ def make_coldstart_timesharded_demod(demod: OFDMDemodulator, mesh: Mesh,
 
     sharded = shard_map(
         local, mesh=mesh,
-        in_specs=(P("ens", "time"),),
+        in_specs=(P("ens", "time"), P("ens", None, None)),
         out_specs=(P("ens", "time"), P("ens", "time", None, None),
                    P("ens", "time", None)),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+
+    def run(iq, tail=None):
+        if tail is None:
+            tail = jnp.zeros((iq.shape[0], halo, 2), jnp.float32)
+        return jitted(iq, tail)
+
+    run.halo = halo
+    return run

@@ -40,24 +40,74 @@ def test_timesharded_demod_matches_sequential():
     ).astype(np.uint8)
     iq = np.asarray(jax.vmap(mod.modulate_stream)(jnp.asarray(bits_tx)))
     assert iq.shape == (B, F * p.nb_frame_samples)
-    # margin for the last frame's window comes from the halo; pad final shard
-    pad = np.zeros((B, demod.window_len - p.nb_frame_samples), np.complex64)
-    iq_padded = np.concatenate([iq, pad], axis=1)[:, :iq.shape[1]]
 
     fn = make_timesharded_demod(demod, mesh, f_loc)
     carry = DemodCarry.init((B, n_time))
     carry = carry._replace(
         signal_l1_avg=jnp.full((B, n_time), 0.5, jnp.float32))
-    iq_sharded = jax.device_put(jnp.asarray(iq_pairs(iq_padded)),
+    iq_sharded = jax.device_put(jnp.asarray(iq_pairs(iq)),
                                 NamedSharding(mesh, P("ens", "time")))
     carry2, bits = fn(carry, iq_sharded)
     bits = np.asarray(bits).reshape(B, F, -1)
 
     hard = (bits > 0).astype(np.uint8)
     ref = bits_tx.reshape(B, F, -1)
-    # the final frame of the last shard lacks real margin data; its window
-    # still covers the full frame so it demodulates correctly with zero halo
+    # phase-aligned signal: offset stays 0, so the zero end-of-stream tail
+    # is never read and the whole block demodulates exactly
     np.testing.assert_array_equal(hard, ref)
+
+
+def test_timesharded_demod_positive_offset_needs_tail():
+    """Real sample-clock drift pushes the fine-time offset positive, making
+    the LAST frame's body read into the window margin past the block end.
+    With the stream tail supplied (the next block's head) the decode stays
+    exact; the old zero-halo behavior corrupted that frame every block."""
+    mode = 2
+    mod = OFDMModulator(mode)
+    demod = OFDMDemodulator(mode)
+    mesh = make_receiver_mesh(8)
+    n_time = mesh.shape["time"]
+    f_loc = 2
+    F = n_time * f_loc
+    B = 2
+    d = 120          # positive timing offset: inside the mode-2 cyclic
+    #                  prefix (126) so tracking stays locked, but zeroing
+    #                  120 of the last FFT window's 512 samples corrupts it
+
+    rng = np.random.default_rng(3)
+    p = mod.params
+    bits_tx = rng.integers(
+        0, 2, size=(B, F + 1, p.nb_data_symbols, 2 * p.nb_data_carriers)
+    ).astype(np.uint8)
+    iq_all = np.asarray(jax.vmap(mod.modulate_stream)(jnp.asarray(bits_tx)))
+    T = F * p.nb_frame_samples
+    # feed the block starting d samples EARLY: every frame begins at +d
+    # inside its window, so the last frame's body needs d samples past T
+    lead = np.zeros((B, d), np.complex64)
+    stream = np.concatenate([lead, iq_all], axis=1)
+    blk = stream[:, :T]
+    halo = demod.window_len - p.nb_frame_samples
+    tail = stream[:, T:T + halo]
+
+    fn = make_timesharded_demod(demod, mesh, f_loc)
+
+    def run(tail_arg):
+        carry = DemodCarry.init((B, n_time))._replace(
+            signal_l1_avg=jnp.full((B, n_time), 0.5, jnp.float32))
+        _, bits = fn(carry, jax.device_put(
+            jnp.asarray(iq_pairs(blk)),
+            NamedSharding(mesh, P("ens", "time"))), tail_arg)
+        return (np.asarray(bits).reshape(B, F, -1) > 0).astype(np.uint8)
+
+    ref = bits_tx[:, :F].reshape(B, F, -1)
+    with_tail = run(jnp.asarray(iq_pairs(tail)))
+    np.testing.assert_array_equal(with_tail, ref)
+    # and the zero-tail decode must demonstrate the bug class this guards
+    # against: the final frame differs (margin read zeros)
+    without = run(None)
+    np.testing.assert_array_equal(without[:, :F - 1], ref[:, :F - 1])
+    assert (without[:, F - 1] != ref[:, F - 1]).any(), \
+        "zero tail unexpectedly decoded the last frame exactly"
 
 
 def test_shard_demod_batch_runs():

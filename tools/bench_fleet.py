@@ -220,27 +220,40 @@ def run_fused(args, iq):
     chunk = 2 * K * fs
     rounds = iq.shape[0] // chunk
 
+    tb = fleet.tail_bytes
     use_resident = args.resident or args.both
     if use_resident:
         # stage the whole capture on device ONCE (~0.4 MB/frame u8,
         # un-replicated: all N streams decode the same broadcast), then
-        # slice + broadcast on device each round
-        dev_iq = jax.device_put(jnp.asarray(iq[:rounds * chunk]))
-        prep = jax.jit(lambda a, r: jnp.broadcast_to(
-            jax.lax.dynamic_slice(a, (r,), (chunk,))[None], (N, chunk)))
+        # slice + broadcast on device each round (+tail: the next round's
+        # head feeds the final frame's timing margin)
+        dev_iq = jax.device_put(jnp.asarray(
+            np.concatenate([iq[:rounds * chunk],
+                            np.full(tb, 127, np.uint8)])))
+        prep = jax.jit(lambda a, r: (
+            jnp.broadcast_to(
+                jax.lax.dynamic_slice(a, (r,), (chunk,))[None], (N, chunk)),
+            jnp.broadcast_to(
+                jax.lax.dynamic_slice(a, (r + chunk,), (tb,))[None],
+                (N, tb))))
 
     def get_blk(r, resident):
         if resident:
             return prep(dev_iq, jnp.int32(r * chunk))
-        return jnp.asarray(np.tile(iq[r * chunk:(r + 1) * chunk][None],
-                                   (N, 1)))
+        blk = jnp.asarray(np.tile(iq[r * chunk:(r + 1) * chunk][None],
+                                  (N, 1)))
+        t = iq[(r + 1) * chunk:(r + 1) * chunk + tb]
+        tail = jnp.asarray(np.tile(t[None], (N, 1))) \
+            if t.shape[0] == tb else None
+        return blk, tail
 
     def warmup(resident):
         """Round 0: compiles on first call, then refills the
         deinterleaver after each reset (output discarded)."""
         t0 = _time.time()
+        blk, tail = get_blk(0, resident)
         fleet._carry, fleet._hist, out = fleet.step(
-            fleet._carry, fleet._hist, get_blk(0, resident))
+            fleet._carry, fleet._hist, blk, tail)
         _ = [np.asarray(x) for x in fleet._pack(out)]
         return _time.time() - t0
 
@@ -252,8 +265,9 @@ def run_fused(args, iq):
         fetch = None
         fetched = []
         for r in range(1, min(rounds, max_rounds or rounds)):
+            blk, tail = get_blk(r, resident)
             fleet._carry, fleet._hist, out = fleet.step(
-                fleet._carry, fleet._hist, get_blk(r, resident))
+                fleet._carry, fleet._hist, blk, tail)
             if fetch is not None:        # overlap host work w/ device round
                 if resident:
                     fetched.append(fetch)    # defer byte work past timing
