@@ -86,9 +86,18 @@ def main(argv=None):
                     help="dynamic FIC discovery per stream, then fused "
                          "handoff")
     ap.add_argument("--frames-per-step", type=int, default=8)
-    ap.add_argument("--max-rounds", type=int, default=0)
+    ap.add_argument("--max-rounds", type=int, default=0,
+                    help="stop after this many (additional, when resuming) "
+                         "rounds")
     ap.add_argument("--audio", default=None,
                     help="decode audio for 'stream:sub' (e.g. 0:0)")
+    ap.add_argument("--snapshot-out", default=None,
+                    help="write the fleet decode state (device carry, "
+                         "databases, byte-layer sync) here at exit")
+    ap.add_argument("--resume", default=None,
+                    help="resume from a --snapshot-out checkpoint "
+                         "(overrides --subchannels/--discover; resumed "
+                         "decode continues byte-identically)")
     add_backend_flag(ap)
     args = ap.parse_args(argv)
     apply_backend(args)
@@ -104,7 +113,17 @@ def main(argv=None):
     N = len(streams)
     mode = args.transmission_mode
 
-    if args.discover:
+    snap = None
+    if args.resume:
+        import pickle
+        with open(args.resume, "rb") as f:
+            snap = pickle.load(f)
+        fleet = FusedFleet.from_snapshot(snap["fleet"])
+        assert fleet.N == N, (
+            f"snapshot has {fleet.N} streams, inputs give {N}")
+        print(f"# resumed from {args.resume} at round "
+              f"{fleet.total_rounds}", file=sys.stderr)
+    elif args.discover:
         if args.shared_input:
             # identical bytes per stream: one discovery pass serves all
             rx = _discover(streams[0], mode)
@@ -138,24 +157,31 @@ def main(argv=None):
         fleet.on_audio_data.append(
             lambda *a: pcm_out.__setitem__(0, pcm_out[0] + len(a[2])))
 
-    # cold-start alignment per stream (once for identical shared input)
-    aligned = []
+    # cold-start alignment per stream (once for identical shared input;
+    # resumed runs reuse the checkpointed offsets so the round grid lands
+    # on the same frame boundaries)
+    offsets = []
     shared_off = None
     for k, s in enumerate(streams):
-        off = shared_off if args.shared_input and shared_off is not None \
-            else fleet.find_alignment(s[:2 * 4 * fleet.fs])
+        if snap is not None:
+            off = snap["offsets"][k]
+        elif args.shared_input and shared_off is not None:
+            off = shared_off
+        else:
+            off = fleet.find_alignment(s[:2 * 4 * fleet.fs])
         if off is None:
             print(f"stream {k}: no frame sync", file=sys.stderr)
             return 1
         if args.shared_input:
             shared_off = off
-        aligned.append(s[off:])
+        offsets.append(off)
+    aligned = [s[off:] for s, off in zip(streams, offsets)]
     chunk = 2 * fleet.round_samples
     rounds = min(s.shape[0] for s in aligned) // chunk
     if args.max_rounds:
-        rounds = min(rounds, args.max_rounds)
+        rounds = min(rounds, fleet.total_rounds + args.max_rounds)
     tb = fleet.tail_bytes
-    for r in range(rounds):
+    for r in range(fleet.total_rounds, rounds):
         blk = np.stack([s[r * chunk:(r + 1) * chunk] for s in aligned])
         # next round's head feeds the final frame's timing margin
         tails = [s[(r + 1) * chunk:(r + 1) * chunk + tb] for s in aligned]
@@ -177,6 +203,11 @@ def main(argv=None):
     if args.audio:
         summ["pcm_samples"] = pcm_out[0]
     print(json.dumps(summ))
+    if args.snapshot_out:
+        import pickle
+        with open(args.snapshot_out, "wb") as f:
+            pickle.dump({"fleet": fleet.snapshot(), "offsets": offsets}, f)
+        print(f"# snapshot written to {args.snapshot_out}", file=sys.stderr)
     return 0
 
 

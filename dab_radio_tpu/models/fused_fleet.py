@@ -50,6 +50,8 @@ class FusedFleet:
         from ..parallel.mesh import (make_receiver_mesh,
                                      multichip_receiver_step)
         self.N = nb_streams
+        self._cfgs_arg = subchannel_cfgs
+        self._block_tracking = block_tracking
         # per-stream heterogeneity: pass a list of per-stream cfg rows and
         # each stream decodes its OWN ensemble layout in the same program
         per_stream = bool(subchannel_cfgs) and \
@@ -139,15 +141,86 @@ class FusedFleet:
                 else:
                     _, addr, fec = k
                     p = PacketProcessor(addr or 0, use_fec=(fec == 1))
-
-                    def relay(res, b=b, s=s):
-                        self.total_data_groups += 1
-                        for cb in self.on_data_group:
-                            cb(b, s, res)
-                    p.on_data_group.append(relay)
+                    p.on_data_group.append(self._packet_relay(b, s))
                     row.append(p)
             procs.append(row)
         return procs
+
+    def _packet_relay(self, b, s):
+        """Data-group hook forwarding one packet subchannel's results into
+        the fleet counters + on_data_group observers (a closure: stripped
+        before pickling a snapshot, re-created on restore)."""
+        def relay(res):
+            self.total_data_groups += 1
+            for cb in self.on_data_group:
+                cb(b, s, res)
+        return relay
+
+    # ---- checkpoint/resume (SURVEY §5.4; parity with DabReceiver /
+    # ReceiverFleet snapshots so the serving path can migrate too) ----
+
+    def snapshot(self) -> bytes:
+        """Serialize the full serving-fleet decode state: the device
+        carry + deinterleaver history (fetched to host as numpy), every
+        stream's receiver database, the byte-layer superframe/packet sync
+        state, and the counters. In-flight deferred rounds are consumed
+        first. The compiled round program, observers (on_access_unit
+        etc.) and codec handles are NOT captured — from_snapshot rebuilds
+        the program (one recompile) and sinks/audio re-attach after."""
+        import pickle
+
+        import jax
+        self.flush()
+        relays = [[getattr(p, "on_data_group", None)
+                   for p in row] for row in self._sfp]
+        for row in self._sfp:
+            for p in row:
+                if p is not None and hasattr(p, "on_data_group"):
+                    p.on_data_group = []
+        try:
+            blob = pickle.dumps({
+                "mode": self._mode, "N": self.N, "K": self.K,
+                "cfgs": self._cfgs_arg, "kinds": self._kinds,
+                "block_tracking": self._block_tracking,
+                "carry": jax.device_get(self._carry),
+                "hist": jax.device_get(self._hist),
+                "receivers": self.receivers, "sfp": self._sfp,
+                "counters": (self.total_rounds, self.total_aus,
+                             self.total_data_groups, self.total_mp2_frames),
+            })
+        finally:
+            for row, rrow in zip(self._sfp, relays):
+                for p, cbs in zip(row, rrow):
+                    if p is not None and cbs is not None:
+                        p.on_data_group = cbs
+        return blob
+
+    @classmethod
+    def from_snapshot(cls, blob: bytes, mesh=None) -> "FusedFleet":
+        """Rebuild a serving fleet from snapshot(). The mesh is NOT part
+        of the snapshot (device topology is deployment-specific): pass
+        the target mesh, or omit for single-device. Resumed decode is
+        byte-identical to an uninterrupted run (tests/test_fleet.py)."""
+        import pickle
+
+        import jax
+        import jax.numpy as jnp
+        d = pickle.loads(blob)
+        fleet = cls(d["N"], d["cfgs"], transmission_mode=d["mode"],
+                    frames_per_step=d["K"], mesh=mesh,
+                    block_tracking=d["block_tracking"],
+                    subchannel_kinds=d["kinds"])
+        fleet._carry = jax.tree_util.tree_map(jnp.asarray, d["carry"])
+        fleet._hist = jax.tree_util.tree_map(jnp.asarray, d["hist"])
+        fleet.receivers = d["receivers"]
+        fleet._sfp = d["sfp"]
+        for b, row in enumerate(fleet._sfp):
+            for s, p in enumerate(row):
+                if p is not None and hasattr(p, "on_data_group"):
+                    p.on_data_group = [fleet._packet_relay(b, s)]
+        (fleet.total_rounds, fleet.total_aus,
+         fleet.total_data_groups, fleet.total_mp2_frames) = d["counters"]
+        return fleet
 
     def reset(self):
         """Restart decode state — device carry/deinterleaver history AND

@@ -335,3 +335,38 @@ def test_fleet_serve_cli(tmp_path):
     total = lines[3]
     assert total["access_units"] > 0 and total["streams"] == 3
     assert total["pcm_samples"] > 0
+
+
+@pytest.mark.slow
+def test_fleet_serve_snapshot_resume_cli(tmp_path):
+    """fleet_serve --snapshot-out / --resume: the serving checkpoint at
+    the CLI surface. A run split across two processes must end with the
+    same fleet totals as one uninterrupted run (radio_cli's
+    checkpoint/resume contract, serving-path edition)."""
+    import json as json_mod
+    iq_path = tmp_path / "iq.bin"
+    r = _run(["dab_radio_tpu.apps.simulate_transmitter", "--payload",
+              "ensemble", "--services", "2", "-n", "24", "-F", "u8"],
+             timeout=400)
+    iq_path.write_bytes(r.stdout)
+    layout = "0:48:EEP3A,48:48:EEP3A"
+    base = ["dab_radio_tpu.apps.fleet_serve", "-i", str(iq_path),
+            "--shared-input", "--streams", "2", "--subchannels", layout,
+            "--frames-per-step", "4"]
+    snap = tmp_path / "fleet.snap"
+
+    full = _run(base, timeout=400)
+    assert full.returncode == 0, full.stderr.decode()[-500:]
+    full_total = json_mod.loads(full.stdout.decode().splitlines()[-1])
+
+    r1 = _run(base + ["--max-rounds", "2", "--snapshot-out", str(snap)],
+              timeout=400)
+    assert r1.returncode == 0, r1.stderr.decode()[-500:]
+    assert snap.exists()
+    r2 = _run(base + ["--resume", str(snap)], timeout=400)
+    assert r2.returncode == 0, r2.stderr.decode()[-500:]
+    assert b"resumed from" in r2.stderr
+    resumed_total = json_mod.loads(r2.stdout.decode().splitlines()[-1])
+    assert resumed_total == full_total
+    assert resumed_total["access_units"] > 0
+    assert resumed_total["services"] == 4

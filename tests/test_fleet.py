@@ -409,6 +409,70 @@ def test_fused_fleet_reset_reproduces_fresh_decode():
     assert fleet.receivers[0].db.ensemble.label == "TPU Ensemble"
 
 
+def test_fused_fleet_snapshot_resume():
+    """Serving-path checkpoint/resume: snapshot() mid-stream, rebuild via
+    from_snapshot() (new program compile, databases + device carry +
+    byte-layer sync carried over), and the combined AU stream is
+    byte-identical to an uninterrupted run — parity with the dynamic
+    receiver/fleet snapshots (SURVEY §5.4)."""
+    from dab_radio_tpu.models.fused_fleet import FusedFleet
+    from dab_radio_tpu.params import SubchannelConfig
+
+    iq = _api_iq()
+    cfgs = [SubchannelConfig(0, 48, False, eep_type="A", eep_prot_level=2),
+            SubchannelConfig(48, 48, False, eep_type="A", eep_prot_level=2)]
+    def mk():
+        return FusedFleet(2, cfgs, transmission_mode=1, frames_per_step=4)
+
+    def feed(fleet, rounds, aus):
+        cb = lambda b, s, i, n, au, h: aus.append((b, s, bytes(au)))
+        fleet.on_access_unit.append(cb)
+        chunk = 2 * fleet.round_samples
+        for r in rounds:
+            fleet.process_round(
+                np.tile(iq[r * chunk:(r + 1) * chunk][None], (2, 1)))
+        fleet.on_access_unit.remove(cb)
+
+    nrounds = iq.shape[0] // (2 * mk().round_samples)
+    ref_aus = []
+    feed(mk(), range(nrounds), ref_aus)
+
+    half = nrounds // 2
+    fleet = mk()
+    got = []
+    feed(fleet, range(half), got)
+    blob = fleet.snapshot()
+    # original object unusable after? No — snapshot is non-destructive:
+    feed(fleet, range(half, half + 1), got[:0])  # still runs
+    resumed = FusedFleet.from_snapshot(blob)
+    assert resumed.total_rounds == half
+    feed(resumed, range(half, nrounds), got)
+    assert ref_aus and got == ref_aus
+    assert resumed.receivers[0].db.ensemble.label == "TPU Ensemble"
+    assert resumed.summary()["services"] == 4
+
+
+def test_fused_fleet_snapshot_packet_relay_reattach():
+    """A packet-mode subchannel's data-group relay (a closure, stripped
+    for pickling) is re-created on restore and still feeds the restored
+    fleet's counters; the live fleet keeps its relays after snapshot()."""
+    from dab_radio_tpu.dab.packets import DataGroupResult
+    from dab_radio_tpu.models.fused_fleet import FusedFleet
+    from dab_radio_tpu.params import SubchannelConfig
+
+    cfgs = [SubchannelConfig(0, 48, False, eep_type="A", eep_prot_level=2)]
+    fleet = FusedFleet(1, cfgs, transmission_mode=1, frames_per_step=4,
+                       subchannel_kinds=[("packet", 2, 0)])
+    blob = fleet.snapshot()
+    assert fleet._sfp[0][0].on_data_group          # reattached on the live one
+    resumed = FusedFleet.from_snapshot(blob)
+    hits = []
+    resumed.on_data_group.append(lambda b, s, res: hits.append((b, s)))
+    res = DataGroupResult(ok=True, data=b"x")
+    resumed._sfp[0][0].on_data_group[0](res)
+    assert hits == [(0, 0)] and resumed.total_data_groups == 1
+
+
 def test_fused_fleet_mixed_kinds_audio_mp2_packet():
     """The fused byte layer routes every reference channel kind: DAB+
     superframes -> AUs, classic DAB -> MP2 frames, packet mode -> MOT
