@@ -44,7 +44,7 @@ class FusedFleet:
                  subchannel_cfgs: List[SubchannelConfig],
                  transmission_mode: int = 1, frames_per_step: int = 8,
                  mesh=None, block_tracking: bool = False,
-                 subchannel_kinds=None):
+                 subchannel_kinds=None, viterbi: str = "exact"):
         import jax
         import jax.numpy as jnp
         from ..parallel.mesh import (make_receiver_mesh,
@@ -52,6 +52,7 @@ class FusedFleet:
         self.N = nb_streams
         self._cfgs_arg = subchannel_cfgs
         self._block_tracking = block_tracking
+        self._viterbi = viterbi
         # per-stream heterogeneity: pass a list of per-stream cfg rows and
         # each stream decodes its OWN ensemble layout in the same program
         per_stream = bool(subchannel_cfgs) and \
@@ -74,7 +75,7 @@ class FusedFleet:
             mesh, transmission_mode, frames_per_shard=frames_per_step,
             subchannels_per_shard=subs, ensembles_per_shard=ens,
             ingest="u8", subchannel_cfgs=subchannel_cfgs,
-            block_tracking=block_tracking)
+            block_tracking=block_tracking, viterbi=viterbi)
         # per-(stream, sub) byte-layer kind: "audio" (DAB+ superframes),
         # "mp2" (classic DAB: each logical frame IS one MP2 frame, fired
         # via on_mp2_frame + optional PCM decode), or ("packet",
@@ -182,6 +183,7 @@ class FusedFleet:
                 "mode": self._mode, "N": self.N, "K": self.K,
                 "cfgs": self._cfgs_arg, "kinds": self._kinds,
                 "block_tracking": self._block_tracking,
+                "viterbi": self._viterbi,
                 "carry": jax.device_get(self._carry),
                 "hist": jax.device_get(self._hist),
                 "receivers": self.receivers, "sfp": self._sfp,
@@ -209,7 +211,8 @@ class FusedFleet:
         fleet = cls(d["N"], d["cfgs"], transmission_mode=d["mode"],
                     frames_per_step=d["K"], mesh=mesh,
                     block_tracking=d["block_tracking"],
-                    subchannel_kinds=d["kinds"])
+                    subchannel_kinds=d["kinds"],
+                    viterbi=d.get("viterbi", "exact"))
         fleet._carry = jax.tree_util.tree_map(jnp.asarray, d["carry"])
         fleet._hist = jax.tree_util.tree_map(jnp.asarray, d["hist"])
         fleet.receivers = d["receivers"]

@@ -154,7 +154,8 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
                             ensembles_per_shard: int = 2,
                             ingest: str = "pairs",
                             subchannel_cfgs=None,
-                            block_tracking: bool = False):
+                            block_tracking: bool = False,
+                            viterbi: str = "exact"):
     """Full end-to-end sharded receiver step: IQ in, decoded bits out.
 
     One jitted program over the ('ens','time','sub') mesh (the surface the
@@ -188,6 +189,16 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
     FIG/superframe parsing stays on host exactly as in the single-chip
     receiver (reference msc_decoder.cpp:77-154 dispatches per-subchannel
     UEP/EEP the same way, sequentially).
+
+    viterbi="tiled" switches the MSC decode to the overlap-save tiled
+    Viterbi (ops/viterbi.py:viterbi_decode_soft_tiled): sequential scan
+    depth drops ~4.8x (chunk+2*overlap vs the full padded trellis) at
+    ~2.5x the ACS FLOPs — the lever when the round is latency-bound on
+    scan iterations rather than compute. Accuracy contract: identical to
+    exact on clean input and at operating SNR; under extreme noise a
+    tile may anchor on a wrong survivor (the byte layer's firecode/CRC/
+    RS gates such frames either way). msc_err is not computed in tiled
+    mode (zeros). FIC always decodes exact (its trellis is short).
     """
     from ..ops import viterbi as vit
     from ..ops.deinterleave import make_gather_index, deinterleave_push, DEPTH
@@ -199,6 +210,7 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
         raise NotImplementedError(
             "transmission mode III FIC (32-CU FIB groups) is unsupported "
             "— the reference rejects it identically (fic_decoder.cpp:66-73)")
+    assert viterbi in ("exact", "tiled"), viterbi
     demod = OFDMDemodulator(transmission_mode)
     dab = get_dab_params(transmission_mode)
     n_ens = mesh.shape["ens"]
@@ -347,8 +359,13 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
             deints.astype(jnp.int32),
             jnp.broadcast_to(g_b, (B, S, C, nb_steps * 4)), axis=-1)
         d = jnp.where(m_b == 1, d, jnp.where(m_b == 0, 0, vit.SOFT_LOW))
-        bits_full, msc_err = vit.viterbi_decode_soft_radix4(
-            d.reshape(B * S * C, nb_steps, 4))
+        if viterbi == "tiled":
+            bits_full, _ = vit.viterbi_decode_soft_tiled(
+                d.reshape(B * S * C, nb_steps, 4))
+            msc_err = jnp.zeros((B * S * C,), jnp.int32)
+        else:
+            bits_full, msc_err = vit.viterbi_decode_soft_radix4(
+                d.reshape(B * S * C, nb_steps, 4))
         prbs_b = msc_prbs[:, :, None, :] if per_stream \
             else msc_prbs[None, :, None, :]
         msc_bits = bits_full[..., :nb_data].reshape(B, S, C, nb_data) \

@@ -409,6 +409,34 @@ def test_fused_fleet_reset_reproduces_fresh_decode():
     assert fleet.receivers[0].db.ensemble.label == "TPU Ensemble"
 
 
+def test_fused_fleet_tiled_viterbi_matches_exact():
+    """viterbi='tiled' (overlap-save MSC decode, ~4.8x lower sequential
+    scan depth) decodes the clean capture to the SAME AU stream as the
+    exact full-trellis decode — the tiled accuracy contract at/above
+    operating SNR (ops/viterbi.py:viterbi_decode_soft_tiled)."""
+    from dab_radio_tpu.models.fused_fleet import FusedFleet
+    from dab_radio_tpu.params import SubchannelConfig
+
+    iq = _api_iq()
+    cfgs = [SubchannelConfig(0, 48, False, eep_type="A", eep_prot_level=2),
+            SubchannelConfig(48, 48, False, eep_type="A", eep_prot_level=2)]
+
+    def run(mode):
+        fleet = FusedFleet(1, cfgs, transmission_mode=1, frames_per_step=4,
+                           viterbi=mode)
+        aus = []
+        fleet.on_access_unit.append(
+            lambda b, s, i, n, au, h: aus.append((s, bytes(au))))
+        chunk = 2 * fleet.round_samples
+        for r in range(iq.shape[0] // chunk):
+            fleet.process_round(iq[r * chunk:(r + 1) * chunk][None])
+        return aus
+
+    exact = run("exact")
+    tiled = run("tiled")
+    assert exact and tiled == exact
+
+
 def test_fused_fleet_snapshot_resume():
     """Serving-path checkpoint/resume: snapshot() mid-stream, rebuild via
     from_snapshot() (new program compile, databases + device carry +

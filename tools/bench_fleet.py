@@ -214,7 +214,8 @@ def run_fused(args, iq):
     cfgs = [SubchannelConfig(s * 48, 48, False, eep_type="A",
                              eep_prot_level=2) for s in range(S)]
     fleet = FusedFleet(N, cfgs, transmission_mode=1, frames_per_step=K,
-                       block_tracking=args.block_tracking)
+                       block_tracking=args.block_tracking,
+                       viterbi=args.viterbi)
 
     fs = get_ofdm_params(1).nb_frame_samples
     chunk = 2 * K * fs
@@ -296,6 +297,7 @@ def run_fused(args, iq):
             "channels": sum(len(r_.channels) for r_ in fleet.receivers),
             "services": sum(len(r_.db.services) for r_ in fleet.receivers),
             "access_units": int(fleet.total_aus),
+            "viterbi_mode": args.viterbi,
         }
         print(json.dumps(result), flush=True)
         assert fleet.total_aus > 0, \
