@@ -35,6 +35,11 @@ Budget: the whole bench self-caps at BENCH_BUDGET_S (default 900 s) so it
 fits the driver's window. Relay compiles vary 15-365 s session to session,
 so stage windows are guarded: the second fleet config only runs if the
 first produced nothing, and the Viterbi stage needs >=300 s remaining.
+If the window is FULLY degraded (zero measurements at budget end), the
+bench goes into overtime: retry the cheapest rung every ~2 min up to
+BENCH_OVERTIME_S (default 1800 s) total wall — degraded relay windows
+have been observed to recover within minutes, and the record line is
+re-emitted after every success so a kill at any instant keeps the best.
 """
 
 import json
@@ -46,11 +51,22 @@ import time
 
 BASELINE_MSPS = 2.048
 BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", "900"))
-_T_END = time.time() + BUDGET_S
+# hard wall for the whole process incl. overtime retries after a fully
+# degraded window (see main); the record line stays valid at every instant
+OVERTIME_S = int(os.environ.get("BENCH_OVERTIME_S", "1800"))
+_T_START = time.time()
+_T_END = _T_START + BUDGET_S
 
 
 def _remaining() -> float:
     return _T_END - time.time()
+
+
+def _extend_deadline(seconds: float):
+    """Overtime: push the stage deadline out (never past _T_START +
+    OVERTIME_S) so the stage helpers run again after the budget lapsed."""
+    global _T_END
+    _T_END = min(time.time() + seconds, _T_START + OVERTIME_S)
 
 
 def worker(batch: int, iters: int, symbol_chunk: int = 0) -> None:
@@ -362,10 +378,31 @@ def main():
             break
         demod_stage(batch, iters, chunk, cap=380)
 
-    landed = (line["value"] > 0.0 or line.get("viterbi_mbps", 0) > 0
-              or line.get("fleet_resident_rt", 0) > 0
-              or line.get("fleet_rt_ensembles", 0) > 0)
-    if not landed:
+    def landed():
+        return (line["value"] > 0.0 or line.get("viterbi_mbps", 0) > 0
+                or line.get("fleet_resident_rt", 0) > 0
+                or line.get("fleet_rt_ensembles", 0) > 0)
+
+    # Overtime: a fully-degraded relay window (every worker timed out) can
+    # recover within minutes; the budget is spent but the driver's wall
+    # window may be longer. Retry the cheapest known-good rung every few
+    # minutes until OVERTIME_S total wall; on the first success, spend the
+    # recovered window on the fleet + Viterbi records too. The last
+    # printed line is the record at every instant, so a driver kill
+    # mid-overtime still leaves the best-so-far JSON.
+    while not landed() and time.time() - _T_START < OVERTIME_S - 240:
+        print("# overtime: degraded relay window, retrying in 120 s",
+              file=sys.stderr)
+        time.sleep(120)
+        _extend_deadline(420)
+        demod_stage(128, 30, 0, cap=380)
+        if line["value"] > 0.0:
+            _extend_deadline(900)
+            fleet_stage(8, 80, 8, cap=340)
+            if _remaining() >= 280:
+                viterbi_stage([(8192, 10, "exact", 2)])
+
+    if not landed():
         line["error"] = ("no measurement completed (TPU backend "
                          "unavailable/unsynchronisable)")
     elif line["value"] == 0.0:

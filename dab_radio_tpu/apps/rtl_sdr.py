@@ -15,7 +15,8 @@ import threading
 
 import numpy as np
 
-from ..host.device import BLOCK_FREQUENCIES, RTLSDRDevice, SAMPLE_RATE
+from ..host.device import (BLOCK_FREQUENCIES, RTLSDRDevice, SAMPLE_RATE,
+                           list_devices)
 
 
 def main(argv=None):
@@ -26,16 +27,29 @@ def main(argv=None):
                     help="explicit center frequency Hz (overrides --channel)")
     ap.add_argument("-g", "--gain", type=float, default=None,
                     help="tuner gain dB (default: auto pick from list)")
+    ap.add_argument("-d", "--device-index", type=int, default=0,
+                    help="tuner index from --list-devices")
     ap.add_argument("-n", "--nb-samples", type=int, default=0,
                     help="stop after N samples (0 = stream forever)")
     ap.add_argument("--list-channels", action="store_true")
     ap.add_argument("--list-gains", action="store_true")
+    ap.add_argument("--list-devices", action="store_true",
+                    help="enumerate connected tuners (reference "
+                         "device_list.cpp); exits 0 with no output "
+                         "when none/no librtlsdr")
     args = ap.parse_args(argv)
 
     if args.list_channels:
         for label, freq in sorted(BLOCK_FREQUENCIES.items(),
                                   key=lambda kv: kv[1]):
             print(f"{label:4s} {freq / 1e6:10.3f} MHz")
+        return 0
+
+    if args.list_devices:
+        for d in list_devices():
+            print(f"{d['index']}: {d['name']} "
+                  f"vendor={d['vendor']} product={d['product']} "
+                  f"serial={d['serial']}")
         return 0
 
     freq = args.frequency or BLOCK_FREQUENCIES.get(args.channel.upper())
@@ -45,7 +59,7 @@ def main(argv=None):
         return 1
 
     try:
-        dev = RTLSDRDevice()
+        dev = RTLSDRDevice(args.device_index)
     except RuntimeError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

@@ -43,6 +43,38 @@ for j in range(23):
     BLOCK_FREQUENCIES[f"L{chr(ord('A') + j)}"] = 1452960000 + j * 1712000
 
 
+def list_devices():
+    """Enumerate connected RTL-SDR tuners (reference
+    examples/device/device_list.cpp:refresh): returns a list of dicts
+    {index, vendor, product, serial, name}. Empty when librtlsdr is not
+    installed or no tuner is plugged in — callers can render a device
+    picker without special-casing hardware-free hosts."""
+    path = ctypes.util.find_library("rtlsdr")
+    if path is None:
+        return []
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return []
+    out = []
+    n = lib.rtlsdr_get_device_count()
+    for i in range(n):
+        vendor = ctypes.create_string_buffer(256)
+        product = ctypes.create_string_buffer(256)
+        serial = ctypes.create_string_buffer(256)
+        ok = lib.rtlsdr_get_device_usb_strings(i, vendor, product, serial)
+        lib.rtlsdr_get_device_name.restype = ctypes.c_char_p
+        name = lib.rtlsdr_get_device_name(i) or b""
+        out.append({
+            "index": i,
+            "vendor": vendor.value.decode(errors="replace") if ok == 0 else "",
+            "product": product.value.decode(errors="replace") if ok == 0 else "",
+            "serial": serial.value.decode(errors="replace") if ok == 0 else "",
+            "name": name.decode(errors="replace"),
+        })
+    return out
+
+
 class Device:
     """Abstract tuner: subclasses push u8-IQ-derived complex64 blocks into
     the registered callbacks from a reader thread."""

@@ -62,6 +62,15 @@ def test_rtl_sdr_unknown_channel():
     assert b"unknown channel" in r.stderr
 
 
+def test_rtl_sdr_list_devices_without_hardware():
+    """Device enumeration (reference device_list.cpp) degrades to an empty
+    list — not an error — on hosts with no librtlsdr/tuner."""
+    from dab_radio_tpu.host.device import list_devices
+    assert list_devices() == []
+    r = _run(["dab_radio_tpu.apps.rtl_sdr", "--list-devices"])
+    assert r.returncode == 0 and r.stdout == b""
+
+
 def test_loop_file(tmp_path):
     p = tmp_path / "x.bin"
     p.write_bytes(b"abcdef")
