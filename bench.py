@@ -395,12 +395,19 @@ def main():
               file=sys.stderr)
         time.sleep(120)
         _extend_deadline(420)
+        t_try = time.time()
         demod_stage(128, 30, 0, cap=380)
         if line["value"] > 0.0:
             _extend_deadline(900)
             fleet_stage(8, 80, 8, cap=340)
             if _remaining() >= 280:
                 viterbi_stage([(8192, 10, "exact", 2)])
+        elif time.time() - t_try < 60:
+            # the worker failed FAST (import/backend error), not via a
+            # relay timeout — no amount of waiting will recover this host
+            print("# overtime: worker failing fast (backend unavailable), "
+                  "giving up", file=sys.stderr)
+            break
 
     if not landed():
         line["error"] = ("no measurement completed (TPU backend "

@@ -126,6 +126,14 @@ class MOTProcessor:
         self.headers = _LRU(max_headers)         # tid -> MOTHeader
         self.on_entity: List[Callable[[MOTEntity], None]] = []
 
+    def __getstate__(self):
+        """Checkpoint contract (SURVEY §5.4): assembly state pickles,
+        external observers (scraper/slideshow hooks, possibly holding
+        file handles) don't — re-attach on_entity after restore."""
+        d = dict(self.__dict__)
+        d["on_entity"] = []
+        return d
+
     def process_data_group(self, hdr: DataGroupHeader, buf: bytes):
         if len(buf) < 2 or hdr.data_group_type not in _VALID_TYPES:
             return

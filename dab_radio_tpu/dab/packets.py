@@ -111,6 +111,14 @@ class PacketProcessor:
         self.stats = {"packets": 0, "crc_errors": 0, "data_groups": 0,
                       "address_filtered": 0}
 
+    def __getstate__(self):
+        """Checkpoint contract (SURVEY §5.4): decode state pickles,
+        external observers don't — re-attach on_data_group after restore
+        (FusedFleet.from_snapshot re-creates its relay automatically)."""
+        d = dict(self.__dict__)
+        d["on_data_group"] = []
+        return d
+
     def process(self, buf: bytes):
         """One MSC logical frame worth of packet-mode bytes."""
         i = 0

@@ -172,30 +172,20 @@ class FusedFleet:
 
         import jax
         self.flush()
-        relays = [[getattr(p, "on_data_group", None)
-                   for p in row] for row in self._sfp]
-        for row in self._sfp:
-            for p in row:
-                if p is not None and hasattr(p, "on_data_group"):
-                    p.on_data_group = []
-        try:
-            blob = pickle.dumps({
-                "mode": self._mode, "N": self.N, "K": self.K,
-                "cfgs": self._cfgs_arg, "kinds": self._kinds,
-                "block_tracking": self._block_tracking,
-                "viterbi": self._viterbi,
-                "carry": jax.device_get(self._carry),
-                "hist": jax.device_get(self._hist),
-                "receivers": self.receivers, "sfp": self._sfp,
-                "counters": (self.total_rounds, self.total_aus,
-                             self.total_data_groups, self.total_mp2_frames),
-            })
-        finally:
-            for row, rrow in zip(self._sfp, relays):
-                for p, cbs in zip(row, rrow):
-                    if p is not None and cbs is not None:
-                        p.on_data_group = cbs
-        return blob
+        # processor callback lists (the packet relays are closures) are
+        # excluded by PacketProcessor/MOTProcessor.__getstate__ — the
+        # same observer-exclusion contract the receiver channels use
+        return pickle.dumps({
+            "mode": self._mode, "N": self.N, "K": self.K,
+            "cfgs": self._cfgs_arg, "kinds": self._kinds,
+            "block_tracking": self._block_tracking,
+            "viterbi": self._viterbi,
+            "carry": jax.device_get(self._carry),
+            "hist": jax.device_get(self._hist),
+            "receivers": self.receivers, "sfp": self._sfp,
+            "counters": (self.total_rounds, self.total_aus,
+                         self.total_data_groups, self.total_mp2_frames),
+        })
 
     @classmethod
     def from_snapshot(cls, blob: bytes, mesh=None) -> "FusedFleet":
@@ -213,8 +203,24 @@ class FusedFleet:
                     block_tracking=d["block_tracking"],
                     subchannel_kinds=d["kinds"],
                     viterbi=d.get("viterbi", "exact"))
-        fleet._carry = jax.tree_util.tree_map(jnp.asarray, d["carry"])
-        fleet._hist = jax.tree_util.tree_map(jnp.asarray, d["hist"])
+        # mesh-compat gate: the carry's leading dims are (B, n_time) — a
+        # target mesh with a different 'time' axis cannot consume this
+        # state (ens/sub re-factorisations keep global shapes and are fine)
+        ref = jax.tree_util.tree_leaves(fleet._init_state)
+        got = jax.tree_util.tree_leaves((d["carry"], d["hist"]))
+        if [r.shape for r in ref] != [np.asarray(g).shape for g in got]:
+            raise ValueError(
+                "snapshot is incompatible with the target mesh (it was "
+                "taken with a different 'time' axis size / round shape); "
+                "restore on a mesh with the same time factor: "
+                f"{[r.shape for r in ref]} vs {[np.asarray(g).shape for g in got]}")
+
+        def put(r, a):   # restore with the program's sharding, not host
+            return jax.device_put(jnp.asarray(a), r.sharding)
+        fleet._carry = jax.tree_util.tree_map(
+            put, fleet._init_state[0], d["carry"])
+        fleet._hist = jax.tree_util.tree_map(
+            put, fleet._init_state[1], d["hist"])
         fleet.receivers = d["receivers"]
         fleet._sfp = d["sfp"]
         for b, row in enumerate(fleet._sfp):

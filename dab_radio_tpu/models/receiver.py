@@ -55,6 +55,12 @@ class ChannelCheckpointMixin:
         self.__dict__.update(d)
         self.events = ChannelEvents()
         self._audio_decoder = None
+        # MOTProcessor.__getstate__ drops ALL on_entity hooks (external
+        # observers may hold closures/file handles); the channel's own
+        # internal slideshow wiring must come back
+        rewire = getattr(self, "_rewire", None)
+        if rewire is not None:
+            rewire()
         if self.kind == "dab+":
             self._decoder_header = None
 
@@ -82,6 +88,10 @@ class DabPlusChannel(ChannelCheckpointMixin):
         self.controls = AudioControls()
         self._audio_decoder = None
         self._decoder_header = None
+
+    def _rewire(self):
+        self.aac_data.pad.on_mot_entity.append(
+            self.slideshows.process_mot_entity)
 
     def _set_label(self, label: str):
         self.dynamic_label = label
@@ -168,6 +178,10 @@ class DabChannel(ChannelCheckpointMixin):
         self.pad_extractor.pad.on_label.append(self._set_label)
         self.controls = AudioControls()
         self._audio_decoder = None
+
+    def _rewire(self):
+        self.pad_extractor.pad.on_mot_entity.append(
+            self.slideshows.process_mot_entity)
 
     def _set_label(self, label: str):
         self.dynamic_label = label

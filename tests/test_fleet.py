@@ -409,6 +409,25 @@ def test_fused_fleet_reset_reproduces_fresh_decode():
     assert fleet.receivers[0].db.ensemble.label == "TPU Ensemble"
 
 
+def test_channel_snapshot_restores_internal_mot_wiring():
+    """MOTProcessor.__getstate__ drops ALL on_entity hooks (external
+    observers can hold closures/file handles); a restored channel must
+    re-wire its OWN slideshow hook — and only it — via _rewire."""
+    import pickle
+    from dab_radio_tpu.models.receiver import DabChannel, DabPlusChannel
+    from dab_radio_tpu.params import SubchannelConfig
+
+    cfg = SubchannelConfig(0, 48, False, eep_type="A", eep_prot_level=2)
+    for cls in (DabPlusChannel, DabChannel):
+        ch = cls(cfg)
+        pad = ch.aac_data.pad if cls is DabPlusChannel else ch.pad_extractor.pad
+        pad.on_mot_entity.append(lambda e: None)   # external (unpicklable)
+        ch2 = pickle.loads(pickle.dumps(ch))
+        pad2 = (ch2.aac_data.pad if cls is DabPlusChannel
+                else ch2.pad_extractor.pad)
+        assert pad2.on_mot_entity == [ch2.slideshows.process_mot_entity]
+
+
 def test_fused_fleet_tiled_viterbi_matches_exact():
     """viterbi='tiled' (overlap-save MSC decode, ~4.8x lower sequential
     scan depth) decodes the clean capture to the SAME AU stream as the
@@ -478,6 +497,28 @@ def test_fused_fleet_snapshot_resume():
     assert ref_aus and got == ref_aus
     assert resumed.receivers[0].db.ensemble.label == "TPU Ensemble"
     assert resumed.summary()["services"] == 4
+
+
+def test_fused_fleet_snapshot_mesh_retarget_gate():
+    """A snapshot taken on a time-sharded mesh cannot silently restore on
+    a mesh with a different 'time' factor (the carry's leading dims embed
+    it): from_snapshot raises a clear ValueError instead of a shape
+    mismatch deep inside the jitted demod. Same-shape retargets restore
+    with the target program's shardings."""
+    import pytest as _pytest
+    from dab_radio_tpu.models.fused_fleet import FusedFleet
+    from dab_radio_tpu.parallel.mesh import make_receiver_mesh
+    from dab_radio_tpu.params import SubchannelConfig
+
+    cfgs = [SubchannelConfig(0, 48, False, eep_type="A", eep_prot_level=2)]
+    mesh2 = make_receiver_mesh(2, axis_sizes=(1, 2, 1))
+    fleet = FusedFleet(1, cfgs, transmission_mode=1, frames_per_step=2,
+                       mesh=mesh2)
+    blob = fleet.snapshot()
+    with _pytest.raises(ValueError, match="time"):
+        FusedFleet.from_snapshot(blob)            # default 1-device mesh
+    resumed = FusedFleet.from_snapshot(blob, mesh=mesh2)
+    assert resumed.frames_per_round == fleet.frames_per_round
 
 
 def test_fused_fleet_snapshot_packet_relay_reattach():
