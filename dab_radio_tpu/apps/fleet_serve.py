@@ -12,6 +12,10 @@ Usage:
   python -m dab_radio_tpu.apps.fleet_serve -i a.u8 b.u8 c.u8 [--discover]
   python -m dab_radio_tpu.apps.fleet_serve -i cap.u8 --streams 16 \
       --shared-input --subchannels 0:48:EEP3A,48:48:EEP3A
+  rtl_sdr ... | python -m dab_radio_tpu.apps.fleet_serve -i - --discover
+
+`-i -` decodes a LIVE stream from stdin (the reference's pipe topology)
+with constant memory — one round + tail buffered.
 
 Prints one JSON summary line per stream plus a fleet total.
 """
@@ -69,13 +73,121 @@ def _discover(iq: np.ndarray, mode: int, max_frames: int = 8):
     return rx
 
 
+def _emit_summary(fleet, args, pcm_out, offsets):
+    for k, rx in enumerate(fleet.receivers):
+        db = rx.db
+        print(json.dumps({
+            "stream": k,
+            "ensemble": f"{db.ensemble.id:04X}",
+            "label": db.ensemble.label,
+            "services": {f"{sid:04X}": svc.label
+                         for sid, svc in sorted(db.services.items())},
+        }))
+    summ = fleet.summary()
+    if args.audio:
+        summ["pcm_samples"] = pcm_out[0]
+    print(json.dumps(summ))
+    if args.snapshot_out:
+        import pickle
+        with open(args.snapshot_out, "wb") as f:
+            pickle.dump({"fleet": fleet.snapshot(), "offsets": offsets}, f)
+        print(f"# snapshot written to {args.snapshot_out}", file=sys.stderr)
+
+
+def _serve_stream(args):
+    """`-i -`: decode a LIVE byte stream from stdin — the reference's
+    pipe topology (rtl_sdr | ...) at the fused serving surface. All
+    --streams streams decode the one stdin stream. Memory stays at one
+    round + tail regardless of stream length. --resume carries the
+    databases/byte layer over but RE-ALIGNS on the live stream head (a
+    pipe has no seekable round grid; the deinterleaver re-syncs within
+    16 CIFs)."""
+    from ..models.fused_fleet import FusedFleet
+    from ..params import get_ofdm_params
+
+    mode = args.transmission_mode
+    N = max(args.streams, 1)
+    fs = get_ofdm_params(mode).nb_frame_samples
+    fin = sys.stdin.buffer
+    # head: enough for FIC discovery (10 frames) AND cold-start alignment
+    head = fin.read(2 * 12 * fs)
+    head_u8 = np.frombuffer(head, dtype=np.uint8)
+
+    if args.resume:
+        import pickle
+        with open(args.resume, "rb") as f:
+            snap = pickle.load(f)
+        fleet = FusedFleet.from_snapshot(snap["fleet"])
+        assert fleet.N == N, (
+            f"snapshot has {fleet.N} streams, --streams gives {N}")
+        print(f"# resumed from {args.resume} at round "
+              f"{fleet.total_rounds} (live stream: re-aligning)",
+              file=sys.stderr)
+    elif args.discover:
+        rx = _discover(head_u8, mode)
+        if not rx.db.subchannels:
+            print("no subchannels discovered", file=sys.stderr)
+            return 1
+        fleet = FusedFleet.from_receiver(
+            rx, nb_streams=N, transmission_mode=mode,
+            frames_per_step=args.frames_per_step)
+    else:
+        assert args.subchannels, "--subchannels or --discover required"
+        cfgs, kinds = parse_subchannels(args.subchannels)
+        fleet = FusedFleet(N, cfgs, transmission_mode=mode,
+                           frames_per_step=args.frames_per_step,
+                           subchannel_kinds=kinds)
+
+    pcm_out = [0]
+    if args.audio:
+        b, s = (int(x) for x in args.audio.split(":"))
+        fleet.enable_audio(b, s)
+        fleet.on_audio_data.append(
+            lambda *a: pcm_out.__setitem__(0, pcm_out[0] + len(a[2])))
+
+    off = fleet.find_alignment(head_u8)
+    if off is None:
+        print("no frame sync in the stream head", file=sys.stderr)
+        return 1
+
+    chunk = 2 * fleet.round_samples
+    tb = fleet.tail_bytes
+    buf = bytearray(head[off:])
+    rounds_done = 0
+    eof = False
+    while True:
+        while len(buf) < chunk + tb and not eof:
+            data = fin.read(chunk + tb - len(buf))
+            if not data:
+                eof = True
+                break
+            buf += data
+        if len(buf) < chunk:
+            break
+        blk = np.frombuffer(bytes(buf[:chunk]), np.uint8)
+        tail = np.frombuffer(bytes(buf[chunk:chunk + tb]), np.uint8) \
+            if len(buf) >= chunk + tb else None
+        fleet.process_round(
+            np.broadcast_to(blk, (N, chunk)), defer_fetch=True,
+            tail_u8=None if tail is None
+            else np.ascontiguousarray(np.broadcast_to(tail, (N, tb))))
+        del buf[:chunk]
+        rounds_done += 1
+        if args.max_rounds and rounds_done >= args.max_rounds:
+            break
+    fleet.flush()
+    _emit_summary(fleet, args, pcm_out, [off] * N)
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("-i", "--inputs", nargs="+", required=True,
-                    help="one raw-u8 IQ file per stream (or one file with "
-                         "--shared-input)")
+                    help="one raw-u8 IQ file per stream, one file with "
+                         "--shared-input, or '-' for live stdin")
     ap.add_argument("--streams", type=int, default=0,
-                    help="stream count for --shared-input")
+                    help="stream count for --shared-input / stdin "
+                         "(stdin default 1)")
     ap.add_argument("--shared-input", action="store_true")
     ap.add_argument("-M", "--transmission-mode", type=int, default=1)
     ap.add_argument("--subchannels", default=None,
@@ -103,6 +215,9 @@ def main(argv=None):
     apply_backend(args)
 
     from ..models.fused_fleet import FusedFleet
+
+    if args.inputs == ["-"]:
+        return _serve_stream(args)
 
     if args.shared_input:
         assert len(args.inputs) == 1 and args.streams > 0
@@ -150,10 +265,10 @@ def main(argv=None):
                            frames_per_step=args.frames_per_step,
                            subchannel_kinds=kinds)
 
+    pcm_out = [0]
     if args.audio:
         b, s = (int(x) for x in args.audio.split(":"))
         fleet.enable_audio(b, s)
-        pcm_out = [0]
         fleet.on_audio_data.append(
             lambda *a: pcm_out.__setitem__(0, pcm_out[0] + len(a[2])))
 
@@ -189,25 +304,7 @@ def main(argv=None):
             else None
         fleet.process_round(blk, defer_fetch=True, tail_u8=tail)
     fleet.flush()
-
-    for k, rx in enumerate(fleet.receivers):
-        db = rx.db
-        print(json.dumps({
-            "stream": k,
-            "ensemble": f"{db.ensemble.id:04X}",
-            "label": db.ensemble.label,
-            "services": {f"{sid:04X}": svc.label
-                         for sid, svc in sorted(db.services.items())},
-        }))
-    summ = fleet.summary()
-    if args.audio:
-        summ["pcm_samples"] = pcm_out[0]
-    print(json.dumps(summ))
-    if args.snapshot_out:
-        import pickle
-        with open(args.snapshot_out, "wb") as f:
-            pickle.dump({"fleet": fleet.snapshot(), "offsets": offsets}, f)
-        print(f"# snapshot written to {args.snapshot_out}", file=sys.stderr)
+    _emit_summary(fleet, args, pcm_out, offsets)
     return 0
 
 

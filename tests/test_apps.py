@@ -347,6 +347,29 @@ def test_fleet_serve_cli(tmp_path):
 
 
 @pytest.mark.slow
+def test_fleet_serve_stdin_stream(tmp_path):
+    """fleet_serve -i -: live-pipe serving (the reference's
+    rtl_sdr | app topology). Discovery + alignment happen on the stream
+    head; rounds consume stdin with constant memory; totals match the
+    file-input path."""
+    import json as json_mod
+    r = _run(["dab_radio_tpu.apps.simulate_transmitter", "--payload",
+              "ensemble", "--services", "2", "-n", "24", "-F", "u8"],
+             timeout=400)
+    iq = r.stdout
+    r2 = _run(["dab_radio_tpu.apps.fleet_serve", "-i", "-", "--streams",
+               "2", "--discover", "--frames-per-step", "4",
+               "--audio", "0:0"], stdin=iq, timeout=400)
+    assert r2.returncode == 0, r2.stderr.decode()[-500:]
+    lines = [json_mod.loads(l) for l in r2.stdout.decode().splitlines()]
+    assert len(lines) == 3                       # 2 streams + fleet total
+    assert all(l["ensemble"] == "C0FE" for l in lines[:2])
+    total = lines[2]
+    assert total["access_units"] > 0 and total["streams"] == 2
+    assert total["pcm_samples"] > 0
+
+
+@pytest.mark.slow
 def test_fleet_serve_snapshot_resume_cli(tmp_path):
     """fleet_serve --snapshot-out / --resume: the serving checkpoint at
     the CLI surface. A run split across two processes must end with the
