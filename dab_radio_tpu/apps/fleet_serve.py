@@ -73,6 +73,23 @@ def _discover(iq: np.ndarray, mode: int, max_frames: int = 8):
     return rx
 
 
+def _attach_common(fleet, args):
+    """Audio decode + serving scraper hookup shared by the file and
+    stdin paths. Returns (pcm_out counter, scraper or None)."""
+    pcm_out = [0]
+    if args.audio:
+        b, s = (int(x) for x in args.audio.split(":"))
+        fleet.enable_audio(b, s)
+        fleet.on_audio_data.append(
+            lambda *a: pcm_out.__setitem__(0, pcm_out[0] + len(a[2])))
+    scraper = None
+    if args.scraper_output:
+        from ..host.scraper import FleetScraper
+        scraper = FleetScraper(args.scraper_output)
+        scraper.attach(fleet)
+    return pcm_out, scraper
+
+
 def _emit_summary(fleet, args, pcm_out, offsets):
     for k, rx in enumerate(fleet.receivers):
         db = rx.db
@@ -138,12 +155,7 @@ def _serve_stream(args):
                            frames_per_step=args.frames_per_step,
                            subchannel_kinds=kinds)
 
-    pcm_out = [0]
-    if args.audio:
-        b, s = (int(x) for x in args.audio.split(":"))
-        fleet.enable_audio(b, s)
-        fleet.on_audio_data.append(
-            lambda *a: pcm_out.__setitem__(0, pcm_out[0] + len(a[2])))
+    pcm_out, scraper = _attach_common(fleet, args)
 
     off = fleet.find_alignment(head_u8)
     if off is None:
@@ -176,6 +188,8 @@ def _serve_stream(args):
         if args.max_rounds and rounds_done >= args.max_rounds:
             break
     fleet.flush()
+    if scraper is not None:
+        scraper.close()
     _emit_summary(fleet, args, pcm_out, [off] * N)
     return 0
 
@@ -203,6 +217,9 @@ def main(argv=None):
                          "rounds")
     ap.add_argument("--audio", default=None,
                     help="decode audio for 'stream:sub' (e.g. 0:0)")
+    ap.add_argument("--scraper-output", default=None,
+                    help="write per-(stream,sub) bitstreams / MOT files / "
+                         "WAVs (for --audio channels) under this directory")
     ap.add_argument("--snapshot-out", default=None,
                     help="write the fleet decode state (device carry, "
                          "databases, byte-layer sync) here at exit")
@@ -265,12 +282,7 @@ def main(argv=None):
                            frames_per_step=args.frames_per_step,
                            subchannel_kinds=kinds)
 
-    pcm_out = [0]
-    if args.audio:
-        b, s = (int(x) for x in args.audio.split(":"))
-        fleet.enable_audio(b, s)
-        fleet.on_audio_data.append(
-            lambda *a: pcm_out.__setitem__(0, pcm_out[0] + len(a[2])))
+    pcm_out, scraper = _attach_common(fleet, args)
 
     # cold-start alignment per stream (once for identical shared input;
     # resumed runs reuse the checkpointed offsets so the round grid lands
@@ -304,6 +316,8 @@ def main(argv=None):
             else None
         fleet.process_round(blk, defer_fetch=True, tail_u8=tail)
     fleet.flush()
+    if scraper is not None:
+        scraper.close()
     _emit_summary(fleet, args, pcm_out, offsets)
     return 0
 

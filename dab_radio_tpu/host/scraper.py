@@ -133,3 +133,43 @@ class Scraper:
     def close(self):
         for cs in self.channels.values():
             cs.close()
+
+
+class FleetScraper:
+    """Serving-path scraper: attach to a FusedFleet — one ChannelScraper
+    per (stream, subchannel) under root/stream_<b>/subchannel_<s>.
+
+    The fused byte layer ships bitstreams downstream without X-PAD
+    decode, so dynamic labels / PAD slideshows are not scraped here (use
+    the dynamic path for those); what lands on disk: per-subchannel
+    AAC(ADTS)/MP2 bitstreams, MOT entities from packet-mode subchannels,
+    and WAV audio for channels enabled via FusedFleet.enable_audio."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.channels: Dict[tuple, ChannelScraper] = {}
+
+    def attach(self, fleet):
+        for b in range(fleet.N):
+            for s in range(fleet.S):
+                k = fleet._kinds[b][s]
+                kind = {"audio": "dab+", "mp2": "dab"}.get(k, "packet") \
+                    if not isinstance(k, tuple) else "packet"
+                cs = ChannelScraper(
+                    os.path.join(self.root, f"stream_{b}"), s, kind)
+                self.channels[(b, s)] = cs
+                if kind == "packet":
+                    fleet._sfp[b][s].mot.on_entity.append(cs.on_mot_entity)
+        fleet.on_access_unit.append(
+            lambda b, s, i, n, au, hdr:
+            self.channels[(b, s)].on_access_unit(i, n, au, hdr))
+        fleet.on_mp2_frame.append(
+            lambda b, s, frame: self.channels[(b, s)].on_mp2_frame(frame))
+        fleet.on_audio_data.append(
+            lambda b, s, pcm, rate, nch:
+            self.channels[(b, s)].on_pcm(pcm, rate, nch))
+
+    def close(self):
+        for cs in self.channels.values():
+            cs.close()

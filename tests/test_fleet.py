@@ -409,6 +409,41 @@ def test_fused_fleet_reset_reproduces_fresh_decode():
     assert fleet.receivers[0].db.ensemble.label == "TPU Ensemble"
 
 
+def test_fleet_scraper_serving_disk_tree(tmp_path):
+    """FleetScraper: the serving-path disk sink — per-(stream,sub)
+    AAC(ADTS) bitstreams and WAV audio for enable_audio'd channels under
+    stream_<b>/subchannel_<s>/ (reference basic_scraper tree, fused
+    edition)."""
+    from dab_radio_tpu.host.scraper import FleetScraper
+    from dab_radio_tpu.models.fused_fleet import FusedFleet
+    from dab_radio_tpu.params import SubchannelConfig
+
+    iq = _api_iq()
+    cfgs = [SubchannelConfig(0, 48, False, eep_type="A", eep_prot_level=2),
+            SubchannelConfig(48, 48, False, eep_type="A", eep_prot_level=2)]
+    fleet = FusedFleet(2, cfgs, transmission_mode=1, frames_per_step=4)
+    fleet.enable_audio(0, 0)
+    scraper = FleetScraper(str(tmp_path))
+    scraper.attach(fleet)
+    chunk = 2 * fleet.round_samples
+    for r in range(iq.shape[0] // chunk):
+        fleet.process_round(
+            np.tile(iq[r * chunk:(r + 1) * chunk][None], (2, 1)))
+    scraper.close()
+
+    for b in (0, 1):
+        for s in (0, 1):
+            p = tmp_path / f"stream_{b}" / f"subchannel_{s}" / "stream.aac"
+            assert p.exists() and p.stat().st_size > 1000, p
+    wavs = list((tmp_path / "stream_0" / "subchannel_0").glob("*.wav"))
+    assert wavs and wavs[0].stat().st_size > 44
+    # packet-mode subchannels get their MOT hook at attach time
+    pf = FusedFleet(1, cfgs[:1], transmission_mode=1, frames_per_step=4,
+                    subchannel_kinds=[("packet", 2, 0)])
+    FleetScraper(str(tmp_path / "pkt")).attach(pf)
+    assert pf._sfp[0][0].mot.on_entity
+
+
 def test_channel_snapshot_restores_internal_mot_wiring():
     """MOTProcessor.__getstate__ drops ALL on_entity hooks (external
     observers can hold closures/file handles); a restored channel must
