@@ -73,6 +73,52 @@ def _discover(iq: np.ndarray, mode: int, max_frames: int = 8):
     return rx
 
 
+def _start_status_server(port: int):
+    """Serving observability: a daemon-thread HTTP server exposing
+    /state.json (per-stream ensembles/services + fleet totals), rebuilt
+    by the serving loop after every round — the handler only ever reads
+    a prebuilt bytes blob, so there is no cross-thread fleet access."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    box = {"json": b"{}"}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path.split("?")[0] != "/state.json":
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = box["json"]
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):                   # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, box
+
+
+def _status_blob(fleet, pcm_out) -> bytes:
+    summ = fleet.summary()
+    summ["pcm_samples"] = pcm_out[0]
+    return json.dumps({
+        "streams": [{
+            "stream": k,
+            "ensemble": f"{rx.db.ensemble.id:04X}",
+            "label": rx.db.ensemble.label,
+            "services": {f"{sid:04X}": svc.label
+                         for sid, svc in sorted(rx.db.services.items())},
+        } for k, rx in enumerate(fleet.receivers)],
+        "totals": summ,
+    }).encode()
+
+
 def _attach_common(fleet, args):
     """Audio decode + serving scraper hookup shared by the file and
     stdin paths. Returns (pcm_out counter, scraper or None)."""
@@ -87,7 +133,12 @@ def _attach_common(fleet, args):
         from ..host.scraper import FleetScraper
         scraper = FleetScraper(args.scraper_output)
         scraper.attach(fleet)
-    return pcm_out, scraper
+    srv = box = None
+    if args.port:
+        srv, box = _start_status_server(args.port)
+        print(f"# status: http://127.0.0.1:{args.port}/state.json",
+              file=sys.stderr)
+    return pcm_out, scraper, srv, box
 
 
 def _emit_summary(fleet, args, pcm_out, offsets):
@@ -155,7 +206,7 @@ def _serve_stream(args):
                            frames_per_step=args.frames_per_step,
                            subchannel_kinds=kinds)
 
-    pcm_out, scraper = _attach_common(fleet, args)
+    pcm_out, scraper, srv, box = _attach_common(fleet, args)
 
     off = fleet.find_alignment(head_u8)
     if off is None:
@@ -185,11 +236,16 @@ def _serve_stream(args):
             else np.ascontiguousarray(np.broadcast_to(tail, (N, tb))))
         del buf[:chunk]
         rounds_done += 1
+        if box is not None:
+            box["json"] = _status_blob(fleet, pcm_out)
         if args.max_rounds and rounds_done >= args.max_rounds:
             break
     fleet.flush()
     if scraper is not None:
         scraper.close()
+    if srv is not None:
+        box["json"] = _status_blob(fleet, pcm_out)
+        srv.shutdown()
     _emit_summary(fleet, args, pcm_out, [off] * N)
     return 0
 
@@ -220,6 +276,9 @@ def main(argv=None):
     ap.add_argument("--scraper-output", default=None,
                     help="write per-(stream,sub) bitstreams / MOT files / "
                          "WAVs (for --audio channels) under this directory")
+    ap.add_argument("--port", type=int, default=0,
+                    help="serve live /state.json on 127.0.0.1:PORT while "
+                         "decoding (serving observability; 0 = off)")
     ap.add_argument("--snapshot-out", default=None,
                     help="write the fleet decode state (device carry, "
                          "databases, byte-layer sync) here at exit")
@@ -282,7 +341,7 @@ def main(argv=None):
                            frames_per_step=args.frames_per_step,
                            subchannel_kinds=kinds)
 
-    pcm_out, scraper = _attach_common(fleet, args)
+    pcm_out, scraper, srv, box = _attach_common(fleet, args)
 
     # cold-start alignment per stream (once for identical shared input;
     # resumed runs reuse the checkpointed offsets so the round grid lands
@@ -315,9 +374,14 @@ def main(argv=None):
         tail = np.stack(tails) if all(t.shape[0] == tb for t in tails) \
             else None
         fleet.process_round(blk, defer_fetch=True, tail_u8=tail)
+        if box is not None:
+            box["json"] = _status_blob(fleet, pcm_out)
     fleet.flush()
     if scraper is not None:
         scraper.close()
+    if srv is not None:
+        box["json"] = _status_blob(fleet, pcm_out)
+        srv.shutdown()
     _emit_summary(fleet, args, pcm_out, offsets)
     return 0
 

@@ -370,6 +370,57 @@ def test_fleet_serve_stdin_stream(tmp_path):
 
 
 @pytest.mark.slow
+def test_fleet_serve_status_endpoint(tmp_path):
+    """fleet_serve --port: live /state.json observability while serving a
+    stdin stream — per-stream ensembles/services + fleet totals update as
+    rounds complete."""
+    import json as json_mod
+    import socket
+    import time
+    import urllib.request
+    r = _run(["dab_radio_tpu.apps.simulate_transmitter", "--payload",
+              "ensemble", "--services", "2", "-n", "24", "-F", "u8"],
+             timeout=400)
+    iq = r.stdout
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "dab_radio_tpu.apps.fleet_serve", "-i", "-",
+         "--streams", "2", "--subchannels", "0:48:EEP3A,48:48:EEP3A",
+         "--frames-per-step", "4", "--port", str(port)],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, env=ENV, cwd=REPO)
+    try:
+        proc.stdin.write(iq)        # stream in, keep the pipe OPEN
+        proc.stdin.flush()
+        state = None
+        for _ in range(240):        # poll until rounds land (compile lag)
+            time.sleep(1)
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/state.json",
+                        timeout=5) as resp:
+                    state = json_mod.loads(resp.read())
+            except OSError:
+                continue
+            if state.get("totals", {}).get("rounds", 0) > 0 \
+                    and state["totals"].get("services", 0) == 4:
+                break
+        assert state is not None and state["totals"]["rounds"] > 0, state
+        assert state["totals"]["services"] == 4
+        assert state["streams"][0]["ensemble"] == "C0FE"
+        assert "Radio TPU 1" in str(state["streams"][1]["services"])
+    finally:
+        proc.stdin.close()          # EOF ends the serving loop
+        proc.stdin = None           # communicate() must not re-flush it
+        out, err = proc.communicate(timeout=120)
+    assert proc.returncode == 0, err.decode()[-500:]
+    total = json_mod.loads(out.decode().splitlines()[-1])
+    assert total["access_units"] > 0
+
+
+@pytest.mark.slow
 def test_fleet_serve_snapshot_resume_cli(tmp_path):
     """fleet_serve --snapshot-out / --resume: the serving checkpoint at
     the CLI surface. A run split across two processes must end with the
