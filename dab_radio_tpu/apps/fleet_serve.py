@@ -141,7 +141,37 @@ def _attach_common(fleet, args):
     return pcm_out, scraper, srv, box
 
 
-def _emit_summary(fleet, args, pcm_out, offsets):
+class _DriftAnchor:
+    """Applies FusedFleet.drift_correction to the host read grid: when a
+    stream's final-frame fine-time offset exceeds the noise floor, the
+    next round starts that many samples later (or earlier), exactly as
+    the dynamic path's per-frame pointer advance — then a 2-round
+    cooldown lets post-correction offsets flow through the deferred
+    fetch before correcting again."""
+
+    THRESHOLD = 16          # samples; clean-signal estimates jitter ~1-2
+
+    def __init__(self, n):
+        self.cool = [0] * n
+        self.total = [0] * n
+
+    def corrections(self, offsets):
+        """-> per-stream byte deltas to add to each read position."""
+        out = []
+        for k, off in enumerate(offsets):
+            if self.cool[k] > 0:
+                self.cool[k] -= 1
+                out.append(0)
+            elif abs(int(off)) >= self.THRESHOLD:
+                self.cool[k] = 2
+                self.total[k] += int(off)
+                out.append(2 * int(off))
+            else:
+                out.append(0)
+        return out
+
+
+def _emit_summary(fleet, args, pcm_out, offsets, anchor=None, pos=None):
     for k, rx in enumerate(fleet.receivers):
         db = rx.db
         print(json.dumps({
@@ -154,11 +184,14 @@ def _emit_summary(fleet, args, pcm_out, offsets):
     summ = fleet.summary()
     if args.audio:
         summ["pcm_samples"] = pcm_out[0]
+    if anchor is not None and any(anchor.total):
+        summ["drift_corrected_samples"] = anchor.total
     print(json.dumps(summ))
     if args.snapshot_out:
         import pickle
         with open(args.snapshot_out, "wb") as f:
-            pickle.dump({"fleet": fleet.snapshot(), "offsets": offsets}, f)
+            pickle.dump({"fleet": fleet.snapshot(), "offsets": offsets,
+                         "pos": pos}, f)
         print(f"# snapshot written to {args.snapshot_out}", file=sys.stderr)
 
 
@@ -216,6 +249,7 @@ def _serve_stream(args):
     chunk = 2 * fleet.round_samples
     tb = fleet.tail_bytes
     buf = bytearray(head[off:])
+    anchor = _DriftAnchor(1)       # one stdin stream feeds all N copies
     rounds_done = 0
     eof = False
     while True:
@@ -234,7 +268,10 @@ def _serve_stream(args):
             np.broadcast_to(blk, (N, chunk)), defer_fetch=True,
             tail_u8=None if tail is None
             else np.ascontiguousarray(np.broadcast_to(tail, (N, tb))))
-        del buf[:chunk]
+        # drift re-anchor: positive offset skips bytes, negative re-reads
+        # from the still-buffered tail (|correction| << chunk)
+        corr = anchor.corrections(fleet.drift_correction[:1])[0]
+        del buf[:max(chunk + corr, 0)]
         rounds_done += 1
         if box is not None:
             box["json"] = _status_blob(fleet, pcm_out)
@@ -246,7 +283,7 @@ def _serve_stream(args):
     if srv is not None:
         box["json"] = _status_blob(fleet, pcm_out)
         srv.shutdown()
-    _emit_summary(fleet, args, pcm_out, [off] * N)
+    _emit_summary(fleet, args, pcm_out, [off] * N, anchor=anchor)
     return 0
 
 
@@ -363,17 +400,32 @@ def main(argv=None):
         offsets.append(off)
     aligned = [s[off:] for s, off in zip(streams, offsets)]
     chunk = 2 * fleet.round_samples
-    rounds = min(s.shape[0] for s in aligned) // chunk
-    if args.max_rounds:
-        rounds = min(rounds, fleet.total_rounds + args.max_rounds)
     tb = fleet.tail_bytes
-    for r in range(fleet.total_rounds, rounds):
-        blk = np.stack([s[r * chunk:(r + 1) * chunk] for s in aligned])
+    # per-stream read positions: resumed runs restore theirs (incl. any
+    # past drift corrections); legacy snapshots fall back to the round grid
+    if snap is not None:
+        pos = list(snap.get("pos") or
+                   [fleet.total_rounds * chunk] * N)
+    else:
+        pos = [0] * N
+    anchor = _DriftAnchor(N)
+    done = 0
+    while True:
+        if args.max_rounds and done >= args.max_rounds:
+            break
+        if any(p + chunk > s.shape[0] for p, s in zip(pos, aligned)):
+            break
+        blk = np.stack([s[p:p + chunk] for p, s in zip(pos, aligned)])
         # next round's head feeds the final frame's timing margin
-        tails = [s[(r + 1) * chunk:(r + 1) * chunk + tb] for s in aligned]
+        tails = [s[p + chunk:p + chunk + tb] for p, s in zip(pos, aligned)]
         tail = np.stack(tails) if all(t.shape[0] == tb for t in tails) \
             else None
         fleet.process_round(blk, defer_fetch=True, tail_u8=tail)
+        done += 1
+        # sample-clock drift re-anchor (the dynamic path's pointer
+        # advance, at round granularity)
+        for k, c in enumerate(anchor.corrections(fleet.drift_correction)):
+            pos[k] += chunk + c
         if box is not None:
             box["json"] = _status_blob(fleet, pcm_out)
     fleet.flush()
@@ -382,7 +434,7 @@ def main(argv=None):
     if srv is not None:
         box["json"] = _status_blob(fleet, pcm_out)
         srv.shutdown()
-    _emit_summary(fleet, args, pcm_out, offsets)
+    _emit_summary(fleet, args, pcm_out, offsets, anchor=anchor, pos=pos)
     return 0
 
 

@@ -117,13 +117,15 @@ class FusedFleet:
             return (b * w).sum(-1).astype(jnp.uint8)
 
         self._pack = jax.jit(
-            lambda o: (_pack(o["fib_bits"]), _pack(o["msc_bits"])))
+            lambda o: (_pack(o["fib_bits"]), _pack(o["msc_bits"]),
+                       o["offsets"][:, -1]))
         nbl = self.step.msc_nb_data_bits
         self._nbytes = [[n // 8 for n in
                          (nbl[b] if self.step.per_stream else nbl)]
                         for b in range(self.N)]
         self._pending: Optional[tuple] = None
         self._init_state = (self._carry, self._hist)
+        self.last_frame_offsets = np.zeros(self.N, np.int64)
 
     def _make_procs(self):
         """Fresh per-(stream, sub) byte-layer processors: superframe
@@ -244,6 +246,7 @@ class FusedFleet:
             dec.close()
         self._decoders = {}
         self._pending = None
+        self.last_frame_offsets = np.zeros(self.N, np.int64)
         self.total_rounds = 0
         self.total_aus = 0
         self.total_data_groups = 0
@@ -363,16 +366,36 @@ class FusedFleet:
         if defer_fetch:
             prev, self._pending = self._pending, packed
             if prev is not None:
-                self._consume(np.asarray(prev[0]), np.asarray(prev[1]))
+                self._materialize(prev)
         else:
-            self._consume(np.asarray(packed[0]), np.asarray(packed[1]))
+            self._materialize(packed)
         self.total_rounds += 1
+
+    def _materialize(self, packed):
+        fib, msc, offs = packed
+        self.last_frame_offsets = np.asarray(offs).astype(np.int64)
+        self._consume(np.asarray(fib), np.asarray(msc))
+
+    @property
+    def drift_correction(self) -> np.ndarray:
+        """Per-stream sample-clock re-anchor hint: each stream's FINAL
+        frame fine-time offset from the most recently materialized round
+        (one round stale under defer_fetch — drift is slow). A long-
+        running server must advance its read grid by this many SAMPLES
+        (2x bytes of u8 IQ) when the magnitude grows past noise (~16):
+        the fused window only absorbs [-CP, +one symbol] = [-504, +2552]
+        of accumulated drift in mode I, which a real SDR's ~20 ppm clock
+        error (~41 samples/s) exhausts in about a minute. This is the
+        serving analog of the dynamic path's per-frame pointer advance
+        (StreamingDemodulator: pos += offset). fleet_serve applies it
+        automatically with a 2-round cooldown."""
+        return self.last_frame_offsets
 
     def flush(self):
         """Consume any round still deferred."""
         if self._pending is not None:
             prev, self._pending = self._pending, None
-            self._consume(np.asarray(prev[0]), np.asarray(prev[1]))
+            self._materialize(prev)
 
     # ---- host byte layer -------------------------------------------------
 

@@ -70,8 +70,12 @@ def make_timesharded_demod(demod: OFDMDemodulator, mesh: Mesh,
     (i.e. the next block's head). With a zero tail, a positive fine-time
     offset (real RX/TX sample-clock drift) would read garbage for the last
     frame of every block. Returns a jitted fn (carry, iq, tail) ->
-    (carry, bits) where carry has (B, n_time) leading dims (each shard
-    tracks its own steady-state sync).
+    (carry, bits, offsets) where carry has (B, n_time) leading dims (each
+    shard tracks its own steady-state sync) and offsets (B, n_time, f_loc)
+    are each frame's measured fine-time offset — the host's drift
+    re-anchor signal (the window absorbs [-CP, +margin] of accumulated
+    drift; a serving loop must advance its read grid by the reported
+    offset before that span exhausts, FusedFleet.drift_correction).
 
     block_tracking=True is the serving fast path: all frames_per_shard
     frames demodulate as ONE vmap batch using the block-start sync state,
@@ -114,6 +118,7 @@ def make_timesharded_demod(demod: OFDMDemodulator, mesh: Mesh,
                 ).reshape(B_loc * f_loc, *x.shape[1:]), carry)
             c_out, out = jax.vmap(demod._frame_step_impl)(c_rep, wins)
             bits = out["bits"].reshape(B_loc, f_loc, -1)
+            offs = out["offset"].reshape(B_loc, f_loc)
             carry = jax.tree.map(
                 lambda x: x.reshape(B_loc, f_loc, *x.shape[1:])[:, -1],
                 c_out)
@@ -122,17 +127,20 @@ def make_timesharded_demod(demod: OFDMDemodulator, mesh: Mesh,
                 win = jax.lax.dynamic_slice_in_dim(
                     ext, f * fs, demod.window_len, 1)
                 c, out = jax.vmap(demod._frame_step_impl)(c, win)
-                return c, out["bits"]
+                return c, (out["bits"], out["offset"])
 
-            carry, bits = jax.lax.scan(step, carry, jnp.arange(f_loc))
+            carry, (bits, offs) = jax.lax.scan(step, carry,
+                                               jnp.arange(f_loc))
             bits = jnp.moveaxis(bits, 0, 1)        # (B_loc, f_loc, nbits)
+            offs = jnp.moveaxis(offs, 0, 1)        # (B_loc, f_loc)
         carry = jax.tree.map(lambda x: x[:, None], carry)
-        return carry, bits[:, None]                # (B_loc, 1, f_loc, nbits)
+        return carry, bits[:, None], offs[:, None]
 
     sharded = shard_map(
         local_demod, mesh=mesh,
         in_specs=(P("ens", "time"), P("ens", "time"), P("ens", None, None)),
-        out_specs=(P("ens", "time"), P("ens", "time", None, None)),
+        out_specs=(P("ens", "time"), P("ens", "time", None, None),
+                   P("ens", "time", None)),
         check_vma=False,
     )
 
@@ -296,7 +304,7 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
             if tail is not None:
                 tail = ((tail.astype(jnp.float32) - 127.5) * (1.0 / 127.5)
                         ).reshape(tail.shape[0], -1, 2)
-        carry, bits = demod_fn(carry, iq, tail)     # (B, n_time, f_loc, nb)
+        carry, bits, offs = demod_fn(carry, iq, tail)  # (B, n_time, f_loc, nb)
         # gather the time shards: frames are decoded ensemble-parallel
         frames = jax.lax.with_sharding_constraint(
             bits.reshape(B, F, dab.nb_frame_bits),
@@ -373,6 +381,10 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
         return carry, deint_hist, {
             "fib_bits": fib_bits, "msc_bits": msc_bits,
             "fic_err": fic_err, "msc_err": msc_err,
+            # per-frame fine-time offsets: the host serving loop's
+            # sample-clock drift re-anchor signal (frame order = stream
+            # order across the time shards)
+            "offsets": offs.reshape(B, F),
         }
 
     fs = demod.params.nb_frame_samples

@@ -370,6 +370,37 @@ def test_fleet_serve_stdin_stream(tmp_path):
 
 
 @pytest.mark.slow
+def test_fleet_serve_drift_reanchor(tmp_path):
+    """Sample-clock drift robustness: 600 extra samples injected
+    mid-capture (the accumulated drift of a real SDR's clock error) push
+    the frame grid off the fused round boundaries; fleet_serve must
+    detect the growing fine-time offset and re-anchor its read grid (the
+    dynamic path's pointer advance), keeping the later rounds decoding
+    and reporting the correction."""
+    import json as json_mod
+    r = _run(["dab_radio_tpu.apps.simulate_transmitter", "--payload",
+              "ensemble", "--services", "2", "-n", "26", "-F", "u8"],
+             timeout=400)
+    iq = np.frombuffer(r.stdout, np.uint8)
+    X = 8 * 196608 * 2                   # after 8 mode-I frames
+    drifted = np.concatenate([iq[:X], iq[X - 1200:X], iq[X:]])
+    path = tmp_path / "drift.u8"
+    drifted.tofile(path)
+    r2 = _run(["dab_radio_tpu.apps.fleet_serve", "-i", str(path),
+               "--subchannels", "0:48:EEP3A,48:48:EEP3A",
+               "--frames-per-step", "4"], timeout=400)
+    assert r2.returncode == 0, r2.stderr.decode()[-500:]
+    total = json_mod.loads(r2.stdout.decode().splitlines()[-1])
+    corrected = sum(total.get("drift_corrected_samples", [0]))
+    assert 500 <= corrected <= 700, total
+    # decode continued past the drift event: a clean 6-round single-
+    # stream run of this capture yields 96 AUs; the corrupted straddle
+    # superframe may drop a few
+    assert total["access_units"] >= 80, total
+    assert total["services"] == 2
+
+
+@pytest.mark.slow
 def test_fleet_serve_status_endpoint(tmp_path):
     """fleet_serve --port: live /state.json observability while serving a
     stdin stream — per-stream ensembles/services + fleet totals update as

@@ -47,7 +47,7 @@ def test_timesharded_demod_matches_sequential():
         signal_l1_avg=jnp.full((B, n_time), 0.5, jnp.float32))
     iq_sharded = jax.device_put(jnp.asarray(iq_pairs(iq)),
                                 NamedSharding(mesh, P("ens", "time")))
-    carry2, bits = fn(carry, iq_sharded)
+    carry2, bits, _ = fn(carry, iq_sharded)
     bits = np.asarray(bits).reshape(B, F, -1)
 
     hard = (bits > 0).astype(np.uint8)
@@ -94,7 +94,7 @@ def test_timesharded_demod_positive_offset_needs_tail():
     def run(tail_arg):
         carry = DemodCarry.init((B, n_time))._replace(
             signal_l1_avg=jnp.full((B, n_time), 0.5, jnp.float32))
-        _, bits = fn(carry, jax.device_put(
+        _, bits, _ = fn(carry, jax.device_put(
             jnp.asarray(iq_pairs(blk)),
             NamedSharding(mesh, P("ens", "time"))), tail_arg)
         return (np.asarray(bits).reshape(B, F, -1) > 0).astype(np.uint8)
@@ -294,7 +294,7 @@ def test_distributed_single_host_path():
     carry = jax.device_put(DemodCarry.init((B, n_time)),
                            jax.sharding.NamedSharding(
                                mesh, P("ens", "time")))
-    carry, bits = step(carry, garr)
+    carry, bits, _ = step(carry, garr)
     assert bits.shape[:2] == (B, n_time)
 
 
