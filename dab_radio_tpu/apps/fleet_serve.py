@@ -104,24 +104,33 @@ def _start_status_server(port: int):
     return srv, box
 
 
-def _status_blob(fleet, pcm_out) -> bytes:
+def _stream_rows(fleet):
+    return [{
+        "stream": k,
+        "ensemble": f"{rx.db.ensemble.id:04X}",
+        "label": rx.db.ensemble.label,
+        "services": {f"{sid:04X}": svc.label
+                     for sid, svc in sorted(rx.db.services.items())},
+    } for k, rx in enumerate(fleet.receivers)]
+
+
+def _totals(fleet, args, pcm_out):
     summ = fleet.summary()
-    summ["pcm_samples"] = pcm_out[0]
-    return json.dumps({
-        "streams": [{
-            "stream": k,
-            "ensemble": f"{rx.db.ensemble.id:04X}",
-            "label": rx.db.ensemble.label,
-            "services": {f"{sid:04X}": svc.label
-                         for sid, svc in sorted(rx.db.services.items())},
-        } for k, rx in enumerate(fleet.receivers)],
-        "totals": summ,
-    }).encode()
+    if args.audio:
+        summ["pcm_samples"] = pcm_out[0]
+    return summ
+
+
+def _status_blob(fleet, args, pcm_out) -> bytes:
+    return json.dumps({"streams": _stream_rows(fleet),
+                       "totals": _totals(fleet, args, pcm_out)}).encode()
 
 
 def _attach_common(fleet, args):
-    """Audio decode + serving scraper hookup shared by the file and
-    stdin paths. Returns (pcm_out counter, scraper or None)."""
+    """Audio decode + serving scraper + status-server hookup shared by
+    the file and stdin paths. Returns (pcm_out counter, scraper or None,
+    status HTTPServer or None, its state box or None) — with --port this
+    starts a network listener on 127.0.0.1 as a side effect."""
     pcm_out = [0]
     if args.audio:
         b, s = (int(x) for x in args.audio.split(":"))
@@ -172,18 +181,9 @@ class _DriftAnchor:
 
 
 def _emit_summary(fleet, args, pcm_out, offsets, anchor=None, pos=None):
-    for k, rx in enumerate(fleet.receivers):
-        db = rx.db
-        print(json.dumps({
-            "stream": k,
-            "ensemble": f"{db.ensemble.id:04X}",
-            "label": db.ensemble.label,
-            "services": {f"{sid:04X}": svc.label
-                         for sid, svc in sorted(db.services.items())},
-        }))
-    summ = fleet.summary()
-    if args.audio:
-        summ["pcm_samples"] = pcm_out[0]
+    for row in _stream_rows(fleet):
+        print(json.dumps(row))
+    summ = _totals(fleet, args, pcm_out)
     if anchor is not None and any(anchor.total):
         summ["drift_corrected_samples"] = anchor.total
     print(json.dumps(summ))
@@ -274,14 +274,14 @@ def _serve_stream(args):
         del buf[:max(chunk + corr, 0)]
         rounds_done += 1
         if box is not None:
-            box["json"] = _status_blob(fleet, pcm_out)
+            box["json"] = _status_blob(fleet, args, pcm_out)
         if args.max_rounds and rounds_done >= args.max_rounds:
             break
     fleet.flush()
     if scraper is not None:
         scraper.close()
     if srv is not None:
-        box["json"] = _status_blob(fleet, pcm_out)
+        box["json"] = _status_blob(fleet, args, pcm_out)
         srv.shutdown()
     _emit_summary(fleet, args, pcm_out, [off] * N, anchor=anchor)
     return 0
@@ -427,12 +427,12 @@ def main(argv=None):
         for k, c in enumerate(anchor.corrections(fleet.drift_correction)):
             pos[k] += chunk + c
         if box is not None:
-            box["json"] = _status_blob(fleet, pcm_out)
+            box["json"] = _status_blob(fleet, args, pcm_out)
     fleet.flush()
     if scraper is not None:
         scraper.close()
     if srv is not None:
-        box["json"] = _status_blob(fleet, pcm_out)
+        box["json"] = _status_blob(fleet, args, pcm_out)
         srv.shutdown()
     _emit_summary(fleet, args, pcm_out, offsets, anchor=anchor, pos=pos)
     return 0

@@ -388,7 +388,8 @@ class FusedFleet:
         error (~41 samples/s) exhausts in about a minute. This is the
         serving analog of the dynamic path's per-frame pointer advance
         (StreamingDemodulator: pos += offset). fleet_serve applies it
-        automatically with a 2-round cooldown."""
+        automatically with a 2-round cooldown. Desynced frames report 0
+        (no correction) — a noise burst must not move the grid."""
         return self.last_frame_offsets
 
     def flush(self):

@@ -118,7 +118,12 @@ def make_timesharded_demod(demod: OFDMDemodulator, mesh: Mesh,
                 ).reshape(B_loc * f_loc, *x.shape[1:]), carry)
             c_out, out = jax.vmap(demod._frame_step_impl)(c_rep, wins)
             bits = out["bits"].reshape(B_loc, f_loc, -1)
-            offs = out["offset"].reshape(B_loc, f_loc)
+            # desynced frames report 0 (= no correction): a noise-burst
+            # frame's offset is argmax-over-junk and must never move the
+            # host read grid (the dynamic path gates its pointer advance
+            # on sync_ok the same way, demodulator.py)
+            offs = jnp.where(out["sync_ok"], out["offset"], 0
+                             ).reshape(B_loc, f_loc)
             carry = jax.tree.map(
                 lambda x: x.reshape(B_loc, f_loc, *x.shape[1:])[:, -1],
                 c_out)
@@ -127,7 +132,9 @@ def make_timesharded_demod(demod: OFDMDemodulator, mesh: Mesh,
                 win = jax.lax.dynamic_slice_in_dim(
                     ext, f * fs, demod.window_len, 1)
                 c, out = jax.vmap(demod._frame_step_impl)(c, win)
-                return c, (out["bits"], out["offset"])
+                # sync_ok gate: see block_tracking branch
+                return c, (out["bits"],
+                           jnp.where(out["sync_ok"], out["offset"], 0))
 
             carry, (bits, offs) = jax.lax.scan(step, carry,
                                                jnp.arange(f_loc))
