@@ -180,12 +180,36 @@ class _DriftAnchor:
         return out
 
 
-def _emit_summary(fleet, args, pcm_out, offsets, anchor=None, pos=None):
+class _DesyncWatch:
+    """Failure detection for the serving loop (reference desync recovery,
+    §5.3): a locked stream passes nearly every FIB CRC; ROUNDS
+    consecutive rounds with ZERO valid FIBs mean the signal is gone
+    (retune, deep fade, hard misalignment) and trigger hard
+    re-acquisition — FusedFleet.resync() + a fresh find_alignment."""
+
+    ROUNDS = 3
+
+    def __init__(self, n):
+        self.dead = [0] * n
+        self.events = 0
+
+    def update(self, fib_ok):
+        trig = []
+        for k, nok in enumerate(fib_ok):
+            self.dead[k] = 0 if nok > 0 else self.dead[k] + 1
+            trig.append(self.dead[k] >= self.ROUNDS)
+        return trig
+
+
+def _emit_summary(fleet, args, pcm_out, offsets, anchor=None, pos=None,
+                  watch=None):
     for row in _stream_rows(fleet):
         print(json.dumps(row))
     summ = _totals(fleet, args, pcm_out)
     if anchor is not None and any(anchor.total):
         summ["drift_corrected_samples"] = anchor.total
+    if watch is not None and watch.events:
+        summ["resync_events"] = watch.events
     print(json.dumps(summ))
     if args.snapshot_out:
         import pickle
@@ -250,6 +274,8 @@ def _serve_stream(args):
     tb = fleet.tail_bytes
     buf = bytearray(head[off:])
     anchor = _DriftAnchor(1)       # one stdin stream feeds all N copies
+    watch = _DesyncWatch(1)
+    realign = False
     rounds_done = 0
     eof = False
     while True:
@@ -261,6 +287,19 @@ def _serve_stream(args):
             buf += data
         if len(buf) < chunk:
             break
+        if realign:
+            # hard re-acquisition after a detected desync: null-dip
+            # search over the buffered data for the new frame grid
+            off2 = fleet.find_alignment(
+                np.frombuffer(bytes(buf), np.uint8))
+            if off2 is None:
+                del buf[:max(len(buf) - tb, 1)]   # slide the window on
+                continue
+            del buf[:off2]
+            realign = False
+            print(f"# re-acquired frame sync (round {rounds_done})",
+                  file=sys.stderr)
+            continue                              # refill from new grid
         blk = np.frombuffer(bytes(buf[:chunk]), np.uint8)
         tail = np.frombuffer(bytes(buf[chunk:chunk + tb]), np.uint8) \
             if len(buf) >= chunk + tb else None
@@ -273,6 +312,13 @@ def _serve_stream(args):
         corr = anchor.corrections(fleet.drift_correction[:1])[0]
         del buf[:max(chunk + corr, 0)]
         rounds_done += 1
+        if watch.update(fleet.last_fib_ok[:1])[0]:
+            print(f"# stream desync at round {rounds_done}: re-acquiring",
+                  file=sys.stderr)
+            fleet.resync()
+            watch.dead[0] = 0
+            watch.events += 1
+            realign = True
         if box is not None:
             box["json"] = _status_blob(fleet, args, pcm_out)
         if args.max_rounds and rounds_done >= args.max_rounds:
@@ -283,7 +329,8 @@ def _serve_stream(args):
     if srv is not None:
         box["json"] = _status_blob(fleet, args, pcm_out)
         srv.shutdown()
-    _emit_summary(fleet, args, pcm_out, [off] * N, anchor=anchor)
+    _emit_summary(fleet, args, pcm_out, [off] * N, anchor=anchor,
+                  watch=watch)
     return 0
 
 
@@ -409,6 +456,7 @@ def main(argv=None):
     else:
         pos = [0] * N
     anchor = _DriftAnchor(N)
+    watch = _DesyncWatch(N)
     done = 0
     while True:
         if args.max_rounds and done >= args.max_rounds:
@@ -426,6 +474,26 @@ def main(argv=None):
         # advance, at round granularity)
         for k, c in enumerate(anchor.corrections(fleet.drift_correction)):
             pos[k] += chunk + c
+        trig = watch.update(fleet.last_fib_ok)
+        if any(trig):
+            # hard re-acquisition: device decode state resets fleet-wide
+            # (locked streams re-lock within a frame or two, CRC-gated);
+            # dead streams rescan for their frame grid from here
+            print(f"# desync on stream(s) "
+                  f"{[k for k, t in enumerate(trig) if t]} at round "
+                  f"{done}: re-acquiring", file=sys.stderr)
+            fleet.resync()
+            watch.events += 1
+            for k, t in enumerate(trig):
+                watch.dead[k] = 0
+                if not t:
+                    continue
+                seg = aligned[k][pos[k]:pos[k] + 2 * 12 * fleet.fs]
+                off2 = fleet.find_alignment(seg)
+                if off2 is None:
+                    pos[k] += max(seg.shape[0] - tb, 1)   # slide on
+                else:
+                    pos[k] += off2
         if box is not None:
             box["json"] = _status_blob(fleet, args, pcm_out)
     fleet.flush()
@@ -434,7 +502,8 @@ def main(argv=None):
     if srv is not None:
         box["json"] = _status_blob(fleet, args, pcm_out)
         srv.shutdown()
-    _emit_summary(fleet, args, pcm_out, offsets, anchor=anchor, pos=pos)
+    _emit_summary(fleet, args, pcm_out, offsets, anchor=anchor, pos=pos,
+                  watch=watch)
     return 0
 
 

@@ -126,6 +126,7 @@ class FusedFleet:
         self._pending: Optional[tuple] = None
         self._init_state = (self._carry, self._hist)
         self.last_frame_offsets = np.zeros(self.N, np.int64)
+        self.last_fib_ok = np.zeros(self.N, np.int64)
 
     def _make_procs(self):
         """Fresh per-(stream, sub) byte-layer processors: superframe
@@ -247,6 +248,7 @@ class FusedFleet:
         self._decoders = {}
         self._pending = None
         self.last_frame_offsets = np.zeros(self.N, np.int64)
+        self.last_fib_ok = np.zeros(self.N, np.int64)
         self.total_rounds = 0
         self.total_aus = 0
         self.total_data_groups = 0
@@ -392,6 +394,21 @@ class FusedFleet:
         (no correction) — a noise burst must not move the grid."""
         return self.last_frame_offsets
 
+    def resync(self):
+        """Hard re-acquisition (reference desync recovery, serving
+        edition): reset the DEVICE decode state — demod sync carry and
+        deinterleaver history — while keeping databases, byte-layer
+        processors, codecs, counters and the compiled program. Call
+        after re-aligning the stream (find_alignment) when the signal
+        was lost outright (retune, deep fade): the stale carry's
+        coarse-CFO/timing estimates would otherwise fight the new
+        signal. Superframe/packet sync machines re-sync themselves; the
+        16-CIF deinterleaver warm-up garbage is CRC-gated as usual."""
+        self._carry, self._hist = self._init_state
+        self._pending = None
+        self.last_frame_offsets = np.zeros(self.N, np.int64)
+        self.last_fib_ok = np.zeros(self.N, np.int64)
+
     def flush(self):
         """Consume any round still deferred."""
         if self._pending is not None:
@@ -405,6 +422,10 @@ class FusedFleet:
         fibs = fib_bytes.reshape(B, F, -1, 32)
         ok = crc16_check_batch(fibs.reshape(-1, 32)) \
             .reshape(B, F, fibs.shape[2])
+        # per-stream signal-health metric for the serving loop's desync
+        # detector: valid FIBs in this round (a locked stream passes
+        # nearly all; a desynced/retuned one passes none)
+        self.last_fib_ok = ok.reshape(B, -1).sum(axis=1)
         for b in range(self.N):
             for f in range(F):
                 self.receivers[b].ingest_fibs(

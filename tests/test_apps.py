@@ -401,6 +401,38 @@ def test_fleet_serve_drift_reanchor(tmp_path):
 
 
 @pytest.mark.slow
+def test_fleet_serve_desync_reacquire(tmp_path):
+    """Hard desync recovery (reference §5.3 failure detection, serving
+    edition): mid-stream the signal is replaced by noise and re-enters at
+    an arbitrary misalignment (a retune). The serving loop must detect
+    the dead FIBs, resync the device state, re-acquire the new frame
+    grid and resume decoding."""
+    import json as json_mod
+    r = _run(["dab_radio_tpu.apps.simulate_transmitter", "--payload",
+              "ensemble", "--services", "2", "-n", "40", "-F", "u8"],
+             timeout=600)
+    iq = np.frombuffer(r.stdout, np.uint8)
+    fb = 196608 * 2                      # mode-I frame bytes
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, 2 * fb).astype(np.uint8)
+    stream = np.concatenate(
+        [iq[:10 * fb], noise, iq[5 * fb + 2 * 31416:]])
+    path = tmp_path / "retune.u8"
+    stream.tofile(path)
+    r2 = _run(["dab_radio_tpu.apps.fleet_serve", "-i", str(path),
+               "--subchannels", "0:48:EEP3A,48:48:EEP3A",
+               "--frames-per-step", "4"], timeout=600)
+    assert r2.returncode == 0, r2.stderr.decode()[-500:]
+    assert b"re-acquiring" in r2.stderr
+    total = json_mod.loads(r2.stdout.decode().splitlines()[-1])
+    assert total.get("resync_events", 0) >= 1, total
+    # decode resumed after the retune: the pre-desync phase alone yields
+    # ~36 AUs (2 clean rounds post-warmup); re-acquisition adds the tail
+    assert total["access_units"] >= 60, total
+    assert total["services"] == 2
+
+
+@pytest.mark.slow
 def test_fleet_serve_status_endpoint(tmp_path):
     """fleet_serve --port: live /state.json observability while serving a
     stdin stream — per-stream ensembles/services + fleet totals update as
