@@ -111,6 +111,10 @@ def _stream_rows(fleet):
         "label": rx.db.ensemble.label,
         "services": {f"{sid:04X}": svc.label
                      for sid, svc in sorted(rx.db.services.items())},
+        # signal health from the last materialized round: valid FIB count
+        # (zero = desynced) and the measured fine-time drift in samples
+        "fib_ok": int(fleet.last_fib_ok[k]),
+        "drift": int(fleet.drift_correction[k]),
     } for k, rx in enumerate(fleet.receivers)]
 
 
