@@ -18,6 +18,12 @@ raw interleaved uint8 IQ (host array or device array — pass device-
 resident slices to keep ingest off the host link). FIBs flow into each
 stream's DabReceiver (database/labels), superframe AUs fire
 `on_access_unit(stream, subchannel, au_index, n_aus, au, header)`.
+
+Long-running serving contract: watch `drift_correction` and advance the
+read grid by it (sample-clock drift re-anchor), watch `last_fib_ok` for
+sustained zeros and then `resync()` + `find_alignment` (hard desync
+recovery), and `snapshot()`/`from_snapshot()` to checkpoint/migrate —
+apps/fleet_serve.py implements all three loops.
 """
 
 from typing import Callable, List, Optional
