@@ -82,16 +82,26 @@ def _start_status_server(port: int):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     box = {"json": b"{}"}
+    page = (b"<!doctype html><title>fleet_serve</title>"
+            b"<h1>fleet_serve live status</h1><pre id=s>loading...</pre>"
+            b"<script>async function t(){const r=await fetch('/state.json');"
+            b"document.getElementById('s').textContent="
+            b"JSON.stringify(await r.json(),null,2)}"
+            b"t();setInterval(t,2000)</script>")
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
-            if self.path.split("?")[0] != "/state.json":
+            path = self.path.split("?")[0]
+            if path == "/":
+                body, ctype = page, "text/html"
+            elif path == "/state.json":
+                body, ctype = box["json"], "application/json"
+            else:
                 self.send_response(404)
                 self.end_headers()
                 return
-            body = box["json"]
             self.send_response(200)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)

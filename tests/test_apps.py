@@ -474,6 +474,10 @@ def test_fleet_serve_status_endpoint(tmp_path):
         assert state["totals"]["services"] == 4
         assert state["streams"][0]["ensemble"] == "C0FE"
         assert "Radio TPU 1" in str(state["streams"][1]["services"])
+        assert state["streams"][0]["fib_ok"] > 0       # signal health row
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=5) as resp:
+            assert b"fleet_serve live status" in resp.read()
     finally:
         proc.stdin.close()          # EOF ends the serving loop
         proc.stdin = None           # communicate() must not re-flush it
