@@ -401,6 +401,34 @@ def test_fleet_serve_drift_reanchor(tmp_path):
 
 
 @pytest.mark.slow
+def test_fleet_serve_under_cfo(tmp_path):
+    """Serving under carrier frequency offset: a 1.7 kHz CFO (past one
+    1 kHz subcarrier spacing, forcing the coarse+fine estimators) through
+    apply_frequency_shift must not stop the fused serving path — the
+    sharded demod tracks CFO in its carry exactly like the dynamic
+    path."""
+    import json as json_mod
+    r = _run(["dab_radio_tpu.apps.simulate_transmitter", "--payload",
+              "ensemble", "--services", "2", "-n", "24", "-F", "u8"],
+             timeout=400)
+    r2 = _run(["dab_radio_tpu.apps.apply_frequency_shift", "-f", "1700"],
+              stdin=r.stdout, timeout=200)
+    assert r2.returncode == 0
+    path = tmp_path / "cfo.u8"
+    path.write_bytes(r2.stdout)
+    r3 = _run(["dab_radio_tpu.apps.fleet_serve", "-i", str(path),
+               "--subchannels", "0:48:EEP3A,48:48:EEP3A",
+               "--frames-per-step", "4"], timeout=400)
+    assert r3.returncode == 0, r3.stderr.decode()[-500:]
+    total = json_mod.loads(r3.stdout.decode().splitlines()[-1])
+    # clean capture yields 96 AUs over 6 rounds; CFO costs at most the
+    # acquisition rounds
+    assert total["access_units"] >= 60, total
+    assert total["services"] == 2
+    assert total.get("resync_events", 0) == 0, total
+
+
+@pytest.mark.slow
 def test_fleet_serve_desync_reacquire(tmp_path):
     """Hard desync recovery (reference §5.3 failure detection, serving
     edition): mid-stream the signal is replaced by noise and re-enters at
