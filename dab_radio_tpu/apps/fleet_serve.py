@@ -147,8 +147,9 @@ def _attach_common(fleet, args):
     starts a network listener on 127.0.0.1 as a side effect."""
     pcm_out = [0]
     if args.audio:
-        b, s = (int(x) for x in args.audio.split(":"))
-        fleet.enable_audio(b, s)
+        for pair in args.audio.split(","):
+            b, s = (int(x) for x in pair.split(":"))
+            fleet.enable_audio(b, s)
         fleet.on_audio_data.append(
             lambda *a: pcm_out.__setitem__(0, pcm_out[0] + len(a[2])))
     scraper = None
@@ -370,7 +371,8 @@ def main(argv=None):
                     help="stop after this many (additional, when resuming) "
                          "rounds")
     ap.add_argument("--audio", default=None,
-                    help="decode audio for 'stream:sub' (e.g. 0:0)")
+                    help="decode audio for 'stream:sub[,stream:sub...]' "
+                         "(e.g. 0:0 or 0:0,1:1)")
     ap.add_argument("--scraper-output", default=None,
                     help="write per-(stream,sub) bitstreams / MOT files / "
                          "WAVs (for --audio channels) under this directory")
