@@ -179,6 +179,13 @@ class _DriftAnchor:
         self.cool = [0] * n
         self.total = [0] * n
 
+    def state(self):
+        return {"cool": list(self.cool), "total": list(self.total)}
+
+    def restore(self, st):
+        self.cool = list(st["cool"])
+        self.total = list(st["total"])
+
     def corrections(self, offsets):
         """-> per-stream byte deltas to add to each read position."""
         out = []
@@ -200,24 +207,61 @@ class _DesyncWatch:
     §5.3): a locked stream passes nearly every FIB CRC; ROUNDS
     consecutive rounds with ZERO valid FIBs mean the signal is gone
     (retune, deep fade, hard misalignment) and trigger hard
-    re-acquisition — FusedFleet.resync() + a fresh find_alignment."""
+    re-acquisition — FusedFleet.resync() + a fresh find_alignment.
+
+    A stream whose re-acquisition fails MAX_FAILED times in a row is
+    DISARMED (resync() resets the device state fleet-wide, so a
+    permanently dead input must not keep punishing the healthy streams);
+    one successful re-acquisition re-arms it. Callers must gate update()
+    on fleet.materialized_rounds > 0: under deferred fetch the first
+    round (and the first after every resync) reads the zero-initialized
+    fib_ok, which is staleness, not desync."""
 
     ROUNDS = 3
+    MAX_FAILED = 2
 
     def __init__(self, n):
         self.dead = [0] * n
+        self.failed = [0] * n
         self.events = 0
+
+    def state(self):
+        return {"dead": list(self.dead), "failed": list(self.failed),
+                "events": self.events}
+
+    def restore(self, st):
+        self.dead = list(st["dead"])
+        self.failed = list(st["failed"])
+        self.events = st["events"]
 
     def update(self, fib_ok):
         trig = []
         for k, nok in enumerate(fib_ok):
             self.dead[k] = 0 if nok > 0 else self.dead[k] + 1
-            trig.append(self.dead[k] >= self.ROUNDS)
+            trig.append(self.dead[k] >= self.ROUNDS
+                        and self.failed[k] < self.MAX_FAILED)
         return trig
 
+    def reacquired(self, k, ok: bool):
+        self.dead[k] = 0
+        self.failed[k] = 0 if ok else self.failed[k] + 1
+        if self.failed[k] == self.MAX_FAILED:
+            print(f"# stream {k}: re-acquisition failed {self.failed[k]}x"
+                  " in a row — desync watch disarmed for this stream",
+                  file=sys.stderr)
 
-def _emit_summary(fleet, args, pcm_out, offsets, anchor=None, pos=None,
-                  watch=None):
+
+def _finish(fleet, args, pcm_out, scraper, srv, box, offsets,
+            anchor=None, pos=None, watch=None) -> int:
+    """Common serving epilogue: consume the deferred round, close the
+    sinks/status server, print the summary, write the checkpoint."""
+    fleet.flush()
+    if scraper is not None:
+        scraper.close()
+    if srv is not None:
+        box["json"] = _status_blob(fleet, args, pcm_out)
+        srv.shutdown()
+        srv.server_close()
     for row in _stream_rows(fleet):
         print(json.dumps(row))
     summ = _totals(fleet, args, pcm_out)
@@ -230,8 +274,13 @@ def _emit_summary(fleet, args, pcm_out, offsets, anchor=None, pos=None,
         import pickle
         with open(args.snapshot_out, "wb") as f:
             pickle.dump({"fleet": fleet.snapshot(), "offsets": offsets,
-                         "pos": pos}, f)
+                         "pos": pos,
+                         "anchor": None if anchor is None
+                         else anchor.state(),
+                         "watch": None if watch is None
+                         else watch.state()}, f)
         print(f"# snapshot written to {args.snapshot_out}", file=sys.stderr)
+    return 0
 
 
 def _serve_stream(args):
@@ -253,6 +302,7 @@ def _serve_stream(args):
     head = fin.read(2 * 12 * fs)
     head_u8 = np.frombuffer(head, dtype=np.uint8)
 
+    snap = None
     if args.resume:
         import pickle
         with open(args.resume, "rb") as f:
@@ -290,6 +340,11 @@ def _serve_stream(args):
     buf = bytearray(head[off:])
     anchor = _DriftAnchor(1)       # one stdin stream feeds all N copies
     watch = _DesyncWatch(1)
+    if snap is not None:
+        if snap.get("anchor") and len(snap["anchor"]["cool"]) == 1:
+            anchor.restore(snap["anchor"])
+        if snap.get("watch") and len(snap["watch"]["dead"]) == 1:
+            watch.restore(snap["watch"])
     realign = False
     rounds_done = 0
     eof = False
@@ -305,19 +360,25 @@ def _serve_stream(args):
         if realign:
             # hard re-acquisition after a detected desync: null-dip
             # search over the buffered data for the new frame grid
+            # (a live stream keeps hunting until the signal returns)
+            mv = memoryview(buf)
             off2 = fleet.find_alignment(
-                np.frombuffer(bytes(buf), np.uint8))
+                np.frombuffer(bytes(mv[:2 * 12 * fleet.fs]), np.uint8))
+            del mv
             if off2 is None:
-                del buf[:max(len(buf) - tb, 1)]   # slide the window on
-                continue
+                del buf[:max(min(len(buf), 2 * 12 * fleet.fs) - tb, 1)]
+                continue                          # slide the window on
             del buf[:off2]
             realign = False
+            watch.reacquired(0, True)
             print(f"# re-acquired frame sync (round {rounds_done})",
                   file=sys.stderr)
             continue                              # refill from new grid
-        blk = np.frombuffer(bytes(buf[:chunk]), np.uint8)
-        tail = np.frombuffer(bytes(buf[chunk:chunk + tb]), np.uint8) \
+        mv = memoryview(buf)
+        blk = np.frombuffer(bytes(mv[:chunk]), np.uint8)
+        tail = np.frombuffer(bytes(mv[chunk:chunk + tb]), np.uint8) \
             if len(buf) >= chunk + tb else None
+        del mv
         fleet.process_round(
             np.broadcast_to(blk, (N, chunk)), defer_fetch=True,
             tail_u8=None if tail is None
@@ -327,7 +388,8 @@ def _serve_stream(args):
         corr = anchor.corrections(fleet.drift_correction[:1])[0]
         del buf[:max(chunk + corr, 0)]
         rounds_done += 1
-        if watch.update(fleet.last_fib_ok[:1])[0]:
+        if fleet.materialized_rounds > 0 \
+                and watch.update(fleet.last_fib_ok[:1])[0]:
             print(f"# stream desync at round {rounds_done}: re-acquiring",
                   file=sys.stderr)
             fleet.resync()
@@ -338,15 +400,8 @@ def _serve_stream(args):
             box["json"] = _status_blob(fleet, args, pcm_out)
         if args.max_rounds and rounds_done >= args.max_rounds:
             break
-    fleet.flush()
-    if scraper is not None:
-        scraper.close()
-    if srv is not None:
-        box["json"] = _status_blob(fleet, args, pcm_out)
-        srv.shutdown()
-    _emit_summary(fleet, args, pcm_out, [off] * N, anchor=anchor,
-                  watch=watch)
-    return 0
+    return _finish(fleet, args, pcm_out, scraper, srv, box, [off] * N,
+                   anchor=anchor, watch=watch)
 
 
 def main(argv=None):
@@ -473,6 +528,13 @@ def main(argv=None):
         pos = [0] * N
     anchor = _DriftAnchor(N)
     watch = _DesyncWatch(N)
+    if snap is not None:
+        # resumed serving must see the same drift/desync signals an
+        # uninterrupted run would (legacy snapshots: fresh state)
+        if snap.get("anchor"):
+            anchor.restore(snap["anchor"])
+        if snap.get("watch"):
+            watch.restore(snap["watch"])
     done = 0
     while True:
         if args.max_rounds and done >= args.max_rounds:
@@ -490,37 +552,34 @@ def main(argv=None):
         # advance, at round granularity)
         for k, c in enumerate(anchor.corrections(fleet.drift_correction)):
             pos[k] += chunk + c
-        trig = watch.update(fleet.last_fib_ok)
+        trig = watch.update(fleet.last_fib_ok) \
+            if fleet.materialized_rounds > 0 else [False] * N
         if any(trig):
             # hard re-acquisition: device decode state resets fleet-wide
             # (locked streams re-lock within a frame or two, CRC-gated);
-            # dead streams rescan for their frame grid from here
+            # dead streams rescan for their frame grid from here — a
+            # stream that repeatedly fails to re-acquire is disarmed so
+            # it cannot keep degrading the healthy ones
             print(f"# desync on stream(s) "
                   f"{[k for k, t in enumerate(trig) if t]} at round "
                   f"{done}: re-acquiring", file=sys.stderr)
             fleet.resync()
             watch.events += 1
             for k, t in enumerate(trig):
-                watch.dead[k] = 0
                 if not t:
+                    watch.dead[k] = 0
                     continue
                 seg = aligned[k][pos[k]:pos[k] + 2 * 12 * fleet.fs]
                 off2 = fleet.find_alignment(seg)
+                watch.reacquired(k, off2 is not None)
                 if off2 is None:
                     pos[k] += max(seg.shape[0] - tb, 1)   # slide on
                 else:
                     pos[k] += off2
         if box is not None:
             box["json"] = _status_blob(fleet, args, pcm_out)
-    fleet.flush()
-    if scraper is not None:
-        scraper.close()
-    if srv is not None:
-        box["json"] = _status_blob(fleet, args, pcm_out)
-        srv.shutdown()
-    _emit_summary(fleet, args, pcm_out, offsets, anchor=anchor, pos=pos,
-                  watch=watch)
-    return 0
+    return _finish(fleet, args, pcm_out, scraper, srv, box, offsets,
+                   anchor=anchor, pos=pos, watch=watch)
 
 
 if __name__ == "__main__":

@@ -133,6 +133,7 @@ class FusedFleet:
         self._init_state = (self._carry, self._hist)
         self.last_frame_offsets = np.zeros(self.N, np.int64)
         self.last_fib_ok = np.zeros(self.N, np.int64)
+        self.materialized_rounds = 0   # rounds whose results reached host
 
     def _make_procs(self):
         """Fresh per-(stream, sub) byte-layer processors: superframe
@@ -194,6 +195,10 @@ class FusedFleet:
             "receivers": self.receivers, "sfp": self._sfp,
             "counters": (self.total_rounds, self.total_aus,
                          self.total_data_groups, self.total_mp2_frames),
+            # signal-health state: a resumed serving loop must see the
+            # same drift/desync signals an uninterrupted one would
+            "health": (self.last_frame_offsets, self.last_fib_ok,
+                       self.materialized_rounds),
         })
 
     @classmethod
@@ -238,6 +243,9 @@ class FusedFleet:
                     p.on_data_group = [fleet._packet_relay(b, s)]
         (fleet.total_rounds, fleet.total_aus,
          fleet.total_data_groups, fleet.total_mp2_frames) = d["counters"]
+        if "health" in d:
+            (fleet.last_frame_offsets, fleet.last_fib_ok,
+             fleet.materialized_rounds) = d["health"]
         return fleet
 
     def reset(self):
@@ -255,6 +263,7 @@ class FusedFleet:
         self._pending = None
         self.last_frame_offsets = np.zeros(self.N, np.int64)
         self.last_fib_ok = np.zeros(self.N, np.int64)
+        self.materialized_rounds = 0
         self.total_rounds = 0
         self.total_aus = 0
         self.total_data_groups = 0
@@ -383,6 +392,7 @@ class FusedFleet:
         fib, msc, offs = packed
         self.last_frame_offsets = np.asarray(offs).astype(np.int64)
         self._consume(np.asarray(fib), np.asarray(msc))
+        self.materialized_rounds += 1
 
     @property
     def drift_correction(self) -> np.ndarray:
@@ -414,6 +424,7 @@ class FusedFleet:
         self._pending = None
         self.last_frame_offsets = np.zeros(self.N, np.int64)
         self.last_fib_ok = np.zeros(self.N, np.int64)
+        self.materialized_rounds = 0
 
     def flush(self):
         """Consume any round still deferred."""
