@@ -50,7 +50,8 @@ class FusedFleet:
                  subchannel_cfgs: List[SubchannelConfig],
                  transmission_mode: int = 1, frames_per_step: int = 8,
                  mesh=None, block_tracking: bool = False,
-                 subchannel_kinds=None, viterbi: str = "exact"):
+                 subchannel_kinds=None, viterbi: str = "exact",
+                 chainback: str = "sequential"):
         import jax
         import jax.numpy as jnp
         from ..parallel.mesh import (make_receiver_mesh,
@@ -59,6 +60,7 @@ class FusedFleet:
         self._cfgs_arg = subchannel_cfgs
         self._block_tracking = block_tracking
         self._viterbi = viterbi
+        self._chainback = chainback
         # per-stream heterogeneity: pass a list of per-stream cfg rows and
         # each stream decodes its OWN ensemble layout in the same program
         per_stream = bool(subchannel_cfgs) and \
@@ -81,7 +83,8 @@ class FusedFleet:
             mesh, transmission_mode, frames_per_shard=frames_per_step,
             subchannels_per_shard=subs, ensembles_per_shard=ens,
             ingest="u8", subchannel_cfgs=subchannel_cfgs,
-            block_tracking=block_tracking, viterbi=viterbi)
+            block_tracking=block_tracking, viterbi=viterbi,
+            chainback=chainback)
         # per-(stream, sub) byte-layer kind: "audio" (DAB+ superframes),
         # "mp2" (classic DAB: each logical frame IS one MP2 frame, fired
         # via on_mp2_frame + optional PCM decode), or ("packet",
@@ -190,6 +193,7 @@ class FusedFleet:
             "cfgs": self._cfgs_arg, "kinds": self._kinds,
             "block_tracking": self._block_tracking,
             "viterbi": self._viterbi,
+            "chainback": self._chainback,
             "carry": jax.device_get(self._carry),
             "hist": jax.device_get(self._hist),
             "receivers": self.receivers, "sfp": self._sfp,
@@ -216,7 +220,8 @@ class FusedFleet:
                     frames_per_step=d["K"], mesh=mesh,
                     block_tracking=d["block_tracking"],
                     subchannel_kinds=d["kinds"],
-                    viterbi=d.get("viterbi", "exact"))
+                    viterbi=d.get("viterbi", "exact"),
+                    chainback=d.get("chainback", "sequential"))
         # mesh-compat gate: the carry's leading dims are (B, n_time) — a
         # target mesh with a different 'time' axis cannot consume this
         # state (ens/sub re-factorisations keep global shapes and are fine)

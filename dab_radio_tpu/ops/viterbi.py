@@ -242,6 +242,51 @@ def _radix4_chainback_sm(decisions, state0):
     return bits_rev.reshape(2 * T2, B)
 
 
+def _chainback_parallel_sm(decisions, state0, radix_bits: int):
+    """Log-depth chainback: compose the per-step traceback pointer maps with
+    an associative scan instead of walking them sequentially.
+
+    decisions: (Tr, 64, B) uint8 ancestor indices from a state-major forward
+    pass of radix 2**radix_bits; state0: (B,) int32 traceback anchors.
+    Returns bits (Tr*radix_bits, B) int8 in forward time order —
+    bit-identical to the sequential chainback (pointer composition is pure
+    index algebra; no arithmetic, no ties).
+
+    Each step's traceback is a map over the 64 states,
+    prev = ((s & (2^(6-r)-1)) << r) | dec[s]; the walk s_t = ptr_t(s_{t+1})
+    is a suffix composition H_t = ptr_t . ptr_{t+1} . ... . ptr_{Tr-1}
+    evaluated at the anchor. `lax.associative_scan` over map composition
+    (compose(a, b)[s] = a[b[s]], one take_along_axis per node) computes all
+    H_t in O(log Tr) sequential depth at O(Tr log Tr) gather work — the
+    lever for the latency-bound fused serving round, where the Viterbi
+    batch is small and scan iterations, not FLOPs, bound the round
+    (docs/NOTES_r3.md roofline). For the throughput regime (B >= 4096) the
+    sequential chainback's O(Tr) work wins; callers choose via
+    `chainback=`."""
+    Tr, S, B = decisions.shape
+    r = radix_bits
+    keep = (1 << (6 - r)) - 1
+    iota = jnp.arange(S, dtype=jnp.int32)[None, :, None]
+    ptr = ((iota & keep) << r) | decisions.astype(jnp.int32)    # (Tr, 64, B)
+
+    def compose(a, b):
+        # reverse=True feeds LATER elements as `a`: combine to (b . a),
+        # i.e. earlier map applied outside — result[s] = b[a[s]]
+        return jnp.take_along_axis(b, a, axis=-2)
+
+    H = jax.lax.associative_scan(compose, ptr, reverse=True, axis=0)
+    anchor = jnp.broadcast_to(
+        state0.astype(jnp.int32)[None, None, :], (Tr, 1, B))
+    s = jnp.take_along_axis(H, anchor, axis=1)[:, 0, :]         # s_t, (Tr, B)
+    s_next = jnp.concatenate(
+        [s[1:], state0.astype(jnp.int32)[None, :]], axis=0)     # s_{t+1}
+    # newest input bit sits at register bit 5: step t emits bits (6-r)..5
+    # of s_{t+1} in time order
+    shifts = jnp.arange(6 - r, 6, dtype=jnp.int32)[:, None]     # (r, 1)
+    bits = ((s_next[:, None, :] >> shifts) & 1).astype(jnp.int8)
+    return bits.reshape(Tr * r, B)
+
+
 def _radix8_forward_sm(pm0, xs):
     """State-major radix-8 forward pass: THREE trellis steps fused per
     scan iteration (sequential depth T/3 vs T/2 for radix-4; the scans are
@@ -308,7 +353,8 @@ def _radix8_chainback_sm(decisions, state0):
 
 
 def viterbi_decode_soft_radix8(depunctured: jnp.ndarray, start_state: int = 0,
-                               end_state: int = 0):
+                               end_state: int = 0,
+                               chainback: str = "sequential"):
     """Radix-8 decode: three trellis steps per scan iteration. Bit-exact
     vs viterbi_decode_soft / _radix4 including argmin tie-breaking (see
     _radix8_forward_sm). Requires T % 3 == 0."""
@@ -324,7 +370,10 @@ def viterbi_decode_soft_radix8(depunctured: jnp.ndarray, start_state: int = 0,
 
     pm_final, decisions = _radix8_forward_sm(pm0, xs)
     state0 = jnp.full((B,), end_state, jnp.int32)
-    bits = _radix8_chainback_sm(decisions, state0)    # (T, B)
+    if chainback == "parallel":
+        bits = _chainback_parallel_sm(decisions, state0, 3)   # (T, B)
+    else:
+        bits = _radix8_chainback_sm(decisions, state0)        # (T, B)
     bits = jnp.moveaxis(bits, 0, -1).reshape(*batch_shape, T)
     error = (pm_final[end_state] + T * _STEP_ERR_OFFSET
              ).astype(jnp.int32).reshape(batch_shape)
@@ -332,7 +381,8 @@ def viterbi_decode_soft_radix8(depunctured: jnp.ndarray, start_state: int = 0,
 
 
 def viterbi_decode_soft_radix4(depunctured: jnp.ndarray, start_state: int = 0,
-                               end_state: int = 0):
+                               end_state: int = 0,
+                               chainback: str = "sequential"):
     """Radix-4 decode: two trellis steps fused per scan iteration, halving
     the sequential depth (the latency bottleneck on TPU, where per-step
     tensors are tiny), in the state-major (64, B) layout (see
@@ -341,6 +391,10 @@ def viterbi_decode_soft_radix4(depunctured: jnp.ndarray, start_state: int = 0,
     p_step1, and first-minimum-wins over that order reproduces the
     sequential even-predecessor-first preference at both steps. Metrics are
     f32 (exact: correlation sums stay far below 2^24).
+
+    chainback="parallel" swaps the traceback walk for the log-depth map
+    composition (_chainback_parallel_sm) — same bits, O(log T) sequential
+    depth; use when the batch is small and scan latency dominates.
 
     Requires an even number of trellis steps (always true for DAB: byte
     payloads + 6 tail bits)."""
@@ -356,7 +410,10 @@ def viterbi_decode_soft_radix4(depunctured: jnp.ndarray, start_state: int = 0,
 
     pm_final, decisions = _radix4_forward_sm(pm0, xs)
     state0 = jnp.full((B,), end_state, jnp.int32)
-    bits = _radix4_chainback_sm(decisions, state0)    # (T, B)
+    if chainback == "parallel":
+        bits = _chainback_parallel_sm(decisions, state0, 2)   # (T, B)
+    else:
+        bits = _radix4_chainback_sm(decisions, state0)        # (T, B)
     bits = jnp.moveaxis(bits, 0, -1).reshape(*batch_shape, T)
     error = (pm_final[end_state] + T * _STEP_ERR_OFFSET
              ).astype(jnp.int32).reshape(batch_shape)
@@ -364,7 +421,8 @@ def viterbi_decode_soft_radix4(depunctured: jnp.ndarray, start_state: int = 0,
 
 
 def viterbi_decode_soft_tiled(depunctured: jnp.ndarray,
-                              chunk: int = 128, overlap: int = 96):
+                              chunk: int = 128, overlap: int = 96,
+                              chainback: str = "sequential"):
     """Overlap-save tiled decode: the T trellis steps split into chunks that
     decode in parallel, each with `overlap` warmup steps (ACS from uniform
     metrics converges to the survivor paths within ~5-10 constraint lengths)
@@ -406,20 +464,24 @@ def viterbi_decode_soft_tiled(depunctured: jnp.ndarray,
     pm_final, decisions = _radix4_forward_sm(pm0, xs)   # (L/2, 64, BC)
 
     state0 = jnp.argmin(pm_final, axis=0).astype(jnp.int32)   # (BC,)
-    bits = _radix4_chainback_sm(decisions, state0)            # (L, BC)
+    if chainback == "parallel":
+        bits = _chainback_parallel_sm(decisions, state0, 2)   # (L, BC)
+    else:
+        bits = _radix4_chainback_sm(decisions, state0)        # (L, BC)
     bits = jnp.moveaxis(bits, 0, -1)                          # (BC, L)
     bits = bits.reshape(B, nb_chunks, L)[:, :, overlap:overlap + chunk]
     return bits.reshape(B, Tp)[:, :T], None
 
 
-def viterbi_decode(rx_soft: jnp.ndarray, spec: ViterbiSpec):
+def viterbi_decode(rx_soft: jnp.ndarray, spec: ViterbiSpec,
+                   chainback: str = "sequential"):
     """End-to-end: depuncture + decode + drop tail bits.
 
     rx_soft: (..., nb_in) int8 soft symbols. Returns (data_bits (..., nb_data)
     int8, path_error (...,) int32)."""
     d = depuncture(rx_soft, spec)
     if spec.nb_steps % 2 == 0:
-        bits, err = viterbi_decode_soft_radix4(d)
+        bits, err = viterbi_decode_soft_radix4(d, chainback=chainback)
     else:
         bits, err = viterbi_decode_soft(d)
     nb_data = spec.nb_steps - (K - 1)
@@ -427,14 +489,16 @@ def viterbi_decode(rx_soft: jnp.ndarray, spec: ViterbiSpec):
 
 
 def viterbi_decode_tiled(rx_soft: jnp.ndarray, spec: ViterbiSpec,
-                         chunk: int = 128, overlap: int = 96):
+                         chunk: int = 128, overlap: int = 96,
+                         chainback: str = "sequential"):
     """Tiled variant of viterbi_decode (latency-optimised; see
     viterbi_decode_soft_tiled for the accuracy contract)."""
     d = depuncture(rx_soft, spec)
     squeeze = d.ndim == 2
     if squeeze:
         d = d[None]
-    bits, _ = viterbi_decode_soft_tiled(d, chunk=chunk, overlap=overlap)
+    bits, _ = viterbi_decode_soft_tiled(d, chunk=chunk, overlap=overlap,
+                                        chainback=chainback)
     nb_data = spec.nb_steps - (K - 1)
     bits = bits[..., :nb_data]
     return (bits[0] if squeeze else bits), None

@@ -170,7 +170,8 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
                             ingest: str = "pairs",
                             subchannel_cfgs=None,
                             block_tracking: bool = False,
-                            viterbi: str = "exact"):
+                            viterbi: str = "exact",
+                            chainback: str = "sequential"):
     """Full end-to-end sharded receiver step: IQ in, decoded bits out.
 
     One jitted program over the ('ens','time','sub') mesh (the surface the
@@ -214,6 +215,13 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
     tile may anchor on a wrong survivor (the byte layer's firecode/CRC/
     RS gates such frames either way). msc_err is not computed in tiled
     mode (zeros). FIC always decodes exact (its trellis is short).
+
+    chainback="parallel" swaps every Viterbi traceback (FIC and MSC, both
+    viterbi modes) for the log-depth map-composition chainback
+    (ops/viterbi.py:_chainback_parallel_sm) — bit-identical, O(log T)
+    sequential depth instead of O(T); composes with viterbi="tiled" for
+    the lowest-latency round (forward depth chunk/2+overlap, traceback
+    depth ~log2).
     """
     from ..ops import viterbi as vit
     from ..ops.deinterleave import make_gather_index, deinterleave_push, DEPTH
@@ -226,6 +234,7 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
             "transmission mode III FIC (32-CU FIB groups) is unsupported "
             "— the reference rejects it identically (fic_decoder.cpp:66-73)")
     assert viterbi in ("exact", "tiled"), viterbi
+    assert chainback in ("sequential", "parallel"), chainback
     demod = OFDMDemodulator(transmission_mode)
     dab = get_dab_params(transmission_mode)
     n_ens = mesh.shape["ens"]
@@ -320,7 +329,8 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
         # ---- FIC (reference fic_decoder.cpp:53-117, batched) ----
         fic_soft = frames[:, :, :dab.nb_fic_bits].reshape(
             B * F * dab.nb_cifs, fic_spec.nb_in).astype(jnp.int8)
-        fib_bits, fic_err = vit.viterbi_decode(fic_soft, fic_spec)
+        fib_bits, fic_err = vit.viterbi_decode(fic_soft, fic_spec,
+                                               chainback=chainback)
         fib_bits = (fib_bits ^ fic_prbs[None, :]).reshape(
             B, F, dab.nb_cifs, fic_spec.nb_data_bits)
 
@@ -376,11 +386,11 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
         d = jnp.where(m_b == 1, d, jnp.where(m_b == 0, 0, vit.SOFT_LOW))
         if viterbi == "tiled":
             bits_full, _ = vit.viterbi_decode_soft_tiled(
-                d.reshape(B * S * C, nb_steps, 4))
+                d.reshape(B * S * C, nb_steps, 4), chainback=chainback)
             msc_err = jnp.zeros((B * S * C,), jnp.int32)
         else:
             bits_full, msc_err = vit.viterbi_decode_soft_radix4(
-                d.reshape(B * S * C, nb_steps, 4))
+                d.reshape(B * S * C, nb_steps, 4), chainback=chainback)
         prbs_b = msc_prbs[:, :, None, :] if per_stream \
             else msc_prbs[None, :, None, :]
         msc_bits = bits_full[..., :nb_data].reshape(B, S, C, nb_data) \

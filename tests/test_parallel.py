@@ -444,3 +444,27 @@ def test_multichip_per_stream_layouts_bit_exact():
                 got = np.packbits(msc_bits[b, s, c][:nb].astype(np.uint8)
                                   ).tobytes()
                 assert got == ref, (b, s, c)
+
+
+def test_multichip_chainback_parallel_bit_exact():
+    """chainback="parallel" (log-depth map-composition traceback) must
+    produce identical outputs to the sequential walk through the WHOLE
+    sharded program — FIC and MSC, exact and tiled viterbi modes — on the
+    same input (deterministic decode: any input pins the wiring; the
+    ops-level exactness proof is test_viterbi.py)."""
+    mesh = make_receiver_mesh(8)
+
+    outs = {}
+    for viterbi in ("exact", "tiled"):
+        for cb in ("sequential", "parallel"):
+            step, (carry, hist, iq) = multichip_receiver_step(
+                mesh, transmission_mode=2, viterbi=viterbi, chainback=cb)
+            iq = jax.device_put(
+                jnp.asarray(np.random.default_rng(5).normal(
+                    0, 0.3, np.asarray(iq).shape).astype(np.float32)),
+                iq.sharding)
+            _, _, out = step(carry, hist, iq)
+            outs[(viterbi, cb)] = {k: np.asarray(v) for k, v in out.items()}
+        seq, par = outs[(viterbi, "sequential")], outs[(viterbi, "parallel")]
+        for k in ("fib_bits", "msc_bits", "fic_err"):
+            np.testing.assert_array_equal(par[k], seq[k], err_msg=f"{viterbi}:{k}")

@@ -223,3 +223,62 @@ def test_tiled_matches_full_decode():
     ber_f = float((np.asarray(f_bits) != bits).mean())
     ber_t = float((np.asarray(t_bits) != bits).mean())
     assert abs(ber_t - ber_f) < 0.01, (ber_f, ber_t)
+
+
+def test_parallel_chainback_matches_sequential():
+    """The log-depth map-composition chainback must be bit-identical to the
+    sequential traceback walk for every decoder that offers it (radix-4,
+    radix-8, tiled), on heavily corrupted input with saturated ties.
+
+    Pointer composition is pure index algebra, so this is exact by
+    construction — the test pins the composition ORDER (suffix scan with
+    reverse=True feeds later elements first) and the bit extraction."""
+    rng = np.random.default_rng(29)
+    for L in (48, 378, 1018):          # T = L+6: covers odd/even Tr, radix-8
+        B = 5
+        bits = rng.integers(0, 2, size=(B, L)).astype(np.uint8)
+        soft = np.stack([
+            vit.bits_to_soft(vit.conv_encode(b)).reshape(-1, 4)
+            for b in bits]).astype(np.int32)
+        noise = rng.integers(-120, 121, size=soft.shape)
+        soft = np.clip(soft + noise, -127, 127).astype(np.int8)
+        soft[rng.random(soft.shape) < 0.05] = 0
+        d = jnp.asarray(soft)
+
+        bs, es = vit.viterbi_decode_soft_radix4(d)
+        bp, ep = vit.viterbi_decode_soft_radix4(d, chainback="parallel")
+        np.testing.assert_array_equal(np.asarray(bp), np.asarray(bs))
+        np.testing.assert_array_equal(np.asarray(ep), np.asarray(es))
+
+        if (L + 6) % 3 == 0:
+            b8s, _ = vit.viterbi_decode_soft_radix8(d)
+            b8p, _ = vit.viterbi_decode_soft_radix8(d, chainback="parallel")
+            np.testing.assert_array_equal(np.asarray(b8p), np.asarray(b8s))
+
+        ts, _ = vit.viterbi_decode_soft_tiled(d)
+        tp, _ = vit.viterbi_decode_soft_tiled(d, chainback="parallel")
+        np.testing.assert_array_equal(np.asarray(tp), np.asarray(ts))
+
+
+def test_parallel_chainback_through_punctured_decode():
+    """viterbi_decode(chainback="parallel") round-trips a punctured EEP
+    schedule identically to the default path."""
+    from dab_radio_tpu.params import msc_puncture_schedule, SubchannelConfig
+    from dab_radio_tpu.params.puncture import build_puncture_mask
+    rng = np.random.default_rng(31)
+    cfg = SubchannelConfig(0, 48, False, eep_type="A", eep_prot_level=2)
+    spec = vit.ViterbiSpec.from_schedule(msc_puncture_schedule(cfg))
+    mask = build_puncture_mask(msc_puncture_schedule(cfg))
+    bits = rng.integers(0, 2, size=(4, spec.nb_data_bits)).astype(np.uint8)
+    soft = np.stack([
+        vit.bits_to_soft(vit.puncture(vit.conv_encode(b), mask))
+        for b in bits])
+    noisy = np.clip(soft.astype(np.int32)
+                    + rng.integers(-60, 61, soft.shape), -127, 127
+                    ).astype(np.int8)
+    bs, es = vit.viterbi_decode(jnp.asarray(noisy), spec)
+    bp, ep = vit.viterbi_decode(jnp.asarray(noisy), spec,
+                                chainback="parallel")
+    np.testing.assert_array_equal(np.asarray(bp), np.asarray(bs))
+    np.testing.assert_array_equal(np.asarray(ep), np.asarray(es))
+    np.testing.assert_array_equal(np.asarray(bs), bits)

@@ -35,6 +35,10 @@ def main(argv=None):
     ap.add_argument("--pipeline-depth", type=int, default=2,
                     help="rounds of deferred host fetch (hides device latency)")
     ap.add_argument("--viterbi", default="exact", choices=["exact", "tiled"])
+    ap.add_argument("--chainback", default="sequential",
+                    choices=["sequential", "parallel"],
+                    help="Viterbi traceback: sequential scan or "
+                         "log-depth map composition (latency lever)")
     ap.add_argument("--frames-per-step", type=int, default=1,
                     help="fuse K demod tracking steps per device dispatch")
     ap.add_argument("--fused", action="store_true",
@@ -215,7 +219,7 @@ def run_fused(args, iq):
                              eep_prot_level=2) for s in range(S)]
     fleet = FusedFleet(N, cfgs, transmission_mode=1, frames_per_step=K,
                        block_tracking=args.block_tracking,
-                       viterbi=args.viterbi)
+                       viterbi=args.viterbi, chainback=args.chainback)
 
     fs = get_ofdm_params(1).nb_frame_samples
     chunk = 2 * K * fs
@@ -298,6 +302,7 @@ def run_fused(args, iq):
             "services": sum(len(r_.db.services) for r_ in fleet.receivers),
             "access_units": int(fleet.total_aus),
             "viterbi_mode": args.viterbi,
+            "chainback": args.chainback,
         }
         print(json.dumps(result), flush=True)
         assert fleet.total_aus > 0, \
