@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import viterbi as vit
-from ..ops.deinterleave import make_gather_index, deinterleave_push, DEPTH, CIF_OFFSETS
+from ..ops.deinterleave import (make_gather_index, deinterleave_push,
+                                deinterleave_push_block, DEPTH, CIF_OFFSETS)
 from ..ops.scrambler import prbs_bytes
 from ..params import msc_puncture_schedule, SubchannelConfig
 from ..params.puncture import build_puncture_mask
@@ -62,12 +63,9 @@ def _decoder_fns(cfg: SubchannelConfig):
 
     @jax.jit
     def frame(history, cifs_soft):
-        def body(hist, cif):
-            new_hist, deint = deinterleave_push(hist, cif, gather_idx)
-            return new_hist, deint[..., :spec.nb_in]
-
-        history, deints = jax.lax.scan(body, history, cifs_soft)
-        bits, err = _vit_decode(deints, spec)
+        history, deints = deinterleave_push_block(history, cifs_soft,
+                                                  gather_idx)
+        bits, err = _vit_decode(deints[..., :spec.nb_in], spec)
         return history, bits, err
 
     return spec, step, frame
@@ -85,13 +83,9 @@ def _group_frame_fn(norm_cfg: SubchannelConfig):
 
     @jax.jit
     def frame_batch(histories, cifs_soft):
-        def per_sub(hist, cifs):
-            def body(h, cif):
-                nh, deint = deinterleave_push(h, cif, gather_idx)
-                return nh, deint[..., :spec.nb_in]
-            return jax.lax.scan(body, hist, cifs)
-
-        histories, deints = jax.vmap(per_sub)(histories, cifs_soft)
+        histories, deints = deinterleave_push_block(histories, cifs_soft,
+                                                    gather_idx)
+        deints = deints[..., :spec.nb_in]
         n, c, length = deints.shape
         bits, err = _vit_decode(deints.reshape(n * c, length), spec)
         return histories, bits.reshape(n, c, -1), err

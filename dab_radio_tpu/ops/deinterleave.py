@@ -36,3 +36,26 @@ def deinterleave_push(history: jnp.ndarray, new_cif: jnp.ndarray,
                          (*new_history.shape[:-2], 1, gather_idx.shape[0])),
         axis=-2)[..., 0, :]
     return new_history, out
+
+
+def deinterleave_push_block(history: jnp.ndarray, seq: jnp.ndarray,
+                            gather_idx: jnp.ndarray):
+    """Push C CIFs at once — the scan-free form of C deinterleave_push calls.
+
+    After pushing CIFs seq[0..c], the 16-row window over the concatenation
+    [history ‖ seq] is rows [c+1, c+17), so output c's bit i reads row
+    c + 1 + gather_idx[i]: ONE static gather replaces the C-iteration scan
+    (the fused serving round is sequential-depth-bound, docs/NOTES_r3.md).
+
+    history: (..., 16, nb_bits) oldest-first; seq: (..., C, nb_bits).
+    Returns (new_history (..., 16, nb_bits), outs (..., C, nb_bits)) —
+    bit-identical to scanning deinterleave_push (tests pin the equality).
+    """
+    C = seq.shape[-2]
+    combined = jnp.concatenate([history, seq], axis=-2)   # (..., 16+C, nb)
+    idx = jnp.arange(1, C + 1, dtype=jnp.int32)[:, None] + gather_idx[None, :]
+    outs = jnp.take_along_axis(
+        combined,
+        jnp.broadcast_to(idx, (*combined.shape[:-2], C, gather_idx.shape[0])),
+        axis=-2)
+    return combined[..., C:, :], outs

@@ -224,7 +224,8 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
     depth ~log2).
     """
     from ..ops import viterbi as vit
-    from ..ops.deinterleave import make_gather_index, deinterleave_push, DEPTH
+    from ..ops.deinterleave import (make_gather_index,
+                                    deinterleave_push_block, DEPTH)
     from ..ops.scrambler import prbs_bytes
     from ..params import (fic_puncture_schedule, msc_puncture_schedule,
                           SubchannelConfig, get_dab_params)
@@ -371,10 +372,8 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
             NamedSharding(mesh, P("ens", "sub", None, None)))
 
         def per_sub(hist, seq):
-            def body(h, cif):
-                nh, deint = deinterleave_push(h, cif, gather_idx)
-                return nh, deint
-            return jax.lax.scan(body, hist, seq)
+            # scan-free block push: one static gather for all C CIFs
+            return deinterleave_push_block(hist, seq, gather_idx)
 
         deint_hist, deints = jax.vmap(jax.vmap(per_sub))(deint_hist, subs)
         # padded per-subchannel depuncture (3-state mask, see docstring)

@@ -6,7 +6,8 @@ import jax.numpy as jnp
 import pytest
 
 from dab_radio_tpu.ops.deinterleave import (
-    make_gather_index, deinterleave_push, DEPTH, CIF_OFFSETS,
+    make_gather_index, deinterleave_push, deinterleave_push_block,
+    DEPTH, CIF_OFFSETS,
 )
 from dab_radio_tpu.ops.rs import ReedSolomonDecoder, rs_encode, dab_plus_rs, packet_rs
 from dab_radio_tpu.dab.msc import MSCDecoder, MSCEncoder
@@ -36,6 +37,30 @@ def test_deinterleaver_reconstructs_oldest_frame():
     # after the pipe is full, output at time t equals frames[t-15]
     for t in range(2 * DEPTH, 40):
         np.testing.assert_array_equal(outs[t], frames[t - 15])
+
+
+def test_deinterleave_block_matches_scan():
+    """deinterleave_push_block (one gather for C CIFs) must be bit-identical
+    to C sequential deinterleave_push calls, for any C and batch shape —
+    including C that leaves part of the old history in the final window."""
+    rng = np.random.default_rng(3)
+    nb_bits = 96
+    gidx = jnp.asarray(make_gather_index(nb_bits))
+    for C in (1, 3, 8, 32):
+        for batch in ((), (2,), (2, 3)):
+            hist0 = jnp.asarray(rng.integers(
+                -127, 128, size=(*batch, DEPTH, nb_bits)).astype(np.int8))
+            seq = jnp.asarray(rng.integers(
+                -127, 128, size=(*batch, C, nb_bits)).astype(np.int8))
+            h = hist0
+            outs = []
+            for c in range(C):
+                h, o = deinterleave_push(h, seq[..., c, :], gidx)
+                outs.append(np.asarray(o))
+            ref = np.stack(outs, axis=-2)
+            hb, ob = deinterleave_push_block(hist0, seq, gidx)
+            np.testing.assert_array_equal(np.asarray(ob), ref)
+            np.testing.assert_array_equal(np.asarray(hb), np.asarray(h))
 
 
 @pytest.mark.parametrize("nroots,pad", [(10, 135), (16, 51)])
