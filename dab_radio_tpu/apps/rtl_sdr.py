@@ -27,6 +27,20 @@ def main(argv=None):
                     help="explicit center frequency Hz (overrides --channel)")
     ap.add_argument("-g", "--gain", type=float, default=None,
                     help="tuner gain dB (default: auto pick from list)")
+    ap.add_argument("--auto-gain", action="store_true",
+                    help="hardware AGC instead of a manual gain")
+    ap.add_argument("-p", "--ppm", type=int, default=0,
+                    help="frequency correction in ppm")
+    ap.add_argument("-s", "--sampling-rate", type=int, default=0,
+                    help="override the 2.048 MSPS default")
+    ap.add_argument("--sampling-mode", type=int, default=0,
+                    choices=[0, 1, 2],
+                    help="0=IQ, 1=I-branch direct, 2=Q-branch direct")
+    ap.add_argument("--offset-tuning", action="store_true")
+    ap.add_argument("--enable-bias-tee", action="store_true",
+                    help="DC supply for active antennas")
+    ap.add_argument("-o", "--output", default="-",
+                    help="write IQ to a file instead of stdout")
     ap.add_argument("-d", "--device-index", type=int, default=0,
                     help="tuner index from --list-devices")
     ap.add_argument("-n", "--nb-samples", type=int, default=0,
@@ -67,13 +81,30 @@ def main(argv=None):
     if args.list_gains:
         print(" ".join(f"{g:.1f}" for g in dev.gains))
         return 0
-    if args.gain is not None:
+    if args.auto_gain:
+        dev.set_auto_gain()
+    elif args.gain is not None:
         dev.set_gain(args.gain)
+    if args.ppm:
+        dev.set_ppm(args.ppm)
+    if args.sampling_rate:
+        dev.set_sample_rate(args.sampling_rate)
+    if args.sampling_mode:
+        dev.set_direct_sampling(args.sampling_mode)
+    if args.offset_tuning:
+        dev.set_offset_tuning(True)
+    if args.enable_bias_tee:
+        try:
+            dev.set_bias_tee(True)
+        except RuntimeError as e:
+            print(f"# bias tee unavailable: {e}", file=sys.stderr)
     dev.set_center_frequency(args.channel.upper(), freq)
+    rate = args.sampling_rate or SAMPLE_RATE
     print(f"# tuned {args.channel.upper()} @ {freq / 1e6:.3f} MHz, "
-          f"{SAMPLE_RATE} SPS", file=sys.stderr)
+          f"{rate} SPS", file=sys.stderr)
 
-    out = sys.stdout.buffer
+    out = sys.stdout.buffer if args.output == "-" else \
+        open(args.output, "wb")
     done = threading.Event()
     written = 0
 

@@ -86,6 +86,12 @@ def _state_json(st: _State) -> bytes:
                     entry["pcm_err"] = dec.total_errors
                     if getattr(dec, "pcm_mode", None):
                         entry["pcm_mode"] = dec.pcm_mode
+                ctl = getattr(ch, "controls", None)
+                if ctl is not None:
+                    entry["controls"] = {
+                        "decode_audio": ctl.decode_audio,
+                        "decode_data": ctl.decode_data,
+                        "play_audio": ctl.play_audio}
                 chans.append(entry)
             out["channels"] = chans
     return json.dumps(out).encode()
@@ -126,7 +132,7 @@ def _dashboard_png(st: _State) -> bytes:
 _PAGE = b"""<!doctype html><title>DAB-Radio TPU</title>
 <body style="background:#111;color:#ddd;font-family:monospace">
 <h3>DAB-Radio TPU &mdash; live monitor</h3>
-<div id="ss"></div>
+<div id="ss"></div><div id="ctl"></div>
 <pre id="s"></pre><img id="d" src="/dashboard.png" width="900">
 <script>
 async function tick(){
@@ -138,6 +144,8 @@ async function tick(){
   // innerHTML (a hostile broadcast must not script the operator page)
   const box = document.getElementById('ss');
   box.replaceChildren();
+  const ctlbox = document.getElementById('ctl');
+  ctlbox.replaceChildren();
   for (const c of (j.channels || [])) {
    if (c.slideshows > 0) {
     const fig = document.createElement('figure');
@@ -150,6 +158,25 @@ async function tick(){
     cap.textContent = 'sub ' + c.subchannel + ' ' + (c.dynamic_label || '');
     fig.append(img, cap);
     box.append(fig);
+   }
+   // per-channel control checkboxes (reference GUI's audio controls)
+   if (c.controls) {
+    const row = document.createElement('div');
+    const lbl = document.createElement('span');
+    lbl.textContent = 'sub ' + c.subchannel + ': ';
+    row.append(lbl);
+    for (const f of ['decode_audio', 'decode_data', 'play_audio']) {
+     const id = 'cb_' + c.subchannel + '_' + f;
+     const cb = document.createElement('input');
+     cb.type = 'checkbox'; cb.id = id; cb.checked = c.controls[f];
+     cb.onchange = () => fetch('/control', {method: 'POST',
+       body: JSON.stringify({subchannel: c.subchannel, flag: f,
+                             value: cb.checked})});
+     const tag = document.createElement('label');
+     tag.htmlFor = id; tag.textContent = f + ' ';
+     row.append(cb, tag);
+    }
+    ctlbox.append(row);
    }
   }
   document.getElementById('d').src = '/dashboard.png?' + Date.now();
@@ -192,6 +219,48 @@ def _make_handler(st: _State):
                 return
             self.send_response(200)
             self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            # per-channel audio controls — the reference GUI's checkboxes
+            # (gui/basic_radio render controls -> Basic_Audio_Controls);
+            # body: {"subchannel": N, "flag": "decode_audio"|"decode_data"
+            #        |"play_audio", "value": bool} or
+            #       {"subchannel": N, "action": "run_all"|"stop_all"}
+            if self.path.split("?")[0] != "/control":
+                self.send_response(404)
+                self.end_headers()
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                sub_id = int(req["subchannel"])
+            except (ValueError, KeyError, json.JSONDecodeError):
+                self.send_response(400)
+                self.end_headers()
+                return
+            with st.lock:
+                ch = getattr(st.rx, "channels", {}).get(sub_id) \
+                    if st.rx else None
+                ctl = getattr(ch, "controls", None)
+                if ctl is None:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                if req.get("action") in ("run_all", "stop_all"):
+                    getattr(ctl, req["action"])()
+                elif req.get("flag") in ("decode_audio", "decode_data",
+                                         "play_audio"):
+                    setattr(ctl, req["flag"], bool(req.get("value")))
+                else:
+                    self.send_response(400)
+                    self.end_headers()
+                    return
+            body = _state_json(st)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)

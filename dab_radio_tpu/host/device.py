@@ -164,7 +164,36 @@ class RTLSDRDevice(Device):
         return [g / 10.0 for g in buf]
 
     def set_gain(self, gain_db: float):
+        self._lib.rtlsdr_set_tuner_gain_mode(self._dev, 1)
         self._lib.rtlsdr_set_tuner_gain(self._dev, int(gain_db * 10))
+
+    def set_auto_gain(self):
+        """Hardware AGC (reference rtl_sdr.cpp verbose_auto_gain)."""
+        self._lib.rtlsdr_set_tuner_gain_mode(self._dev, 0)
+
+    def set_ppm(self, ppm: int):
+        """Frequency-correction in parts-per-million (rtl_sdr.cpp --ppm)."""
+        if ppm:
+            self._lib.rtlsdr_set_freq_correction(self._dev, int(ppm))
+
+    def set_bias_tee(self, enable: bool):
+        """DC supply for active antennas (rtl_sdr.cpp --enable-bias-tee);
+        older librtlsdr builds lack the symbol — reported, not fatal."""
+        fn = getattr(self._lib, "rtlsdr_set_bias_tee", None)
+        if fn is None:
+            raise RuntimeError("librtlsdr too old for bias tee control")
+        fn(self._dev, 1 if enable else 0)
+
+    def set_offset_tuning(self, enable: bool):
+        self._lib.rtlsdr_set_offset_tuning(self._dev, 1 if enable else 0)
+
+    def set_direct_sampling(self, mode: int):
+        """0 = IQ (default), 1 = I-branch, 2 = Q-branch
+        (rtl_sdr.cpp --sampling-mode)."""
+        self._lib.rtlsdr_set_direct_sampling(self._dev, int(mode))
+
+    def set_sample_rate(self, rate_hz: int):
+        self._lib.rtlsdr_set_sample_rate(self._dev, int(rate_hz))
 
     def set_center_frequency(self, label: str, freq_hz: int):
         self._lib.rtlsdr_set_center_freq(self._dev, int(freq_hz))

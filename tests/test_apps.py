@@ -318,6 +318,31 @@ def test_webmon_serves_dashboard_and_state(tmp_path):
             img = resp.read()
             assert resp.headers["Content-Type"] == "image/png"
         assert img[:8] == b"\x89PNG\r\n\x1a\n"
+        # interactive controls: POST /control toggles the channel's
+        # audio-control flags (the reference GUI's checkboxes) and the
+        # implication rules hold (play_audio=true forces decode_audio)
+        sub = chans[0]["subchannel"]
+        assert "controls" in chans[0], chans[0]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/control",
+            data=json_mod.dumps({"subchannel": sub, "flag": "play_audio",
+                                 "value": True}).encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=5) as resp:
+            new_state = json_mod.loads(resp.read())
+        ctl = [c for c in new_state["channels"]
+               if c["subchannel"] == sub][0]["controls"]
+        assert ctl["play_audio"] and ctl["decode_audio"]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/control",
+            data=json_mod.dumps({"subchannel": sub,
+                                 "action": "stop_all"}).encode(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=5) as resp:
+            new_state = json_mod.loads(resp.read())
+        ctl = [c for c in new_state["channels"]
+               if c["subchannel"] == sub][0]["controls"]
+        assert not (ctl["play_audio"] or ctl["decode_audio"]
+                    or ctl["decode_data"])
     finally:
         proc.terminate()
         proc.wait(timeout=10)
