@@ -62,6 +62,10 @@ def main(argv=None):
                          "u8-ingest (link-bound) modes in one process, "
                          "sharing the compiled program — prints two JSON "
                          "lines")
+    ap.add_argument("--latency", action="store_true",
+                    help="per-round latency percentiles in resident mode "
+                         "(no deferred fetch): the artifact for the "
+                         "--viterbi tiled / --chainback parallel levers")
     ap.add_argument("--resident", action="store_true",
                     help="(fused only) pre-stage the whole IQ capture on "
                          "device before timing: measures the CHIP-bound "
@@ -226,7 +230,7 @@ def run_fused(args, iq):
     rounds = iq.shape[0] // chunk
 
     tb = fleet.tail_bytes
-    use_resident = args.resident or args.both
+    use_resident = args.resident or args.both or args.latency
     if use_resident:
         # stage the whole capture on device ONCE (~0.4 MB/frame u8,
         # un-replicated: all N streams decode the same broadcast), then
@@ -307,6 +311,41 @@ def run_fused(args, iq):
         print(json.dumps(result), flush=True)
         assert fleet.total_aus > 0, \
             f"{result['mode']}: no access units - benchmark not end-to-end"
+
+    def run_latency(max_rounds=None):
+        """Round-trip latency: dispatch one round and FULLY materialize
+        its packed outputs before starting the next (no pipelining) —
+        what a lowest-latency serving deployment would see per round."""
+        times = []
+        for r in range(1, min(rounds, max_rounds or rounds)):
+            blk, tail = get_blk(r, True)
+            t0 = _time.time()
+            fleet._carry, fleet._hist, out = fleet.step(
+                fleet._carry, fleet._hist, blk, tail)
+            packed = fleet._pack(out)
+            fetch = (np.asarray(packed[0]), np.asarray(packed[1]))
+            times.append(_time.time() - t0)
+            fleet._consume(*fetch)      # byte layer outside the timing
+        ms = np.sort(np.asarray(times) * 1e3)
+        result = {
+            "metric": "fleet_round_latency",
+            "streams": N, "frames_per_round": fleet.frames_per_round,
+            "rounds": len(ms),
+            "round_ms_min": round(float(ms[0]), 2),
+            "round_ms_p50": round(float(ms[len(ms) // 2]), 2),
+            "round_ms_p90": round(float(ms[int(len(ms) * 0.9)]), 2),
+            "realtime_factor_p50": round(
+                fleet.frames_per_round * 96.0 / float(ms[len(ms) // 2]), 2),
+            "access_units": int(fleet.total_aus),
+            "viterbi_mode": args.viterbi,
+            "chainback": args.chainback,
+        }
+        print(json.dumps(result), flush=True)
+        assert fleet.total_aus > 0, "latency mode: no access units"
+
+    if args.latency:
+        run_latency()
+        return 0
 
     if args.both:
         run_mode(True)
