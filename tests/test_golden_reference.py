@@ -1096,3 +1096,160 @@ def test_programme_type_tables_match_reference():
                       txt, re.S)
         ref = re.findall(r'\{\s*"([^"]*)",\s*"([^"]*)"\s*\}', m.group(1))
         assert [tuple(p) for p in ours] == ref, name
+
+
+# ---------------------------------------------------------------------------
+# OFDM demodulator differential: the reference's FULL OFDM_Demod compiled
+# in place against the fftw3.h shim (tests/golden/fftw3.h — the one vendor
+# dependency this image lacks), driven over the same IQ streams as our
+# demodulator. Closes the demod half of BASELINE.md's "frame-exact
+# agreement" north star; the digital decode layers already had compiled-
+# reference oracles.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def demod_harness():
+    exe = "/tmp/dab_ofdm_demod_harness"
+    srcs = [os.path.join(HERE, "golden", "ofdm_demod_harness.cpp")] + [
+        f"{REF}/ofdm/{f}" for f in (
+            "ofdm_demodulator.cpp", "ofdm_demodulator_threads.cpp",
+            "dab_ofdm_params_ref.cpp", "dab_prs_ref.cpp",
+            "dab_mapper_ref.cpp", "dsp/apply_pll.cpp",
+            "dsp/complex_conj_mul_sum.cpp")]
+    subprocess.run(["g++", "-O2", "-std=c++17", "-DNDEBUG", "-pthread",
+                    f"-I{REF}", f"-I{os.path.join(HERE, 'golden')}",
+                    "-o", exe] + srcs, check=True, capture_output=True)
+    return exe
+
+
+def _run_ref_demod(exe, sig: np.ndarray, mode: int) -> np.ndarray:
+    """Reference demod over a complex64 stream -> (F, nb_frame_bits) int8."""
+    from dab_radio_tpu.params import get_ofdm_params
+    p = get_ofdm_params(mode)
+    nb_bits = (p.nb_frame_symbols - 1) * p.nb_data_carriers * 2
+    r = subprocess.run([exe, str(mode), "1"],
+                       input=sig.astype(np.complex64).tobytes(),
+                       capture_output=True, timeout=300, check=True)
+    bits = np.frombuffer(r.stdout, dtype=np.int8)
+    return bits[: bits.shape[0] // nb_bits * nb_bits].reshape(-1, nb_bits)
+
+
+def _our_demod_frames(sig: np.ndarray, mode: int):
+    from dab_radio_tpu.models.demodulator import (OFDMDemodulator,
+                                                  StreamingDemodulator)
+    sd = StreamingDemodulator(OFDMDemodulator(mode))
+    return [np.asarray(b) for b in sd.process(sig)]
+
+
+def _best_aligned_agreement(ref, ours):
+    """Hard-bit agreement per frame at the best ref/our frame offset
+    (acquisition may start one frame apart)."""
+    best = None
+    for off in range(-2, 3):
+        pairs = [(ref[k + off] > 0, ours[k] > 0)
+                 for k in range(len(ours))
+                 if 0 <= k + off < ref.shape[0]]
+        if not pairs:
+            continue
+        agree = [float((a == b).mean()) for a, b in pairs]
+        score = sum(agree) / len(agree)
+        if best is None or score > best[0]:
+            best = (score, agree)
+    return best[1]
+
+
+def _ensemble_sig(nb_frames: int, seed: int, lead: int = 3000):
+    """Synthetic 2-service DAB+ ensemble (real tone audio) + noise lead."""
+    from dab_radio_tpu.models.transmitter import (EnsembleTransmitter,
+                                                  ServiceSpec)
+    from dab_radio_tpu.params import SubchannelConfig
+    rng = np.random.default_rng(seed)
+    tx = EnsembleTransmitter(transmission_mode=1, services=[
+        ServiceSpec(0xF123 + i, 3 + i, f"Radio TPU {i + 1}",
+                    SubchannelConfig(48 * i, 48, False, eep_type="A",
+                                     eep_prot_level=2))
+        for i in range(2)])
+    tx.enable_tone_audio()
+    head = (rng.normal(0, 0.005, lead)
+            + 1j * rng.normal(0, 0.005, lead)).astype(np.complex64)
+    return np.concatenate([head, tx.generate(nb_frames)])
+
+
+@pytest.mark.slow
+def test_reference_ofdm_demod_bit_exact_clean(demod_harness):
+    """Clean synthetic ensemble: every locked frame's hard-decision bits
+    from the compiled reference demodulator equal ours exactly."""
+    sig = _ensemble_sig(10, seed=0)
+
+    ref = _run_ref_demod(demod_harness, sig, 1)
+    ours = _our_demod_frames(sig, 1)
+    assert len(ours) >= 8 and ref.shape[0] >= 8
+    agree = _best_aligned_agreement(ref, ours)
+    assert all(a == 1.0 for a in agree), agree
+
+
+def _decode_aus(frames):
+    """Soft-bit frames -> (receiver, [(sub, au_bytes)]) via our decode."""
+    from dab_radio_tpu.models.receiver import DabReceiver
+    rx = DabReceiver(1, benchmark_all=True)
+    aus = []
+    rx.on_audio_channel.append(
+        lambda sub, ch: ch.events.on_access_unit.append(
+            lambda i, n, au, hdr: aus.append((sub, bytes(au)))))
+    for f in frames:
+        rx.process_frame(np.asarray(f, dtype=np.int8))
+    return rx, aus
+
+
+@pytest.mark.slow
+def test_reference_ofdm_demod_agrees_under_cfo_and_noise(demod_harness):
+    """A 1.7 kHz CFO + AWGN: both demodulators lock without desync and
+    track the same signal. Their residual fine-CFO tracking differs
+    (the reference applies damped corrections one frame late; ours
+    corrects same-frame), so a few percent of hard bits flip from
+    inter-carrier interference on whichever stream carries the larger
+    residual — the equivalence that matters is that BOTH soft streams
+    decode to the IDENTICAL access-unit stream through the digital chain
+    (Viterbi absorbs the ICI-marginal bits)."""
+    rng = np.random.default_rng(1)
+    sig = _ensemble_sig(16, seed=1, lead=5000)
+    n = np.arange(sig.shape[0])
+    sig = sig * np.exp(2j * np.pi * (1700.0 / 2.048e6) * n)
+    sig = (sig + rng.normal(0, 0.02, sig.shape)
+           + 1j * rng.normal(0, 0.02, sig.shape)).astype(np.complex64)
+
+    ref = _run_ref_demod(demod_harness, sig, 1)
+    ours = _our_demod_frames(sig, 1)
+    assert len(ours) >= 13 and ref.shape[0] >= 13
+    agree = _best_aligned_agreement(ref, ours)
+    locked = agree[2:]                       # allow reference settle frames
+    assert all(a >= 0.95 for a in locked), agree
+
+    _, aus_ref = _decode_aus(list(ref))
+    _, aus_our = _decode_aus(ours)
+    assert len(aus_ref) > 0 and len(aus_our) > 0
+    m = min(len(aus_ref), len(aus_our))
+    assert aus_ref[:m] == aus_our[:m] or aus_ref[-m:] == aus_our[-m:]
+
+
+@pytest.mark.slow
+def test_reference_ofdm_demod_soft_bits_decode_in_our_receiver(demod_harness):
+    """The decisive cross-check: the reference demodulator's soft bits fed
+    into OUR digital decode chain produce the same ensemble database and
+    the same access units as our own demod+decode — the two
+    implementations are interchangeable at the frame interface."""
+    sig = _ensemble_sig(16, seed=2)
+
+    ref = _run_ref_demod(demod_harness, sig, 1)
+    ours = _our_demod_frames(sig, 1)
+
+    rx_ref, aus_ref = _decode_aus(list(ref))
+    rx_our, aus_our = _decode_aus(ours)
+    assert rx_ref.db.ensemble.id == rx_our.db.ensemble.id
+    assert sorted(rx_ref.db.services) == sorted(rx_our.db.services)
+    assert len(aus_ref) > 0
+    # frame alignment may differ by one frame at the edges: the common
+    # AU stream must be identical
+    m = min(len(aus_ref), len(aus_our))
+    assert m >= len(aus_ref) - 8
+    assert aus_ref[:m] == aus_our[:m] or aus_ref[-m:] == aus_our[-m:]
