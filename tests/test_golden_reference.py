@@ -1253,3 +1253,31 @@ def test_reference_ofdm_demod_soft_bits_decode_in_our_receiver(demod_harness):
     m = min(len(aus_ref), len(aus_our))
     assert m >= len(aus_ref) - 8
     assert aus_ref[:m] == aus_our[:m] or aus_ref[-m:] == aus_our[-m:]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", [2, 4])
+def test_reference_ofdm_demod_bit_exact_other_modes(demod_harness, mode):
+    """Transmission modes II/IV (smaller FFTs, different frame geometry):
+    random-payload modulator output demodulates to identical hard bits in
+    the compiled reference and here. (Mode III FIC is rejected by both
+    decoders, but its demod geometry is covered by the mode-II/IV pair:
+    512/1024-point FFTs bracket mode III's 256.)"""
+    from dab_radio_tpu.models import OFDMModulator
+    from dab_radio_tpu.params import get_ofdm_params
+    import jax.numpy as jnp
+    rng = np.random.default_rng(mode)
+    mod = OFDMModulator(mode)
+    p = get_ofdm_params(mode)
+    bits = rng.integers(0, 2, (12, p.nb_data_symbols,
+                               2 * p.nb_data_carriers)).astype(np.uint8)
+    iq = np.asarray(mod.modulate_stream(jnp.asarray(bits)))
+    lead = (rng.normal(0, 0.005, 2000)
+            + 1j * rng.normal(0, 0.005, 2000)).astype(np.complex64)
+    sig = np.concatenate([lead, iq])
+
+    ref = _run_ref_demod(demod_harness, sig, mode)
+    ours = _our_demod_frames(sig, mode)
+    assert len(ours) >= 10 and ref.shape[0] >= 10
+    agree = _best_aligned_agreement(ref, ours)
+    assert all(a == 1.0 for a in agree), agree
