@@ -60,6 +60,14 @@ def _state_json(st: _State) -> bytes:
                 mer = estimate_mer_db(st.demod, np.asarray(sd.last_window))
                 if mer == mer:
                     out["mer_db"] = round(mer, 1)
+        from ..utils.profiler import get_profiler
+        prof = get_profiler()
+        if prof.enabled:
+            # the reference GUI's profiler tab (render_profiler.cpp):
+            # per-stage totals in microseconds
+            out["profiler"] = {
+                k: {m: round(v, 1) for m, v in row.items()}
+                for k, row in sorted(prof.table().items())}
         if rx is not None:
             db = rx.db
             out["ensemble"] = {"id": f"{db.ensemble.id:04X}",
@@ -287,6 +295,8 @@ def main(argv=None):
     apply_backend(args)
 
     st = _State()
+    from ..utils.profiler import get_profiler
+    get_profiler().enabled = True
     st.demod = OFDMDemodulator(args.transmission_mode)
     st.sd = StreamingDemodulator(st.demod)
     st.rx = DabReceiver(args.transmission_mode, benchmark_all=True)
