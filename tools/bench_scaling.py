@@ -13,6 +13,8 @@ number.
 
 Usage: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
        python tools/bench_scaling.py [--per-device-batch 4] [--iters 10]
+       [--full-chain]   # weak-scale the FULL sharded receiver step
+                        # (demod+FIC+deinterleave+MSC) over the 'ens' axis
 """
 
 import argparse
@@ -31,6 +33,9 @@ def main(argv=None):
     ap.add_argument("--mode", type=int, default=2)
     ap.add_argument("--devices", default="1,2,4,8")
     ap.add_argument("--backend", default="cpu", choices=["default", "cpu"])
+    ap.add_argument("--full-chain", action="store_true",
+                    help="scale multichip_receiver_step (the whole decode "
+                         "chain) instead of the demod-only step")
     args = ap.parse_args(argv)
     if args.backend == "cpu":
         os.environ.setdefault(
@@ -49,6 +54,38 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     results = []
     base = None
+
+    if args.full_chain:
+        from dab_radio_tpu.parallel.mesh import multichip_receiver_step
+        for n in [int(x) for x in args.devices.split(",") if int(x) <= avail]:
+            mesh = Mesh(np.array(jax.devices()[:n]).reshape(n, 1, 1),
+                        ("ens", "time", "sub"))
+            step, (carry, hist, iq) = multichip_receiver_step(
+                mesh, transmission_mode=args.mode,
+                ensembles_per_shard=args.per_device_batch)
+            B = n * args.per_device_batch
+            carry, hist, out = step(carry, hist, iq)       # compile
+            jax.block_until_ready(out["msc_bits"])
+            t0 = time.time()
+            c, h = carry, hist
+            for _ in range(args.iters):
+                c, h, out = step(c, h, iq)
+            jax.block_until_ready(out["msc_bits"])
+            float(np.asarray(out["fic_err"]).sum())
+            dt = time.time() - t0
+            fps = B * args.iters / dt                      # frames/s (1/step)
+            if base is None:
+                base = fps / n
+            eff = fps / (n * base)
+            results.append({"devices": n, "batch": B,
+                            "frames_per_s": round(fps, 1),
+                            "efficiency": round(eff, 3)})
+            print(f"# full-chain n={n} B={B} {fps:.1f} frames/s "
+                  f"eff={eff:.3f}", file=sys.stderr)
+        print(json.dumps({"metric": "receiver_weak_scaling",
+                          "mode": args.mode, "points": results}))
+        return 0
+
     for n in [int(x) for x in args.devices.split(",") if int(x) <= avail]:
         mesh = Mesh(np.array(jax.devices()[:n]).reshape(n, 1, 1),
                     ("ens", "time", "sub"))
