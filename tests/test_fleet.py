@@ -1,6 +1,8 @@
 """Fleet orchestration: cross-ensemble batched decode must be bit-identical
 to standalone per-ensemble receivers."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -660,3 +662,22 @@ def test_fused_fleet_mixed_kinds_audio_mp2_packet():
         assert np.sqrt((pcm ** 2).mean()) > 100
     s = fleet.summary()
     assert s["data_groups"] == got["dg"] and s["mp2_frames"] >= 10
+
+
+@pytest.mark.slow
+def test_serving_soak_constant_memory():
+    """tools/soak.py: ~45 s of looped fused serving holds RSS flat and
+    keeps decoding AUs (the long-running serving contract)."""
+    import json as json_mod
+    import subprocess
+    import sys as sys_mod
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys_mod.executable, os.path.join(root, "tools", "soak.py"),
+         "--seconds", "45", "--sample-s", "10", "--streams", "2",
+         "--frames-per-step", "4", "--backend", "cpu"],
+        capture_output=True, timeout=400, cwd=root)
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    res = json_mod.loads(r.stdout.decode().strip().splitlines()[-1])
+    assert res["ok"] and res["total_aus"] > 0
+    assert res["rss_growth"] < 0.15
