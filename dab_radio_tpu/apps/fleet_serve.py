@@ -320,13 +320,15 @@ def _serve_stream(args):
             return 1
         fleet = FusedFleet.from_receiver(
             rx, nb_streams=N, transmission_mode=mode,
-            frames_per_step=args.frames_per_step)
+            frames_per_step=args.frames_per_step,
+            viterbi=args.viterbi, chainback=args.chainback)
     else:
         assert args.subchannels, "--subchannels or --discover required"
         cfgs, kinds = parse_subchannels(args.subchannels)
         fleet = FusedFleet(N, cfgs, transmission_mode=mode,
                            frames_per_step=args.frames_per_step,
-                           subchannel_kinds=kinds)
+                           subchannel_kinds=kinds,
+                           viterbi=args.viterbi, chainback=args.chainback)
 
     pcm_out, scraper, srv, box = _attach_common(fleet, args)
 
@@ -422,6 +424,14 @@ def main(argv=None):
                     help="dynamic FIC discovery per stream, then fused "
                          "handoff")
     ap.add_argument("--frames-per-step", type=int, default=8)
+    ap.add_argument("--viterbi", default="exact",
+                    choices=["exact", "tiled"],
+                    help="MSC Viterbi: exact full-trellis or overlap-save "
+                         "tiled (lower round latency; docs/PERF.md)")
+    ap.add_argument("--chainback", default="sequential",
+                    choices=["sequential", "parallel"],
+                    help="Viterbi traceback: sequential walk or log-depth "
+                         "map composition (lower round latency)")
     ap.add_argument("--max-rounds", type=int, default=0,
                     help="stop after this many (additional, when resuming) "
                          "rounds")
@@ -478,7 +488,8 @@ def main(argv=None):
                 return 1
             fleet = FusedFleet.from_receiver(
                 rx, nb_streams=N, transmission_mode=mode,
-                frames_per_step=args.frames_per_step)
+                frames_per_step=args.frames_per_step,
+                viterbi=args.viterbi, chainback=args.chainback)
         else:
             rxs = [_discover(s, mode) for s in streams]
             for k, rx in enumerate(rxs):
@@ -488,13 +499,15 @@ def main(argv=None):
                     return 1
             fleet = FusedFleet.from_receiver(
                 rxs, transmission_mode=mode,
-                frames_per_step=args.frames_per_step)
+                frames_per_step=args.frames_per_step,
+                viterbi=args.viterbi, chainback=args.chainback)
     else:
         assert args.subchannels, "--subchannels or --discover required"
         cfgs, kinds = parse_subchannels(args.subchannels)
         fleet = FusedFleet(N, cfgs, transmission_mode=mode,
                            frames_per_step=args.frames_per_step,
-                           subchannel_kinds=kinds)
+                           subchannel_kinds=kinds,
+                           viterbi=args.viterbi, chainback=args.chainback)
 
     pcm_out, scraper, srv, box = _attach_common(fleet, args)
 
