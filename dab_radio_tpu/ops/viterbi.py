@@ -198,6 +198,15 @@ def _radix4_forward_sm(pm0, xs):
         # (128, 4) @ (4, B) -> (128, B) = (s*2+b, B), state-major
         return (St @ d_t.T).reshape(NB_STATES, 2, B)
 
+    # packed min+argmin: candidate metrics are exact integers in f32 (sums
+    # of +/-127 correlations, |m| < 4*127*T ~ 878k for the longest DAB
+    # trellis), so 4*m + p stays exact below 2^24 and ONE min reduction
+    # yields both the survivor metric (packed >> 2) and the decision
+    # (packed & 3) — with first-minimum-wins tie-breaking preserved
+    # (smallest p among equal metrics), halving the reduction work vs
+    # separate min + argmin
+    p_idx = jnp.arange(4, dtype=jnp.float32)[None, :, None, None, None]
+
     def step(pm, d2):
         bm_a = branch_err(d2[0])                      # (s0, b1, B)
         bm_b = branch_err(d2[1])                      # (s1, b2, B)
@@ -208,8 +217,9 @@ def _radix4_forward_sm(pm0, xs):
         bmb = bmb.reshape(NB_STATES, 2, 2, B)         # (s0, b1, b2, B)
         cand = (pm[:, None, None, :] + bm_a[:, :, None, :] + bmb)
         quads = cand.reshape(16, 4, 2, 2, B)          # (j, p, b1, b2, B)
-        new_pm = jnp.min(quads, axis=1)               # (j, b1, b2, B)
-        dec = jnp.argmin(quads, axis=1).astype(jnp.uint8)
+        packed = jnp.min(quads * 4.0 + p_idx, axis=1)  # (j, b1, b2, B)
+        new_pm = jnp.floor(packed * 0.25)
+        dec = (packed - 4.0 * new_pm).astype(jnp.uint8)
         # s2 = (b2 << 5) | (b1 << 4) | j -> order (b2, b1, j)
         new_pm = jnp.moveaxis(new_pm, (0, 1, 2), (2, 1, 0)
                               ).reshape(NB_STATES, B)
@@ -320,10 +330,15 @@ def _radix8_forward_sm(pm0, xs):
         # final s3 = (b3<<5)|(b2<<4)|(b1<<3)|(s0>>3); candidates ordered by
         # p = s0 & 7 = 4*p3 + 2*p2 + p1 — lexicographic (latest step major)
         # first-min-wins reproduces the sequential per-step even-
-        # predecessor tie-breaks (same argument as radix-4, one level up)
+        # predecessor tie-breaks (same argument as radix-4, one level up).
+        # packed min+argmin in one reduction (see _radix4_forward_sm):
+        # 8*m + p exact in f32 (|m| < 878k -> |packed| < 2^23)
         octs = cand.reshape(8, 8, 2, 2, 2, B)        # (oct, p, b1, b2, b3, B)
-        new_pm = jnp.min(octs, axis=1)               # (oct, b1, b2, b3, B)
-        dec = jnp.argmin(octs, axis=1).astype(jnp.uint8)
+        p_idx = jnp.arange(8, dtype=jnp.float32)[None, :, None, None, None,
+                                                 None]
+        packed = jnp.min(octs * 8.0 + p_idx, axis=1)  # (oct, b1, b2, b3, B)
+        new_pm = jnp.floor(packed * 0.125)
+        dec = (packed - 8.0 * new_pm).astype(jnp.uint8)
         new_pm = jnp.moveaxis(new_pm, (0, 1, 2, 3), (3, 2, 1, 0)
                               ).reshape(NB_STATES, B)
         dec = jnp.moveaxis(dec, (0, 1, 2, 3), (3, 2, 1, 0)
