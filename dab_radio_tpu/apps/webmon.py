@@ -241,11 +241,20 @@ def _make_handler(st: _State):
                 self.send_response(404)
                 self.end_headers()
                 return
+            # same-origin gate: a hostile page the operator browses can
+            # fire no-preflight POSTs at localhost — refuse any request
+            # that carries a foreign Origin (direct curl/urllib send none)
+            origin = self.headers.get("Origin")
+            if origin and origin != f"http://{self.headers.get('Host')}":
+                self.send_response(403)
+                self.end_headers()
+                return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n))
                 sub_id = int(req["subchannel"])
-            except (ValueError, KeyError, json.JSONDecodeError):
+            except (ValueError, KeyError, TypeError,
+                    json.JSONDecodeError):
                 self.send_response(400)
                 self.end_headers()
                 return

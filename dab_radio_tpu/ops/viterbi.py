@@ -198,16 +198,22 @@ def _radix4_forward_sm(pm0, xs):
         # (128, 4) @ (4, B) -> (128, B) = (s*2+b, B), state-major
         return (St @ d_t.T).reshape(NB_STATES, 2, B)
 
-    # packed min+argmin: candidate metrics are exact integers in f32 (sums
-    # of +/-127 correlations, |m| < 4*127*T ~ 878k for the longest DAB
-    # trellis), so 4*m + p stays exact below 2^24 and ONE min reduction
-    # yields both the survivor metric (packed >> 2) and the decision
-    # (packed & 3) — with first-minimum-wins tie-breaking preserved
-    # (smallest p among equal metrics), halving the reduction work vs
-    # separate min + argmin
+    # packed min+argmin: ONE min reduction yields both the survivor metric
+    # (floor-divide by 4) and the decision (remainder), with first-minimum-
+    # wins tie-breaking preserved (smallest p among equal metrics) — half
+    # the reduction work of separate min + argmin. Exactness needs
+    # |4*m + p| < 2^24, but absolute path metrics drift by up to
+    # +/-1016/iteration (T reaches 9222+ steps for high-bitrate
+    # subchannels), so metrics are REBASED each step: subtracting new_pm[0]
+    # from every state shifts all of the next step's candidates equally
+    # (min/argmin and ties unchanged) and bounds the carried values by the
+    # state-metric spread, <= (K-1)*1016 + the initial offset ~ 12k.
+    # The running base is carried separately (plain f32 adds, exact to
+    # 2^24 ~ 33000 steps) and restored after the scan for the path error.
     p_idx = jnp.arange(4, dtype=jnp.float32)[None, :, None, None, None]
 
-    def step(pm, d2):
+    def step(carry, d2):
+        pm, base = carry
         bm_a = branch_err(d2[0])                      # (s0, b1, B)
         bm_b = branch_err(d2[1])                      # (s1, b2, B)
         # remap bm_b onto (s0, b1, b2): s1 = (b1 << 5) | (s0 >> 1)
@@ -224,9 +230,12 @@ def _radix4_forward_sm(pm0, xs):
         new_pm = jnp.moveaxis(new_pm, (0, 1, 2), (2, 1, 0)
                               ).reshape(NB_STATES, B)
         dec = jnp.moveaxis(dec, (0, 1, 2), (2, 1, 0)).reshape(NB_STATES, B)
-        return new_pm, dec
+        rebase = new_pm[0]                            # (B,)
+        return (new_pm - rebase[None, :], base + rebase), dec
 
-    return jax.lax.scan(step, pm0, xs)
+    (pm, base), decisions = jax.lax.scan(
+        step, (pm0, jnp.zeros(pm0.shape[1:], pm0.dtype)), xs)
+    return pm + base[None, :], decisions
 
 
 def _radix4_chainback_sm(decisions, state0):
@@ -310,7 +319,8 @@ def _radix8_forward_sm(pm0, xs):
     def branch_err(d_t):
         return (St @ d_t.T).reshape(NB_STATES, 2, B)
 
-    def step(pm, d3):
+    def step(carry, d3):
+        pm, base = carry
         bm_a = branch_err(d3[0])                      # (s0, b1, B)
         bm_b = branch_err(d3[1])                      # (s1, b2, B)
         bm_c = branch_err(d3[2])                      # (s2, b3, B)
@@ -331,8 +341,9 @@ def _radix8_forward_sm(pm0, xs):
         # p = s0 & 7 = 4*p3 + 2*p2 + p1 — lexicographic (latest step major)
         # first-min-wins reproduces the sequential per-step even-
         # predecessor tie-breaks (same argument as radix-4, one level up).
-        # packed min+argmin in one reduction (see _radix4_forward_sm):
-        # 8*m + p exact in f32 (|m| < 878k -> |packed| < 2^23)
+        # packed min+argmin in one reduction with per-step rebasing — the
+        # same exactness argument as _radix4_forward_sm (rebased metrics
+        # stay within the ~12k state spread, so |8*m + p| << 2^24)
         octs = cand.reshape(8, 8, 2, 2, 2, B)        # (oct, p, b1, b2, b3, B)
         p_idx = jnp.arange(8, dtype=jnp.float32)[None, :, None, None, None,
                                                  None]
@@ -343,9 +354,12 @@ def _radix8_forward_sm(pm0, xs):
                               ).reshape(NB_STATES, B)
         dec = jnp.moveaxis(dec, (0, 1, 2, 3), (3, 2, 1, 0)
                            ).reshape(NB_STATES, B)
-        return new_pm, dec
+        rebase = new_pm[0]                            # (B,)
+        return (new_pm - rebase[None, :], base + rebase), dec
 
-    return jax.lax.scan(step, pm0, xs)
+    (pm, base), decisions = jax.lax.scan(
+        step, (pm0, jnp.zeros(pm0.shape[1:], pm0.dtype)), xs)
+    return pm + base[None, :], decisions
 
 
 def _radix8_chainback_sm(decisions, state0):

@@ -1107,8 +1107,9 @@ def test_programme_type_tables_match_reference():
 # reference oracles.
 # ---------------------------------------------------------------------------
 
-@pytest.fixture(scope="module")
-def demod_harness():
+def build_demod_harness() -> str:
+    """Compile the reference OFDM demod harness; plain function so
+    tools/compare_with_reference.py can reuse it outside pytest."""
     exe = "/tmp/dab_ofdm_demod_harness"
     srcs = [os.path.join(HERE, "golden", "ofdm_demod_harness.cpp")] + [
         f"{REF}/ofdm/{f}" for f in (
@@ -1120,6 +1121,11 @@ def demod_harness():
                     f"-I{REF}", f"-I{os.path.join(HERE, 'golden')}",
                     "-o", exe] + srcs, check=True, capture_output=True)
     return exe
+
+
+@pytest.fixture(scope="module")
+def demod_harness():
+    return build_demod_harness()
 
 
 def _run_ref_demod(exe, sig: np.ndarray, mode: int) -> np.ndarray:

@@ -282,3 +282,33 @@ def test_parallel_chainback_through_punctured_decode():
     np.testing.assert_array_equal(np.asarray(bp), np.asarray(bs))
     np.testing.assert_array_equal(np.asarray(ep), np.asarray(es))
     np.testing.assert_array_equal(np.asarray(bs), bits)
+
+
+def test_long_trellis_exactness_radix4_and_radix8():
+    """Regression (self-review round 3): high-bitrate subchannels reach
+    9222+ trellis steps per CIF, where absolute path metrics drift to
+    ~|508*T| ~ 4.7M and a naive packed 4*m+p min would exceed f32
+    exactness (2^24). The per-step rebasing in the state-major forward
+    passes must keep radix-4/radix-8 bit-identical to the int32
+    sequential decoder at these lengths."""
+    rng = np.random.default_rng(41)
+    L = 9216                       # T = L+6 = 9222 (UEP 384 kbps scale)
+    B = 2
+    bits = rng.integers(0, 2, size=(B, L)).astype(np.uint8)
+    soft = np.stack([
+        vit.bits_to_soft(vit.conv_encode(b)).reshape(-1, 4)
+        for b in bits]).astype(np.int32)
+    noise = rng.integers(-100, 101, size=soft.shape)
+    soft = np.clip(soft + noise, -127, 127).astype(np.int8)
+    soft[rng.random(soft.shape) < 0.05] = 0
+    d = jnp.asarray(soft)
+
+    b2, e2 = vit.viterbi_decode_soft(d)       # int32 metrics: exact oracle
+    b4, e4 = vit.viterbi_decode_soft_radix4(d)
+    np.testing.assert_array_equal(np.asarray(b4), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(e4), np.asarray(e2))
+    b4p, _ = vit.viterbi_decode_soft_radix4(d, chainback="parallel")
+    np.testing.assert_array_equal(np.asarray(b4p), np.asarray(b2))
+    b8, e8 = vit.viterbi_decode_soft_radix8(d)
+    np.testing.assert_array_equal(np.asarray(b8), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(e8), np.asarray(e2))

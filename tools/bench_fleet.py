@@ -316,6 +316,11 @@ def run_fused(args, iq):
         """Round-trip latency: dispatch one round and FULLY materialize
         its packed outputs before starting the next (no pipelining) —
         what a lowest-latency serving deployment would see per round."""
+        if rounds <= 1:
+            print(f"# latency mode needs >= 2 rounds in the capture "
+                  f"(have {rounds}: {iq.shape[0]} samples at {chunk}/round)"
+                  " — raise --frames", file=sys.stderr)
+            return 1
         times = []
         for r in range(1, min(rounds, max_rounds or rounds)):
             blk, tail = get_blk(r, True)
@@ -333,7 +338,8 @@ def run_fused(args, iq):
             "rounds": len(ms),
             "round_ms_min": round(float(ms[0]), 2),
             "round_ms_p50": round(float(ms[len(ms) // 2]), 2),
-            "round_ms_p90": round(float(ms[int(len(ms) * 0.9)]), 2),
+            "round_ms_p90": round(
+                float(ms[min(int(len(ms) * 0.9), len(ms) - 1)]), 2),
             "realtime_factor_p50": round(
                 fleet.frames_per_round * 96.0 / float(ms[len(ms) // 2]), 2),
             "access_units": int(fleet.total_aus),
@@ -344,8 +350,8 @@ def run_fused(args, iq):
         assert fleet.total_aus > 0, "latency mode: no access units"
 
     if args.latency:
-        run_latency()
-        return 0
+        rc = run_latency()
+        return rc or 0
 
     if args.both:
         run_mode(True)

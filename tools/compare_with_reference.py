@@ -108,13 +108,17 @@ def main(argv=None):
         return orig_ingest(fibs)
     rx.ingest_fibs = ingest
 
+    import numpy as _np
     nb_frames = 0
+    demod_frames = []
     while not args.max_frames or nb_frames < args.max_frames:
         raw = fin.read(args.block_size)
         if not raw:
             break
         for bits in sd.process(iq_convert(raw, reader.fmt)):
             rx.process_frame(bits)
+            if args.demod:
+                demod_frames.append(_np.asarray(bits))
             nb_frames += 1
             if args.max_frames and nb_frames >= args.max_frames:
                 break
@@ -132,6 +136,8 @@ def main(argv=None):
 
     if args.demod:
         # reference demod over the same capture; hard-bit per-frame diff
+        # (our frames were collected in the main decode loop — no second
+        # demod pass)
         import numpy as np
         from dab_radio_tpu.host.native import IQ_FORMATS, _FORMAT_ITEMSIZE
         bps = 2 * _FORMAT_ITEMSIZE[IQ_FORMATS[reader.fmt]]
@@ -139,9 +145,8 @@ def main(argv=None):
         raw = fin.read() if not args.max_frames else fin.read(
             (args.max_frames + 2) * demod.params.nb_frame_samples * bps)
         sig = iq_convert(raw, reader.fmt)
-        sd2 = StreamingDemodulator(demod)
-        ours_frames = [np.asarray(b) for b in sd2.process(sig)]
-        exe = G.demod_harness.__wrapped__()
+        ours_frames = demod_frames
+        exe = G.build_demod_harness()
         ref_frames = G._run_ref_demod(exe, sig, args.transmission_mode)
         agree = G._best_aligned_agreement(ref_frames, ours_frames) \
             if len(ours_frames) and ref_frames.shape[0] else []
