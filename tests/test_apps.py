@@ -343,6 +343,21 @@ def test_webmon_serves_dashboard_and_state(tmp_path):
                if c["subchannel"] == sub][0]["controls"]
         assert not (ctl["play_audio"] or ctl["decode_audio"]
                     or ctl["decode_data"])
+        # hardening: a foreign-Origin POST (hostile page -> localhost
+        # CSRF) is refused; a non-dict JSON body is a clean 400
+        import urllib.error
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/control",
+            data=b'{"subchannel": 0, "action": "run_all"}',
+            headers={"Origin": "http://evil.example"}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=5)
+        assert ei.value.code == 403
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/control", data=b"5", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=5)
+        assert ei.value.code == 400
     finally:
         proc.terminate()
         proc.wait(timeout=10)
