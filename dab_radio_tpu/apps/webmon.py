@@ -41,6 +41,7 @@ class _State:
         self.demod = None
         self.sd = None
         self.rx = None
+        self.reader = None
         self.done = False
 
 
@@ -50,6 +51,8 @@ def _state_json(st: _State) -> bytes:
         out = {"frames": st.nb_frames,
                "uptime_s": round(time.time() - st.t0, 1),
                "done": st.done}
+        if st.reader is not None and st.reader.saturation > 0:
+            out["iq_saturation"] = round(st.reader.saturation, 4)
         if sd is not None and np.ndim(sd.carry.freq_coarse) == 0:
             out["freq_hz"] = round(
                 (float(sd.carry.freq_coarse) + float(sd.carry.freq_fine))
@@ -314,6 +317,7 @@ def main(argv=None):
         fin = sys.stdin.buffer if args.input == "-" else \
             open(args.input, "rb")
         reader = IQReader(fin, args.format)
+        st.reader = reader
         while True:
             raw = fin.read(args.block_size)
             if not raw:
@@ -322,6 +326,7 @@ def main(argv=None):
                     continue
                 break
             iq = iq_convert(raw, reader.fmt)
+            reader._track_saturation(raw)
             for bits in st.sd.process(iq):
                 with st.lock:
                     st.rx.process_frame(bits)

@@ -69,9 +69,31 @@ class IQReader:
             if parsed is None:
                 raise ValueError("not a 2-channel IQ WAV stream")
             self.fmt, self.sample_rate, self.data_offset = parsed
+        self._sat = 0
+        self._tot = 0
+
+    @property
+    def saturation(self) -> float:
+        """Fraction of ingested u8/s8 components at full scale. A
+        mis-scaled or over-driven capture hard-clips: DQPSK survives
+        (clipping preserves phase) so FIC still decodes, but higher-rate
+        MSC subchannels silently die — this counter is the tell. ~0 on a
+        healthy capture; formats wider than 8 bits report 0."""
+        return self._sat / self._tot if self._tot else 0.0
+
+    def _track_saturation(self, raw: bytes):
+        if self.fmt == "u8":
+            a = np.frombuffer(raw, np.uint8)
+            self._sat += int((a <= 0).sum() + (a >= 255).sum())
+            self._tot += a.shape[0]
+        elif self.fmt == "s8":
+            a = np.frombuffer(raw, np.int8)
+            self._sat += int((a <= -128).sum() + (a >= 127).sum())
+            self._tot += a.shape[0]
 
     def read_block(self, nb_bytes: int) -> Optional[np.ndarray]:
         raw = self.f.read(nb_bytes)
         if not raw:
             return None
+        self._track_saturation(raw)
         return iq_convert(raw, self.fmt)

@@ -681,3 +681,60 @@ def test_serving_soak_constant_memory():
     res = json_mod.loads(r.stdout.decode().strip().splitlines()[-1])
     assert res["ok"] and res["total_aus"] > 0
     assert res["rss_growth"] < 0.15
+
+
+def test_fused_fleet_mode_2_serving():
+    """The fused serving path across a different transmission mode: a
+    mode-II ensemble (24 ms frames, 1 CIF/frame, 384-pt FFT geometry)
+    decodes through FusedFleet with AUs firing and the database equal to
+    the host DabReceiver's on the same capture."""
+    from dab_radio_tpu.models.fused_fleet import FusedFleet
+    from dab_radio_tpu.models.demodulator import (OFDMDemodulator,
+                                                  StreamingDemodulator)
+    from dab_radio_tpu.ops.iq import iq_pairs
+
+    svc = ServiceSpec(0xD201, 1, "Mode2 Svc",
+                      SubchannelConfig(0, 48, False, eep_type="A",
+                                       eep_prot_level=2))
+    tx = EnsembleTransmitter(2, ensemble_id=0xD0D0, services=[svc])
+    tx.enable_tone_audio()
+    nb_frames = 64
+    iq_c = tx.generate(nb_frames)
+    # peak-normalize before u8 quantization (simulate_transmitter's
+    # contract; raw modulator amplitude is ~17 and would clip to garbage)
+    iq_c = (iq_c / np.abs(iq_c).max() * 0.5).astype(np.complex64)
+    from dab_radio_tpu.host.native import iq_quantize_u8
+    u8 = np.frombuffer(iq_quantize_u8(iq_c), dtype=np.uint8)
+
+    N, K = 2, 8
+    fleet = FusedFleet(N, [svc.cfg], transmission_mode=2, frames_per_step=K)
+    hits = []
+    fleet.on_access_unit.append(
+        lambda b, s, i, n, au, hdr: hits.append((b, bytes(au))))
+    chunk = 2 * fleet.round_samples
+    tb = fleet.tail_bytes
+    for r_ in range(u8.shape[0] // chunk):
+        lo = r_ * chunk
+        blk = np.tile(u8[lo:lo + chunk][None], (N, 1))
+        t = u8[lo + chunk:lo + chunk + tb]
+        tail = np.tile(t[None], (N, 1)) if t.shape[0] == tb else None
+        fleet.process_round(blk, defer_fetch=True, tail_u8=tail)
+    fleet.flush()
+    assert fleet.total_aus > 0 and hits
+    assert fleet.receivers[0].db.ensemble.id == 0xD0D0
+    assert fleet.receivers[0].db.services[0xD201].label == "Mode2 Svc"
+
+    # host-path reference on the same capture: identical AU stream
+    rx = DabReceiver(2, benchmark_all=True)
+    ref_aus = []
+    rx.on_audio_channel.append(
+        lambda sub, ch: ch.events.on_access_unit.append(
+            lambda i, n, au, hdr: ref_aus.append(bytes(au))))
+    sd = StreamingDemodulator(OFDMDemodulator(2))
+    for bits in sd.process(iq_c):
+        rx.process_frame(bits)
+    got = [a for b, a in hits if b == 0]
+    assert ref_aus, "host path decoded no AUs - raise nb_frames"
+    m = min(len(got), len(ref_aus))
+    assert m >= len(ref_aus) - 6
+    assert got[:m] == ref_aus[:m]

@@ -55,3 +55,29 @@ def test_wav_reader_rejects_non_wav():
     import pytest
     with pytest.raises(ValueError):
         IQReader(io.BytesIO(b"\x01" * 64), "wav")
+
+
+def test_iq_reader_saturation_counter():
+    """A clipped u8 capture (mis-scaled transmitter / over-driven tuner)
+    is detected by IQReader.saturation; a healthy capture reads ~0. The
+    failure mode it diagnoses: clipping preserves phase so FIC still
+    decodes while higher-rate MSC dies silently."""
+    import io as io_mod
+    from dab_radio_tpu.host.io import IQReader
+
+    rng = np.random.default_rng(0)
+    healthy = np.clip(rng.normal(127.5, 30, 4096), 1, 254).astype(np.uint8)
+    r = IQReader(io_mod.BytesIO(healthy.tobytes()), "u8")
+    assert r.read_block(4096) is not None
+    assert r.saturation < 0.01
+
+    clipped = np.clip(rng.normal(127.5, 300, 4096), 0, 255).astype(np.uint8)
+    r = IQReader(io_mod.BytesIO(clipped.tobytes()), "u8")
+    assert r.read_block(4096) is not None
+    assert r.saturation > 0.3
+
+    # wider formats report 0 (no 8-bit rails to hit)
+    wide = (rng.normal(0, 0.5, 2048).astype(np.float32)).tobytes()
+    r = IQReader(io_mod.BytesIO(wide), "f32le")
+    assert r.read_block(len(wide)) is not None
+    assert r.saturation == 0.0
