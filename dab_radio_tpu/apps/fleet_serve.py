@@ -59,6 +59,19 @@ def parse_subchannels(spec: str):
     return cfgs, kinds
 
 
+def _warn_if_clipped(u8: np.ndarray, name: str):
+    """Mis-scaled captures hard-clip 8-bit IQ: FIC still decodes (phase
+    survives) but MSC silently dies — warn up front (host/io.py has the
+    same counter for the streaming apps)."""
+    if u8.size == 0:
+        return
+    sat = float(((u8 <= 0) | (u8 >= 255)).mean())
+    if sat > 0.02:
+        print(f"# WARNING: {name}: {sat:.0%} of IQ samples at full scale "
+              "— capture is clipping (MSC decode will fail)",
+              file=sys.stderr)
+
+
 def _discover(iq: np.ndarray, mode: int, max_frames: int = 8):
     """Dynamic pass over the first frames -> (DabReceiver, frames used)."""
     from ..host.native import iq_convert
@@ -301,6 +314,7 @@ def _serve_stream(args):
     # head: enough for FIC discovery (10 frames) AND cold-start alignment
     head = fin.read(2 * 12 * fs)
     head_u8 = np.frombuffer(head, dtype=np.uint8)
+    _warn_if_clipped(head_u8, "stdin head")
 
     snap = None
     if args.resume:
@@ -463,9 +477,12 @@ def main(argv=None):
     if args.shared_input:
         assert len(args.inputs) == 1 and args.streams > 0
         data = np.fromfile(args.inputs[0], dtype=np.uint8)
+        _warn_if_clipped(data[: 1 << 22], args.inputs[0])
         streams = [data] * args.streams
     else:
         streams = [np.fromfile(f, dtype=np.uint8) for f in args.inputs]
+        for f_, st_ in zip(args.inputs, streams):
+            _warn_if_clipped(st_[: 1 << 22], f_)
     N = len(streams)
     mode = args.transmission_mode
 
