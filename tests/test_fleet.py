@@ -738,3 +738,85 @@ def test_fused_fleet_mode_2_serving():
     m = min(len(got), len(ref_aus))
     assert m >= len(ref_aus) - 6
     assert got[:m] == ref_aus[:m]
+
+
+def test_consume_workers_equals_serial():
+    """consume_workers>1 shards the byte layer across threads but must
+    reproduce the serial path's observer event stream byte-for-byte and
+    in order — the full taxonomy (DAB+ AUs, MP2 frames with PCM decode,
+    packet-mode data groups) on the same capture."""
+    from dab_radio_tpu.models.fused_fleet import FusedFleet
+    from dab_radio_tpu.models.pad_writer import (build_mot_header,
+                                                 build_mot_segment)
+    from dab_radio_tpu.dab.mot import HEADER, UNSCRAMBLED_BODY
+    from dab_radio_tpu.host.native import iq_quantize_u8
+
+    services = [
+        ServiceSpec(0xA001, 1, "AAC Service",
+                    SubchannelConfig(0, 48, False, eep_type="A",
+                                     eep_prot_level=2), kind="dab+"),
+        ServiceSpec(0xA002, 2, "MP2 Service",
+                    SubchannelConfig(48, 84, True, uep_table_index=33),
+                    kind="dab"),
+        ServiceSpec(0xA003, 3, "Data Service",
+                    SubchannelConfig(132, 48, False, eep_type="A",
+                                     eep_prot_level=2), kind="packet",
+                    scid=0x10, packet_address=2),
+    ]
+
+    def capture():
+        tx = EnsembleTransmitter(1, services=services)
+        tx.enable_tone_audio()
+        rng = np.random.default_rng(7)
+        body = rng.integers(0, 256, 300).astype(np.uint8).tobytes()
+        segs = [body[i:i + 128] for i in range(0, len(body), 128)]
+        for _ in range(10):
+            tx.push_packet_data_group(
+                3, build_mot_segment(HEADER, 0, True, 0x42,
+                                     build_mot_header(body, "f.bin")))
+            for i, sg in enumerate(segs):
+                tx.push_packet_data_group(
+                    3, build_mot_segment(UNSCRAMBLED_BODY, i,
+                                         i == len(segs) - 1, 0x42, sg))
+
+        def frame_u8():
+            f = tx.next_frame_iq()
+            return iq_quantize_u8(f * (0.5 / max(np.abs(f).max(), 1e-9)))
+        return np.frombuffer(b"".join(frame_u8() for _ in range(24)),
+                             np.uint8)
+
+    iq = capture()
+    cfgs = [s.cfg for s in services]
+    kinds = ["audio", "mp2", ("packet", 2, 0)]
+
+    def run(workers):
+        N = 3
+        fleet = FusedFleet(N, cfgs, transmission_mode=1, frames_per_step=4,
+                           subchannel_kinds=kinds,
+                           consume_workers=workers)
+        fleet.enable_audio(0, 1)
+        events = []
+        fleet.on_access_unit.append(
+            lambda b, s, i, n, au, hdr: events.append(
+                ("au", b, s, i, n, bytes(au))))
+        fleet.on_mp2_frame.append(
+            lambda b, s, fr: events.append(("mp2", b, s, bytes(fr))))
+        fleet.on_data_group.append(
+            lambda b, s, res: events.append(
+                ("dg", b, s, bytes(res.data))))
+        fleet.on_audio_data.append(
+            lambda b, s, pcm, rate, nch: events.append(
+                ("pcm", b, s, np.asarray(pcm).tobytes(), rate, nch)))
+        chunk = 2 * fleet.round_samples
+        for r in range(iq.shape[0] // chunk):
+            blk = np.tile(iq[r * chunk:(r + 1) * chunk][None], (N, 1))
+            fleet.process_round(blk, defer_fetch=True)
+        fleet.flush()
+        return events, (fleet.total_aus, fleet.total_mp2_frames,
+                        fleet.total_data_groups)
+
+    ev_serial, counts_serial = run(0)
+    ev_par, counts_par = run(4)
+    assert counts_serial == counts_par
+    assert counts_serial[0] > 0 and counts_serial[2] > 0
+    assert ev_par == ev_serial
