@@ -1287,3 +1287,28 @@ def test_reference_ofdm_demod_bit_exact_other_modes(demod_harness, mode):
     assert len(ours) >= 10 and ref.shape[0] >= 10
     agree = _best_aligned_agreement(ref, ours)
     assert all(a == 1.0 for a in agree), agree
+
+
+@pytest.mark.slow
+def test_reference_ofdm_demod_asan_clean():
+    """The demod harness (reference OFDM_Demod + our fftw3 shim) under
+    AddressSanitizer on a clean ensemble: no OOB in the shim's buffer
+    contract (same ASan-oracle pattern as the FIG harness)."""
+    exe = "/tmp/dab_ofdm_demod_harness_asan"
+    srcs = [os.path.join(HERE, "golden", "ofdm_demod_harness.cpp")] + [
+        f"{REF}/ofdm/{f}" for f in (
+            "ofdm_demodulator.cpp", "ofdm_demodulator_threads.cpp",
+            "dab_ofdm_params_ref.cpp", "dab_prs_ref.cpp",
+            "dab_mapper_ref.cpp", "dsp/apply_pll.cpp",
+            "dsp/complex_conj_mul_sum.cpp")]
+    subprocess.run(["g++", "-O1", "-g", "-fsanitize=address", "-std=c++17",
+                    "-DNDEBUG", "-pthread", f"-I{REF}",
+                    f"-I{os.path.join(HERE, 'golden')}", "-o", exe] + srcs,
+                   check=True, capture_output=True)
+    sig = _ensemble_sig(6, seed=3)
+    r = subprocess.run([exe, "1", "1"],
+                       input=sig.astype(np.complex64).tobytes(),
+                       capture_output=True, timeout=280)
+    err = r.stderr.decode()
+    assert r.returncode == 0 and "ERROR" not in err, err[-800:]
+    assert "frames=5" in err or "frames=6" in err, err
