@@ -182,7 +182,7 @@ def _codec_tag(ch):
 
 
 def render_lines(demod, sd, rx, stats, nb_frames, t0, show_constellation=True,
-                 selected=None):
+                 selected=None, reader=None):
     lines = []
     c = sd.carry
     freq = (float(c.freq_coarse) + float(c.freq_fine)) * SAMPLE_RATE \
@@ -199,7 +199,9 @@ def render_lines(demod, sd, rx, stats, nb_frames, t0, show_constellation=True,
             mer = f"  MER={m:5.1f} dB"
     lines.append(
         f"demod: read={int(c.total_frames)} desync={int(c.total_desync)} "
-        f"cfo={freq:+8.1f} Hz  signal_l1={float(c.signal_l1_avg):.4f}{mer}")
+        f"cfo={freq:+8.1f} Hz  signal_l1={float(c.signal_l1_avg):.4f}{mer}"
+        + (f"  CLIP={reader.saturation:.0%}"
+           if reader is not None and reader.saturation > 0.02 else ""))
     db = rx.db
     lines.append(
         f"ensemble {db.ensemble.id:04X} '{db.ensemble.label}'  "
@@ -297,6 +299,7 @@ def main(argv=None):
         if not raw:
             return False
         iq = iq_convert(raw, reader.fmt)
+        reader._track_saturation(raw)
         for bits in sd.process(iq):
             rx.process_frame(bits)
             nb_frames += 1
@@ -310,10 +313,11 @@ def main(argv=None):
             if time.time() - last >= args.refresh:
                 last = time.time()
                 print("\n".join(render_lines(demod, sd, rx, stats, nb_frames,
-                                             t0)))
+                                             t0, reader=reader)))
                 print("-" * 72)
                 sys.stdout.flush()
-        print("\n".join(render_lines(demod, sd, rx, stats, nb_frames, t0)))
+        print("\n".join(render_lines(demod, sd, rx, stats, nb_frames, t0,
+                                      reader=reader)))
         sys.stdout.flush()
         return 0
 
@@ -373,7 +377,7 @@ def main(argv=None):
             scr.erase()
             maxy, maxx = scr.getmaxyx()
             lines = render_lines(demod, sd, rx, stats, nb_frames, t0,
-                                 selected=sel[0])
+                                 selected=sel[0], reader=reader)
             lines.append("keys: Tab=select  a/d/p=toggle controls  "
                          "r=run_all s=stop_all q=quit")
             for y, line in enumerate(lines):
