@@ -113,10 +113,15 @@ def main(argv=None):
             print(f"# {samples[-1]}", file=sys.stderr, flush=True)
     fleet.flush()
 
-    ok = len(samples) >= 2
+    # RSS baseline: the first sample taken AFTER decode actually started
+    # (a slow first compile under load can leave sample 0 pre-warmup,
+    # which would overstate growth)
+    warm = [x for x in samples if x["rounds"] >= 2] or samples
+    ok = len(samples) >= 2 and len(warm) >= 2
+    growth = None
     if ok:
         ok &= samples[-1]["au_rate"] > 0
-        base = samples[0]["rss_mb"]          # post-warmup baseline
+        base = warm[0]["rss_mb"]
         growth = (samples[-1]["rss_mb"] - base) / max(base, 1.0)
         ok &= growth <= args.max_rss_growth
     result = {
@@ -124,7 +129,7 @@ def main(argv=None):
         "seconds": args.seconds, "streams": N, "frames_per_step": K,
         "total_rounds": int(fleet.total_rounds),
         "total_aus": int(fleet.total_aus),
-        "rss_growth": round(growth, 4) if len(samples) >= 2 else None,
+        "rss_growth": round(growth, 4) if growth is not None else None,
         "samples": samples,
         "ok": bool(ok),
     }
