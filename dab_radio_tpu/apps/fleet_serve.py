@@ -61,11 +61,10 @@ def parse_subchannels(spec: str):
 
 def _warn_if_clipped(u8: np.ndarray, name: str):
     """Mis-scaled captures hard-clip 8-bit IQ: FIC still decodes (phase
-    survives) but MSC silently dies — warn up front (host/io.py has the
-    same counter for the streaming apps)."""
-    if u8.size == 0:
-        return
-    sat = float(((u8 <= 0) | (u8 >= 255)).mean())
+    survives) but MSC silently dies — warn up front (host/io.py's
+    IQReader tracks the same signal for the streaming apps)."""
+    from ..host.io import u8_saturation
+    sat = u8_saturation(u8)
     if sat > 0.02:
         print(f"# WARNING: {name}: {sat:.0%} of IQ samples at full scale "
               "— capture is clipping (MSC decode will fail)",
@@ -321,7 +320,8 @@ def _serve_stream(args):
         import pickle
         with open(args.resume, "rb") as f:
             snap = pickle.load(f)
-        fleet = FusedFleet.from_snapshot(snap["fleet"])
+        fleet = FusedFleet.from_snapshot(snap["fleet"],
+            consume_workers=args.consume_workers)
         assert fleet.N == N, (
             f"snapshot has {fleet.N} streams, --streams gives {N}")
         print(f"# resumed from {args.resume} at round "
@@ -497,7 +497,8 @@ def main(argv=None):
         import pickle
         with open(args.resume, "rb") as f:
             snap = pickle.load(f)
-        fleet = FusedFleet.from_snapshot(snap["fleet"])
+        fleet = FusedFleet.from_snapshot(snap["fleet"],
+            consume_workers=args.consume_workers)
         assert fleet.N == N, (
             f"snapshot has {fleet.N} streams, inputs give {N}")
         print(f"# resumed from {args.resume} at round "

@@ -166,14 +166,10 @@ def main(argv=None):
         if not raw:
             break
         if run_ofdm:
-            iq = iq_convert(raw, reader.fmt)
-            reader._track_saturation(raw)
-            if reader.saturation > 0.02 and not getattr(
-                    reader, "_sat_warned", False):
-                reader._sat_warned = True
-                print(f"# WARNING: {reader.saturation:.0%} of IQ samples "
-                      "at full scale — capture is clipping (FIC may still "
-                      "decode; MSC will not)", file=sys.stderr)
+            iq = reader.convert(raw)
+            w = reader.clipping_warning()
+            if w:
+                print(f"# {w}", file=sys.stderr)
             total_samples += iq.shape[0]
             for bits in sd.process(iq):
                 handle_frame(bits)

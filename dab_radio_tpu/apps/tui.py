@@ -298,8 +298,7 @@ def main(argv=None):
         raw = fin.read(args.block_size)
         if not raw:
             return False
-        iq = iq_convert(raw, reader.fmt)
-        reader._track_saturation(raw)
+        iq = reader.convert(raw)
         for bits in sd.process(iq):
             rx.process_frame(bits)
             nb_frames += 1

@@ -325,8 +325,7 @@ def main(argv=None):
                     fin.seek(reader.data_offset)   # WAV: data chunk, not RIFF
                     continue
                 break
-            iq = iq_convert(raw, reader.fmt)
-            reader._track_saturation(raw)
+            iq = reader.convert(raw)
             for bits in st.sd.process(iq):
                 with st.lock:
                     st.rx.process_frame(bits)

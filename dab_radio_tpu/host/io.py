@@ -69,8 +69,8 @@ class IQReader:
             if parsed is None:
                 raise ValueError("not a 2-channel IQ WAV stream")
             self.fmt, self.sample_rate, self.data_offset = parsed
-        self._sat = 0
-        self._tot = 0
+        self._sat_tot = (0, 0)     # one tuple: atomic for cross-thread reads
+        self._clip_warned = False
 
     @property
     def saturation(self) -> float:
@@ -79,21 +79,47 @@ class IQReader:
         (clipping preserves phase) so FIC still decodes, but higher-rate
         MSC subchannels silently die — this counter is the tell. ~0 on a
         healthy capture; formats wider than 8 bits report 0."""
-        return self._sat / self._tot if self._tot else 0.0
+        sat, tot = self._sat_tot   # single read: no torn ratio off-thread
+        return sat / tot if tot else 0.0
 
     def _track_saturation(self, raw: bytes):
+        sat, tot = self._sat_tot
         if self.fmt == "u8":
             a = np.frombuffer(raw, np.uint8)
-            self._sat += int((a <= 0).sum() + (a >= 255).sum())
-            self._tot += a.shape[0]
+            self._sat_tot = (sat + int((a <= 0).sum() + (a >= 255).sum()),
+                             tot + a.shape[0])
         elif self.fmt == "s8":
             a = np.frombuffer(raw, np.int8)
-            self._sat += int((a <= -128).sum() + (a >= 127).sum())
-            self._tot += a.shape[0]
+            self._sat_tot = (sat + int((a <= -128).sum()
+                                       + (a >= 127).sum()),
+                             tot + a.shape[0])
+
+    def clipping_warning(self, threshold: float = 0.02) -> Optional[str]:
+        """One-shot operator warning once saturation passes threshold."""
+        if self._clip_warned or self.saturation <= threshold:
+            return None
+        self._clip_warned = True
+        return (f"WARNING: {self.saturation:.0%} of IQ samples at full "
+                "scale — capture is clipping (FIC may still decode; MSC "
+                "will not)")
+
+    def convert(self, raw: bytes) -> np.ndarray:
+        """Raw bytes -> complex64, tracking saturation — the one
+        conversion entry point for callers that manage their own reads."""
+        self._track_saturation(raw)
+        return iq_convert(raw, self.fmt)
 
     def read_block(self, nb_bytes: int) -> Optional[np.ndarray]:
         raw = self.f.read(nb_bytes)
         if not raw:
             return None
-        self._track_saturation(raw)
-        return iq_convert(raw, self.fmt)
+        return self.convert(raw)
+
+
+def u8_saturation(u8: np.ndarray) -> float:
+    """Full-scale fraction of a raw u8 IQ array (the array-input twin of
+    IQReader.saturation, for callers that memory-map whole captures)."""
+    u8 = np.asarray(u8)
+    if u8.size == 0:
+        return 0.0
+    return float(((u8 <= 0) | (u8 >= 255)).mean())

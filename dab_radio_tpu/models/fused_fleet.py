@@ -169,21 +169,14 @@ class FusedFleet:
                     row.append(None)          # frames fire directly
                 else:
                     _, addr, fec = k
-                    p = PacketProcessor(addr or 0, use_fec=(fec == 1))
-                    p.on_data_group.append(self._packet_relay(b, s))
-                    row.append(p)
+                    # data groups reach observers via _stream_job's
+                    # collector + _fire; the proc's own list stays free
+                    # for direct subscribers (e.g. proc.mot hooks live
+                    # elsewhere)
+                    row.append(PacketProcessor(addr or 0,
+                                               use_fec=(fec == 1)))
             procs.append(row)
         return procs
-
-    def _packet_relay(self, b, s):
-        """Data-group hook forwarding one packet subchannel's results into
-        the fleet counters + on_data_group observers (a closure: stripped
-        before pickling a snapshot, re-created on restore)."""
-        def relay(res):
-            self.total_data_groups += 1
-            for cb in self.on_data_group:
-                cb(b, s, res)
-        return relay
 
     # ---- checkpoint/resume (SURVEY §5.4; parity with DabReceiver /
     # ReceiverFleet snapshots so the serving path can migrate too) ----
@@ -209,7 +202,6 @@ class FusedFleet:
             "block_tracking": self._block_tracking,
             "viterbi": self._viterbi,
             "chainback": self._chainback,
-            "consume_workers": self._consume_workers,
             "carry": jax.device_get(self._carry),
             "hist": jax.device_get(self._hist),
             "receivers": self.receivers, "sfp": self._sfp,
@@ -222,7 +214,8 @@ class FusedFleet:
         })
 
     @classmethod
-    def from_snapshot(cls, blob: bytes, mesh=None) -> "FusedFleet":
+    def from_snapshot(cls, blob: bytes, mesh=None,
+                      consume_workers: int = 0) -> "FusedFleet":
         """Rebuild a serving fleet from snapshot(). The mesh is NOT part
         of the snapshot (device topology is deployment-specific): pass
         the target mesh, or omit for single-device. Resumed decode is
@@ -238,7 +231,7 @@ class FusedFleet:
                     subchannel_kinds=d["kinds"],
                     viterbi=d.get("viterbi", "exact"),
                     chainback=d.get("chainback", "sequential"),
-                    consume_workers=d.get("consume_workers", 0))
+                    consume_workers=consume_workers)
         # mesh-compat gate: the carry's leading dims are (B, n_time) — a
         # target mesh with a different 'time' axis cannot consume this
         # state (ens/sub re-factorisations keep global shapes and are fine)
@@ -259,10 +252,12 @@ class FusedFleet:
             put, fleet._init_state[1], d["hist"])
         fleet.receivers = d["receivers"]
         fleet._sfp = d["sfp"]
-        for b, row in enumerate(fleet._sfp):
-            for s, p in enumerate(row):
+        for row in fleet._sfp:
+            for p in row:
+                # observer lists are stripped by __getstate__; restore the
+                # empty list the collector in _stream_job appends to
                 if p is not None and hasattr(p, "on_data_group"):
-                    p.on_data_group = [fleet._packet_relay(b, s)]
+                    p.on_data_group = []
         (fleet.total_rounds, fleet.total_aus,
          fleet.total_data_groups, fleet.total_mp2_frames) = d["counters"]
         if "health" in d:
@@ -475,8 +470,18 @@ class FusedFleet:
             # the single-threaded contract
             futs = [self._pool.submit(self._stream_job, b, fibs, ok,
                                       msc_bytes) for b in range(self.N)]
+            # every job runs to completion (its stream's decode state has
+            # advanced); fire all successful streams' events in order so
+            # observers never lose a round another stream's failure
+            # already consumed, THEN surface the first error
+            first_err = None
             for b, fut in enumerate(futs):
-                self._fire(b, fut.result())
+                try:
+                    self._fire(b, fut.result())
+                except Exception as e:            # noqa: BLE001
+                    first_err = first_err or e
+            if first_err is not None:
+                raise first_err
 
     def _stream_job(self, b, fibs, ok, msc_bytes):
         """All of stream b's byte-layer work for one round (FIB ingest,
@@ -504,13 +509,12 @@ class FusedFleet:
                 # packet mode: collect data groups instead of letting the
                 # relay fire observers from a worker thread
                 local = []
-                saved = proc.on_data_group
-                proc.on_data_group = [local.append]
+                proc.on_data_group.append(local.append)
                 try:
                     for c in range(msc_bytes.shape[2]):
                         proc.process(msc_bytes[b, s, c][:nb].tobytes())
                 finally:
-                    proc.on_data_group = saved
+                    proc.on_data_group.remove(local.append)
                 if local:
                     events.append(("dg", s, local))
                 continue

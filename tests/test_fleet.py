@@ -558,11 +558,12 @@ def test_fused_fleet_snapshot_mesh_retarget_gate():
     assert resumed.frames_per_round == fleet.frames_per_round
 
 
-def test_fused_fleet_snapshot_packet_relay_reattach():
-    """A packet-mode subchannel's data-group relay (a closure, stripped
-    for pickling) is re-created on restore and still feeds the restored
-    fleet's counters; the live fleet keeps its relays after snapshot()."""
-    from dab_radio_tpu.dab.packets import DataGroupResult
+def test_fused_fleet_snapshot_packet_dg_flow_after_restore():
+    """Data groups keep flowing to fleet.on_data_group after a
+    snapshot/restore cycle: the restored packet processor's byte state is
+    carried and _stream_job's collector re-routes its output (observer
+    closures themselves are stripped for pickling)."""
+    from dab_radio_tpu.dab.packets import PacketStreamEncoder
     from dab_radio_tpu.models.fused_fleet import FusedFleet
     from dab_radio_tpu.params import SubchannelConfig
 
@@ -570,13 +571,25 @@ def test_fused_fleet_snapshot_packet_relay_reattach():
     fleet = FusedFleet(1, cfgs, transmission_mode=1, frames_per_step=4,
                        subchannel_kinds=[("packet", 2, 0)])
     blob = fleet.snapshot()
-    assert fleet._sfp[0][0].on_data_group          # reattached on the live one
     resumed = FusedFleet.from_snapshot(blob)
     hits = []
-    resumed.on_data_group.append(lambda b, s, res: hits.append((b, s)))
-    res = DataGroupResult(ok=True, data=b"x")
-    resumed._sfp[0][0].on_data_group[0](res)
-    assert hits == [(0, 0)] and resumed.total_data_groups == 1
+    resumed.on_data_group.append(
+        lambda b, s, res: hits.append((b, s, bytes(res.data))))
+
+    # drive the restored byte layer directly with a valid packet stream
+    enc = PacketStreamEncoder(2)
+    enc.push_data_group(b"\x00" * 2 + b"hello-dg")
+    nb = resumed._nbytes[0][0]
+    payload = enc.emit(-(-len(enc._bytes) // 24) * 24)
+    C = -(-len(payload) // nb)
+    msc = np.zeros((1, 1, C, nb), np.uint8)
+    flat = np.frombuffer(payload.ljust(C * nb, b"\x00"), np.uint8)
+    msc[0, 0] = flat.reshape(C, nb)
+    fibs = np.zeros((1, 1, 3, 32), np.uint8)     # no valid FIBs this round
+    resumed._fire(0, resumed._stream_job(
+        0, fibs, np.zeros((1, 1, 3), bool), msc))
+    assert hits and hits[0][:2] == (0, 0)
+    assert resumed.total_data_groups == len(hits) > 0
 
 
 def test_fused_fleet_mixed_kinds_audio_mp2_packet():
@@ -691,7 +704,6 @@ def test_fused_fleet_mode_2_serving():
     from dab_radio_tpu.models.fused_fleet import FusedFleet
     from dab_radio_tpu.models.demodulator import (OFDMDemodulator,
                                                   StreamingDemodulator)
-    from dab_radio_tpu.ops.iq import iq_pairs
 
     svc = ServiceSpec(0xD201, 1, "Mode2 Svc",
                       SubchannelConfig(0, 48, False, eep_type="A",
