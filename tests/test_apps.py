@@ -588,3 +588,23 @@ def test_fleet_serve_snapshot_resume_cli(tmp_path):
     assert resumed_total == full_total
     assert resumed_total["access_units"] > 0
     assert resumed_total["services"] == 4
+
+
+@pytest.mark.slow
+def test_radio_cli_warns_on_clipped_capture(tmp_path):
+    """A capture quantized without peak normalization hard-clips u8 IQ;
+    radio_cli must tell the operator (FIC still decodes on such input —
+    clipping preserves phase — so without the warning the 'no audio'
+    failure is a mystery)."""
+    import jax
+    r = _run(["dab_radio_tpu.apps.simulate_transmitter", "--payload",
+              "ensemble", "-n", "8", "-F", "u8", "--scale", "8.0"],
+             timeout=400)
+    assert r.returncode == 0
+    clipped = tmp_path / "clipped.u8"
+    clipped.write_bytes(r.stdout)
+    r2 = _run(["dab_radio_tpu.apps.radio_cli", "-i", str(clipped),
+               "-F", "u8", "--max-frames", "6"], timeout=400)
+    assert r2.returncode == 0, r2.stderr.decode()[-300:]
+    err = r2.stderr.decode()
+    assert "capture is clipping" in err, err[-400:]
