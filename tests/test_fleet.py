@@ -696,11 +696,17 @@ def test_serving_soak_constant_memory():
     assert res["rss_growth"] < 0.15
 
 
-def test_fused_fleet_mode_2_serving():
+@pytest.mark.parametrize("levers", [
+    dict(),
+    dict(viterbi="tiled", chainback="parallel", consume_workers=2),
+], ids=["default", "all-levers"])
+def test_fused_fleet_mode_2_serving(levers):
     """The fused serving path across a different transmission mode: a
     mode-II ensemble (24 ms frames, 1 CIF/frame, 384-pt FFT geometry)
     decodes through FusedFleet with AUs firing and the database equal to
-    the host DabReceiver's on the same capture."""
+    the host DabReceiver's on the same capture. The all-levers variant
+    stacks tiled Viterbi + parallel chainback + sharded consume to pin
+    lever interactions."""
     from dab_radio_tpu.models.fused_fleet import FusedFleet
     from dab_radio_tpu.models.demodulator import (OFDMDemodulator,
                                                   StreamingDemodulator)
@@ -719,7 +725,8 @@ def test_fused_fleet_mode_2_serving():
     u8 = np.frombuffer(iq_quantize_u8(iq_c), dtype=np.uint8)
 
     N, K = 2, 8
-    fleet = FusedFleet(N, [svc.cfg], transmission_mode=2, frames_per_step=K)
+    fleet = FusedFleet(N, [svc.cfg], transmission_mode=2, frames_per_step=K,
+                       **levers)
     hits = []
     fleet.on_access_unit.append(
         lambda b, s, i, n, au, hdr: hits.append((b, bytes(au))))
