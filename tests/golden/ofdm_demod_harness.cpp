@@ -8,9 +8,16 @@
 // layers had a compiled-reference oracle).
 //
 //   usage: ofdm_demod_harness <transmission_mode> [nb_threads]
+//                             [impulse_peak_threshold_db]
 //   stdin:  interleaved float32 I,Q pairs (complex64 stream)
 //   stdout: per frame: nb_frame_bits int8 soft bits (raw, in order)
 //   stderr: "frames=N desync=M" at EOF
+//
+// The optional threshold overrides OFDM_Demod_Config's fine-time sync
+// gate (default 20 dB, ofdm_demodulator.h:42) — the same knob the
+// reference GUI exposes. Mode III's 192-carrier/256-FFT PRS correlation
+// peaks below the default, so the stock config never locks there (see
+// test_reference_ofdm_demod_mode3_divergence).
 //
 // Frames fire from the demodulator's coordinator thread; a mutex-guarded
 // ordered write keeps stdout consistent. One extra null-frame of zeros is
@@ -30,6 +37,10 @@ int main(int argc, char** argv) {
     const int mode = argc > 1 ? std::atoi(argv[1]) : 1;
     const int nb_threads = argc > 2 ? std::atoi(argv[2]) : 1;
     auto demod = Create_OFDM_Demodulator(mode, nb_threads);
+    if (argc > 3) {
+        demod->GetConfig().sync.impulse_peak_threshold_db =
+            (float)std::atof(argv[3]);
+    }
 
     std::mutex out_mutex;
     demod->On_OFDM_Frame().Attach(

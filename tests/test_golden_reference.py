@@ -1312,3 +1312,71 @@ def test_reference_ofdm_demod_asan_clean():
     err = r.stderr.decode()
     assert r.returncode == 0 and "ERROR" not in err, err[-800:]
     assert "frames=5" in err or "frames=6" in err, err
+
+
+@pytest.mark.slow
+def test_reference_ofdm_demod_mode3_divergence(demod_harness):
+    """Documented divergence, found BY the demod differential: the
+    reference cannot demodulate transmission mode III at all.
+
+    On a mode-III signal whose every constant is golden-verified against
+    the reference's own tables (params/PRS/carrier map; the modulator is
+    mode-generic and the reference demodulates its mode I/II/IV output
+    with 100% hard-bit agreement):
+
+      - stock config: permanent desync — the 192-carrier/256-point PRS
+        impulse peak sits below the 20 dB fine-time gate
+        (ofdm_demodulator.h:42), so no frame is ever emitted;
+      - with the gate lowered (the knob its GUI exposes): it "locks" but
+        emits wrong-timing garbage (~55-68% agreement vs the transmitted
+        bits at any threshold — chance-level demodulation);
+      - our demodulator decodes the same stream bit-exactly with no
+        tuning.
+
+    Mode III was designed for satellite delivery and never broadcast
+    terrestrially; with no real captures the upstream had no way to see
+    this latent defect. Kept as a pinned divergence, not parity."""
+    from dab_radio_tpu.models import OFDMModulator
+    from dab_radio_tpu.params import get_ofdm_params
+    import jax.numpy as jnp
+    mode = 3
+    rng = np.random.default_rng(3)
+    mod = OFDMModulator(mode)
+    p = get_ofdm_params(mode)
+    bits = rng.integers(0, 2, (14, p.nb_data_symbols,
+                               2 * p.nb_data_carriers)).astype(np.uint8)
+    iq = np.asarray(mod.modulate_stream(jnp.asarray(bits)))
+    lead = (rng.normal(0, 0.005, 2000)
+            + 1j * rng.normal(0, 0.005, 2000)).astype(np.complex64)
+    sig = np.concatenate([lead, iq])
+    nb = (p.nb_frame_symbols - 1) * p.nb_data_carriers * 2
+
+    # stock config: permanent desync, zero frames
+    r = subprocess.run([demod_harness, "3", "1"],
+                       input=sig.astype(np.complex64).tobytes(),
+                       capture_output=True, timeout=300, check=True)
+    assert len(r.stdout) == 0 and b"desync=" in r.stderr, r.stderr
+
+    # lowered gate: emits frames, but they never decode the TX bits
+    r = subprocess.run([demod_harness, "3", "1", "5"],
+                       input=sig.astype(np.complex64).tobytes(),
+                       capture_output=True, timeout=300, check=True)
+    ref = np.frombuffer(r.stdout, dtype=np.int8)
+    ref = ref[: ref.shape[0] // nb * nb].reshape(-1, nb)
+    assert ref.shape[0] >= 10
+    best = 0.0
+    for off in range(-3, 4):
+        ag = [float(((ref[k] > 0)
+                     == bits[k + off].reshape(-1).astype(bool)).mean())
+              for k in range(ref.shape[0]) if 0 <= k + off < bits.shape[0]]
+        if ag:
+            best = max(best, sum(ag) / len(ag))
+    assert best < 0.9, f"reference unexpectedly decodes mode III: {best}"
+
+    # ours: bit-exact closed loop, no tuning
+    ours = _our_demod_frames(sig, mode)
+    assert len(ours) >= 12
+    for k in range(10):
+        np.testing.assert_array_equal(
+            (np.asarray(ours[k]) > 0).astype(np.uint8),
+            bits[k].reshape(-1))

@@ -50,16 +50,26 @@ def _ber(soft_frames, tx_bits_frames, skip=0):
     return errs / max(total, 1)
 
 
-@pytest.mark.parametrize("mode", [1, 2])
+@pytest.mark.parametrize("mode", [1, 2, 3, 4])
 def test_roundtrip_clean(mode):
     mod = OFDMModulator(mode)
     demod = OFDMDemodulator(mode)
-    bits = _random_frames(mod, 3, seed=mode)
+    # short-frame modes (24/48 ms) need more frames for acquisition to
+    # leave several locked frames in a short stream
+    bits = _random_frames(mod, 3 if mode == 1 else 6, seed=mode)
     sd = StreamingDemodulator(demod)
     frames = sd.process(_stream(mod, bits))
     assert len(frames) >= 2, f"locked {len(frames)} frames"
+    # acquisition may consume leading frames before locking (mode III's
+    # 345-sample null gives the weakest dip contrast and can take a
+    # couple of retry cycles): align the first locked frame to the tx
+    # stream, then require an exact run
+    h0 = (np.asarray(frames[0]) > 0).astype(np.uint8)
+    agree = [float((h0 == tx.reshape(-1)).mean()) for tx in bits]
+    k0 = int(np.argmax(agree))
+    assert agree[k0] == 1.0, f"no tx frame matches the first lock: {agree}"
     # bits convention: soft>0 means logical 1
-    assert _ber(frames, bits[:len(frames)]) == 0.0
+    assert _ber(frames, bits[k0:k0 + len(frames)]) == 0.0
 
 
 def test_roundtrip_with_cfo():
