@@ -59,6 +59,22 @@ def parse_subchannels(spec: str):
     return cfgs, kinds
 
 
+def _load_u8(path: str, fmt: str) -> np.ndarray:
+    """Load an IQ capture as the fused program's u8 ingest format. u8
+    files map straight in; other formats (incl. WAV) read through the
+    shared IQReader and requantize (the exact read-path inverse, so a u8
+    round trip is lossless)."""
+    if fmt == "u8":
+        return np.fromfile(path, dtype=np.uint8)
+    from ..host.io import IQReader
+    from ..host.native import iq_quantize_u8
+    with open(path, "rb") as f:
+        reader = IQReader(f, fmt)
+        f.seek(reader.data_offset)
+        iq = reader.convert(f.read())
+    return np.frombuffer(iq_quantize_u8(iq), dtype=np.uint8)
+
+
 def _warn_if_clipped(u8: np.ndarray, name: str):
     """Mis-scaled captures hard-clip 8-bit IQ: FIC still decodes (phase
     survives) but MSC silently dies — warn up front (host/io.py's
@@ -425,8 +441,13 @@ def _serve_stream(args):
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("-i", "--inputs", nargs="+", required=True,
-                    help="one raw-u8 IQ file per stream, one file with "
-                         "--shared-input, or '-' for live stdin")
+                    help="one IQ file per stream, one file with "
+                         "--shared-input, or '-' for live stdin (u8)")
+    ap.add_argument("-F", "--format", default="u8",
+                    help="IQ sample format of file inputs (u8/s8/s16le/"
+                         "... or wav — host/io.py's reader formats; "
+                         "non-u8 inputs requantize to the device's u8 "
+                         "ingest contract at load)")
     ap.add_argument("--streams", type=int, default=0,
                     help="stream count for --shared-input / stdin "
                          "(stdin default 1)")
@@ -482,11 +503,11 @@ def main(argv=None):
 
     if args.shared_input:
         assert len(args.inputs) == 1 and args.streams > 0
-        data = np.fromfile(args.inputs[0], dtype=np.uint8)
+        data = _load_u8(args.inputs[0], args.format)
         _warn_if_clipped(data[: 1 << 22], args.inputs[0])
         streams = [data] * args.streams
     else:
-        streams = [np.fromfile(f, dtype=np.uint8) for f in args.inputs]
+        streams = [_load_u8(f, args.format) for f in args.inputs]
         for f_, st_ in zip(args.inputs, streams):
             _warn_if_clipped(st_[: 1 << 22], f_)
     N = len(streams)
