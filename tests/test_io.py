@@ -81,3 +81,29 @@ def test_iq_reader_saturation_counter():
     r = IQReader(io_mod.BytesIO(wide), "f32le")
     assert r.read_block(len(wide)) is not None
     assert r.saturation == 0.0
+
+
+def test_fleet_serve_load_u8_formats(tmp_path):
+    """fleet_serve._load_u8: u8 maps straight in; s16le requantizes
+    through the shared read path to the same u8 stream the transmitter
+    would have emitted directly."""
+    from dab_radio_tpu.apps.fleet_serve import _load_u8
+    from dab_radio_tpu.host.native import iq_convert, iq_quantize_u8
+
+    rng = np.random.default_rng(0)
+    iq = (rng.normal(0, 0.3, 2048) + 1j * rng.normal(0, 0.3, 2048)) \
+        .astype(np.complex64)
+    u8 = np.frombuffer(iq_quantize_u8(iq), np.uint8)
+    p8 = tmp_path / "a.u8"
+    p8.write_bytes(u8.tobytes())
+    np.testing.assert_array_equal(_load_u8(str(p8), "u8"), u8)
+
+    # s16 round trip: quantize the same complex to s16, then load
+    s16 = np.clip(np.stack([iq.real, iq.imag], -1) * 32767.5 - 0.5,
+                  -32768, 32767).astype("<i2")
+    p16 = tmp_path / "a.s16"
+    p16.write_bytes(s16.tobytes())
+    got = _load_u8(str(p16), "s16le")
+    back = iq_convert(got.tobytes(), "u8")
+    orig = iq_convert(s16.tobytes(), "s16le")
+    assert np.abs(back - orig).max() < 0.02   # ~2 u8 LSB of requantization
