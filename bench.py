@@ -283,6 +283,11 @@ def main():
     def emit():
         print(json.dumps(line), flush=True)
 
+    # a record line exists from second zero: a driver window shorter than
+    # even the first stage's cap still captures valid JSON (value 0.0
+    # honestly says nothing was measured) instead of the r02 parsed:null
+    emit()
+
     demod_results = []
 
     def demod_stage(batch, iters, chunk, cap):
