@@ -26,6 +26,7 @@ import sys
 
 import numpy as np
 
+from ..host.native import IQ_FORMATS
 from ..params import SubchannelConfig
 from ..utils.backend import add_backend_flag, apply_backend
 
@@ -62,17 +63,32 @@ def parse_subchannels(spec: str):
 def _load_u8(path: str, fmt: str) -> np.ndarray:
     """Load an IQ capture as the fused program's u8 ingest format. u8
     files map straight in; other formats (incl. WAV) read through the
-    shared IQReader and requantize (the exact read-path inverse, so a u8
-    round trip is lossless)."""
+    shared IQReader in bounded blocks and requantize (the exact
+    read-path inverse, so a u8 round trip is lossless). WAV reads honor
+    the data chunk's declared size (trailing metadata chunks are not
+    decoded as IQ)."""
     if fmt == "u8":
         return np.fromfile(path, dtype=np.uint8)
     from ..host.io import IQReader
     from ..host.native import iq_quantize_u8
+    BLOCK = 1 << 24        # bound the transient raw+complex64 working set
+    out = []
     with open(path, "rb") as f:
         reader = IQReader(f, fmt)
         f.seek(reader.data_offset)
-        iq = reader.convert(f.read())
-    return np.frombuffer(iq_quantize_u8(iq), dtype=np.uint8)
+        remaining = reader.data_size or None
+        while True:
+            want = BLOCK if remaining is None else min(BLOCK, remaining)
+            if want == 0:
+                break
+            raw = f.read(want)
+            if not raw:
+                break
+            if remaining is not None:
+                remaining -= len(raw)
+            out.append(np.frombuffer(
+                iq_quantize_u8(reader.convert(raw)), dtype=np.uint8))
+    return np.concatenate(out) if out else np.zeros(0, np.uint8)
 
 
 def _warn_if_clipped(u8: np.ndarray, name: str):
@@ -444,10 +460,10 @@ def main(argv=None):
                     help="one IQ file per stream, one file with "
                          "--shared-input, or '-' for live stdin (u8)")
     ap.add_argument("-F", "--format", default="u8",
-                    help="IQ sample format of file inputs (u8/s8/s16le/"
-                         "... or wav — host/io.py's reader formats; "
-                         "non-u8 inputs requantize to the device's u8 "
-                         "ingest contract at load)")
+                    choices=sorted(IQ_FORMATS) + ["wav"],
+                    help="IQ sample format of file inputs (non-u8 "
+                         "requantizes to the device's u8 ingest contract "
+                         "at load; stdin (-i -) supports u8 only)")
     ap.add_argument("--streams", type=int, default=0,
                     help="stream count for --shared-input / stdin "
                          "(stdin default 1)")
@@ -499,6 +515,10 @@ def main(argv=None):
     from ..models.fused_fleet import FusedFleet
 
     if args.inputs == ["-"]:
+        if args.format != "u8":
+            print("-i - (live stdin) supports u8 only; pipe through "
+                  "an IQ converter for other formats", file=sys.stderr)
+            return 2
         return _serve_stream(args)
 
     if args.shared_input:

@@ -13,9 +13,11 @@ import numpy as np
 from .native import iq_convert
 
 
-def parse_wav_header(f: BinaryIO) -> Optional[Tuple[str, int, int]]:
-    """Returns (iq_format, sample_rate, data_offset) for an IQ WAV, or None
-    if the stream is not a WAV (rewinds in that case is caller's job)."""
+def parse_wav_header(f: BinaryIO) -> Optional[Tuple[str, int, int, int]]:
+    """Returns (iq_format, sample_rate, data_offset, data_size) for an IQ
+    WAV, or None if the stream is not a WAV (rewinding in that case is the
+    caller's job). data_size is the data chunk's declared byte length
+    (0 = streaming WAV with unknown length — read to EOF)."""
     header = f.read(12)
     if len(header) < 12 or header[:4] != b"RIFF" or header[8:12] != b"WAVE":
         return None
@@ -50,7 +52,10 @@ def parse_wav_header(f: BinaryIO) -> Optional[Tuple[str, int, int]]:
         elif cid == b"data":
             if fmt is None:
                 return None
-            return fmt, sample_rate, offset
+            # size 0 or 0xFFFFFFFF: streaming writers that never patch
+            # the header — treat as unknown
+            return fmt, sample_rate, offset, \
+                (0 if size == 0xFFFFFFFF else size)
         else:
             f.read(size)
             offset += size
@@ -64,11 +69,13 @@ class IQReader:
         self.fmt = fmt
         self.sample_rate = None
         self.data_offset = 0        # rewind target for looping (WAV: the
+        self.data_size = 0          # WAV data chunk bytes (0 = unknown)
         if fmt == "wav":            # data chunk, never the RIFF header)
             parsed = parse_wav_header(f)
             if parsed is None:
                 raise ValueError("not a 2-channel IQ WAV stream")
-            self.fmt, self.sample_rate, self.data_offset = parsed
+            (self.fmt, self.sample_rate, self.data_offset,
+             self.data_size) = parsed
         self._sat_tot = (0, 0)     # one tuple: atomic for cross-thread reads
         self._clip_warned = False
 
