@@ -608,3 +608,27 @@ def test_radio_cli_warns_on_clipped_capture(tmp_path):
     assert r2.returncode == 0, r2.stderr.decode()[-300:]
     err = r2.stderr.decode()
     assert "capture is clipping" in err, err[-400:]
+
+
+@pytest.mark.slow
+def test_serve_pod_two_workers(tmp_path):
+    """tools/serve_pod.py: the process-per-chip topology — two fleet_serve
+    workers over a shared capture, aggregated totals from both."""
+    import json as json_mod
+    r = _run(["dab_radio_tpu.apps.simulate_transmitter", "--payload",
+              "ensemble", "--services", "2", "-n", "18", "-F", "u8"],
+             timeout=400)
+    cap = tmp_path / "cap.u8"
+    cap.write_bytes(r.stdout)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rp = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "serve_pod.py"),
+         "--workers", "2", "-i", str(cap), "--streams-per-worker", "2",
+         "--subchannels", "0:48:EEP3A,48:48:EEP3A",
+         "--frames-per-step", "4", "--max-rounds", "3",
+         "--backend", "cpu"],
+        capture_output=True, timeout=500, cwd=root, env=ENV, text=True)
+    assert rp.returncode == 0, rp.stderr[-400:]
+    summ = json_mod.loads(rp.stdout.strip().splitlines()[-1])
+    assert summ["workers_reporting"] == 2
+    assert summ["streams"] == 4 and summ["access_units"] > 0
