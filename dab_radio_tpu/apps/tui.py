@@ -20,7 +20,7 @@ import time
 
 import numpy as np
 
-from ..host.native import iq_convert, IQ_FORMATS
+from ..host.native import IQ_FORMATS
 from ..host.io import IQReader
 from ..models.demodulator import OFDMDemodulator, StreamingDemodulator
 from ..models.receiver import DabReceiver
