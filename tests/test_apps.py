@@ -632,3 +632,28 @@ def test_serve_pod_two_workers(tmp_path):
     summ = json_mod.loads(rp.stdout.strip().splitlines()[-1])
     assert summ["workers_reporting"] == 2
     assert summ["streams"] == 4 and summ["access_units"] > 0
+
+
+@pytest.mark.slow
+def test_fleet_serve_s16_input(tmp_path):
+    """fleet_serve -F: a non-u8 capture (s16) requantizes through the
+    shared read path and serves end to end; a non-u8 stdin is refused
+    with a clear error."""
+    r = _run(["dab_radio_tpu.apps.simulate_transmitter", "--payload",
+              "ensemble", "--services", "2", "-n", "18", "-F", "s16"],
+             timeout=400)
+    cap = tmp_path / "cap.s16"
+    cap.write_bytes(r.stdout)
+    r2 = _run(["dab_radio_tpu.apps.fleet_serve", "-i", str(cap),
+               "-F", "s16le", "--shared-input", "--streams", "2",
+               "--discover", "--frames-per-step", "4",
+               "--max-rounds", "2", "--backend", "cpu"], timeout=400)
+    assert r2.returncode == 0, r2.stderr.decode()[-400:]
+    import json as json_mod
+    summ = json_mod.loads(r2.stdout.decode().strip().splitlines()[-1])
+    assert summ["access_units"] > 0
+    r3 = _run(["dab_radio_tpu.apps.fleet_serve", "-i", "-",
+               "-F", "s16le", "--discover", "--backend", "cpu"],
+              stdin=b"", timeout=200)
+    assert r3.returncode == 2
+    assert b"u8 only" in r3.stderr
