@@ -42,6 +42,10 @@ def main(argv=None):
     ap.add_argument("--max-rss-growth", type=float, default=0.15)
     ap.add_argument("--audio", action="store_true",
                     help="also decode subchannel 0 to PCM on every stream")
+    ap.add_argument("--viterbi", default="exact",
+                    choices=["exact", "tiled"])
+    ap.add_argument("--chainback", default="sequential",
+                    choices=["sequential", "parallel"])
     ap.add_argument("--backend", default="default",
                     choices=["default", "cpu", "tpu"])
     args = ap.parse_args(argv)
@@ -73,7 +77,8 @@ def main(argv=None):
     N, K = args.streams, args.frames_per_step
     cfgs = [SubchannelConfig(s * 48, 48, False, eep_type="A",
                              eep_prot_level=2) for s in range(args.services)]
-    fleet = FusedFleet(N, cfgs, transmission_mode=1, frames_per_step=K)
+    fleet = FusedFleet(N, cfgs, transmission_mode=1, frames_per_step=K,
+                       viterbi=args.viterbi, chainback=args.chainback)
     if args.audio:
         for k in range(N):
             fleet.enable_audio(k, 0)
@@ -127,6 +132,7 @@ def main(argv=None):
     result = {
         "metric": "serving_soak",
         "seconds": args.seconds, "streams": N, "frames_per_step": K,
+        "viterbi": args.viterbi, "chainback": args.chainback,
         "total_rounds": int(fleet.total_rounds),
         "total_aus": int(fleet.total_aus),
         "rss_growth": round(growth, 4) if growth is not None else None,
