@@ -309,6 +309,70 @@ def _reference_oob_fibs(fibs) -> set:
     return bad
 
 
+def _fig0_13_overread_fibs(fibs) -> set:
+    """Indices of FIBs where the reference's FIG 0/13 walk reads past the
+    declared FIG body (fig_processor.cpp Ext_13 computes the per-app
+    remaining-byte budget from the ENTITY start, forgetting to subtract
+    the sid+descriptor header, so app headers/data may be read up to
+    header-size bytes — and, chained across apps, arbitrarily far —
+    beyond the FIG field, into whatever follows in the FIB buffer).
+    Reads that stay inside the 30-byte FIB are invisible to ASan; this
+    simulates the reference's exact arithmetic and flags any access at
+    or past the FIG body end. Our parser mirrors the small in-FIB
+    overreads but refuses ones past the buffer, so flagged FIBs are
+    excluded from the event differential (docs/FINDINGS.md)."""
+    bad = set()
+    for idx, fib in enumerate(fibs):
+        pos = 0
+        while pos < len(fib):
+            h = fib[pos]
+            fig_type, fig_len = h >> 5, h & 0x1F
+            if fig_type == 7 or fig_len == 0:        # end marker / padding
+                break
+            body = fib[pos + 1: pos + 1 + fig_len]
+            tail = fib[pos + 2:]                     # field + rest of FIB
+            if fig_type == 0 and len(body) >= 1 and (body[0] & 0x1F) == 13:
+                pd = (body[0] >> 5) & 1
+                sid_len = 4 if pd else 2
+                hdr = sid_len + 1
+                N = fig_len - 1                      # field length
+                curr = 0
+                over = False
+                while curr != N and curr < N:
+                    remain = N - curr
+                    if hdr > remain:
+                        break
+                    if curr + hdr > len(tail):
+                        break
+                    nb_apps = tail[curr + sid_len] & 0x0F
+                    ai = 0
+                    stop = False
+                    for _ in range(nb_apps):
+                        app_remain = remain - ai     # reference's bug
+                        if 2 > app_remain:
+                            stop = True
+                            break
+                        if curr + hdr + ai + 2 > N:
+                            over = True
+                        if curr + hdr + ai + 2 > len(tail):
+                            stop = True
+                            break
+                        nb_data = tail[curr + hdr + ai + 1] & 0x1F
+                        if 2 + nb_data > app_remain:
+                            stop = True
+                            break
+                        if curr + hdr + ai + 2 + nb_data > N:
+                            over = True
+                        ai += 2 + nb_data
+                    if stop:
+                        break
+                    curr += hdr + ai
+                if over:
+                    bad.add(idx)
+            pos += 1 + fig_len
+    return bad
+
+
 def _run_fig_harness(exe, fibs):
     stdin = "\n".join(f.hex() for f in fibs) + "\n"
     out = subprocess.run([exe], input=stdin.encode(), capture_output=True,
@@ -420,7 +484,10 @@ def test_fig_processor_fuzz_matches(fig_harness):
     rng = np.random.default_rng(4242)
     exts = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 13, 14, 17, 21, 24]
     fibs = []
-    for _ in range(1500):
+    # 5000 FIBs: an extended 20k-FIB session (4 seeds) found the 0/13
+    # overread class at ~1/2000 — this corpus keeps several instances in
+    # every run so the exclusion stays exercised
+    for _ in range(5000):
         body_len = int(rng.integers(1, 28))
         fig_type = int(rng.choice([0, 0, 0, 1]))
         body = rng.integers(0, 256, body_len, dtype=np.uint8)
@@ -435,12 +502,16 @@ def test_fig_processor_fuzz_matches(fig_harness):
         fibs.append((fib + b"\xff" * 30)[:30])
 
     ref = _run_fig_harness(fig_harness, fibs)
-    oob = _reference_oob_fibs(fibs)
+    # excluded: FIBs where the reference itself reads out of bounds (ASan)
+    # or past the FIG 0/13 body into the FIB tail (its missing-header
+    # budget bug, docs/FINDINGS.md) — its events there are artifacts of
+    # reading other FIGs' bytes/padding, not parses to mirror
+    skip = _reference_oob_fibs(fibs) | _fig0_13_overread_fibs(fibs)
     parser = FIGParser()
     mismatches = []
     checked = 0
     for i, fib in enumerate(fibs):
-        if i in oob:
+        if i in skip:
             continue
         checked += 1
         ours = []
@@ -449,7 +520,7 @@ def test_fig_processor_fuzz_matches(fig_harness):
         ours = [_norm_ref_line(x) for x in ours]
         if ours != ref[i]:
             mismatches.append((i, fib.hex(), ref[i], ours))
-    assert checked > len(fibs) * 3 // 4, (checked, len(oob))
+    assert checked > len(fibs) * 3 // 4, (checked, len(skip))
     assert not mismatches, (
         f"{len(mismatches)} mismatching FIBs ({checked} checked); first 5:\n"
         + "\n".join(f"fib {i} {h}\n  ref : {r}\n  ours: {o}"
