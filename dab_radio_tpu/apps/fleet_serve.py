@@ -153,7 +153,16 @@ def _start_status_server(port: int):
         def log_message(self, *a):                   # quiet
             pass
 
-    srv = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    try:
+        srv = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    except OSError as e:
+        # Observability must not kill the decode worker: a taken port
+        # (port collision in a pod, stale listener after a restart) loses
+        # the live view, not the serving. Final totals still land on
+        # stdout, which is the authoritative record (serve_pod.py).
+        print(f"# status port {port} unavailable ({e}); serving without "
+              f"live /state.json", file=sys.stderr)
+        return None, None
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     return srv, box
 
@@ -204,8 +213,9 @@ def _attach_common(fleet, args):
     srv = box = None
     if args.port:
         srv, box = _start_status_server(args.port)
-        print(f"# status: http://127.0.0.1:{args.port}/state.json",
-              file=sys.stderr)
+        if srv is not None:
+            print(f"# status: http://127.0.0.1:{args.port}/state.json",
+                  file=sys.stderr)
     return pcm_out, scraper, srv, box
 
 

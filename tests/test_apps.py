@@ -556,6 +556,31 @@ def test_fleet_serve_status_endpoint(tmp_path):
 
 
 @pytest.mark.slow
+def test_fleet_serve_status_port_taken_degrades(tmp_path):
+    """A taken status port must not kill the decode worker: fleet_serve
+    warns, serves without the live view, and still lands its stdout
+    totals (the pod orchestrator's authoritative record)."""
+    import json as json_mod
+    import socket
+    r = _run(["dab_radio_tpu.apps.simulate_transmitter", "--payload",
+              "ensemble", "-n", "12", "-F", "u8"], timeout=400)
+    cap = tmp_path / "cap.u8"
+    cap.write_bytes(r.stdout)
+    with socket.socket() as blocker:
+        blocker.bind(("127.0.0.1", 0))
+        blocker.listen(1)
+        port = blocker.getsockname()[1]
+        r2 = _run(["dab_radio_tpu.apps.fleet_serve", "-i", str(cap),
+                   "--streams", "1", "--subchannels", "0:48:EEP3A",
+                   "--frames-per-step", "4", "--max-rounds", "2",
+                   "--port", str(port), "--backend", "cpu"], timeout=400)
+    assert r2.returncode == 0, r2.stderr.decode()[-500:]
+    assert b"unavailable" in r2.stderr and b"serving without" in r2.stderr
+    summ = json_mod.loads(r2.stdout.decode().strip().splitlines()[-1])
+    assert summ["access_units"] > 0
+
+
+@pytest.mark.slow
 def test_fleet_serve_snapshot_resume_cli(tmp_path):
     """fleet_serve --snapshot-out / --resume: the serving checkpoint at
     the CLI surface. A run split across two processes must end with the
@@ -615,20 +640,27 @@ def test_serve_pod_two_workers(tmp_path):
     """tools/serve_pod.py: the process-per-chip topology — two fleet_serve
     workers over a shared capture, aggregated totals from both."""
     import json as json_mod
+    import socket
     r = _run(["dab_radio_tpu.apps.simulate_transmitter", "--payload",
               "ensemble", "--services", "2", "-n", "18", "-F", "u8"],
              timeout=400)
     cap = tmp_path / "cap.u8"
     cap.write_bytes(r.stdout)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # a free base port: the default 8950 collides across concurrent suites
+    # (and a taken worker port must not fail the pod — fleet_serve degrades
+    # to serving without the live view; totals come from worker stdout)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        base_port = s.getsockname()[1]
     rp = subprocess.run(
         [sys.executable, os.path.join(root, "tools", "serve_pod.py"),
          "--workers", "2", "-i", str(cap), "--streams-per-worker", "2",
          "--subchannels", "0:48:EEP3A,48:48:EEP3A",
          "--frames-per-step", "4", "--max-rounds", "3",
-         "--backend", "cpu"],
+         "--base-port", str(base_port), "--backend", "cpu"],
         capture_output=True, timeout=500, cwd=root, env=ENV, text=True)
-    assert rp.returncode == 0, rp.stderr[-400:]
+    assert rp.returncode == 0, rp.stderr[-800:]
     summ = json_mod.loads(rp.stdout.strip().splitlines()[-1])
     assert summ["workers_reporting"] == 2
     assert summ["streams"] == 4 and summ["access_units"] > 0
