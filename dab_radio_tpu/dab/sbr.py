@@ -1110,6 +1110,7 @@ def build_sbr_payload(header: SBRHeader, fs: int, nts: int,
                       ps_data=None, ps_send_header: bool = True,
                       frame_class: int = FIXFIX, pointer: int = 0,
                       var_bord: int = 0, rel_bords=(),
+                      var_bord1: int = 0, rel_bords1=(),
                       coupling: bool = False,
                       env_df=None, noise_df=None,
                       prev_env_rows_per_ch=None,
@@ -1120,7 +1121,9 @@ def build_sbr_payload(header: SBRHeader, fs: int, nts: int,
     (high-res grid when freq_res=1); with coupling=True (CPE only), channel
     1 rows are quantized *balance* values. Grids: FIXFIX (default), FIXVAR
     and VARFIX (var_bord + rel_bords, len(rel_bords) == n_env-1, and
-    pointer). Returns (payload bytes, nbits)."""
+    pointer), and VARVAR (var_bord/rel_bords = leading border + rels,
+    var_bord1/rel_bords1 = trailing; n_env = len(rel_bords) +
+    len(rel_bords1) + 1 <= 5). Returns (payload bytes, nbits)."""
     from .bits import BitWriter
     ft = make_freq_tables(header, fs)
     bw = BitWriter()
@@ -1157,8 +1160,20 @@ def build_sbr_payload(header: SBRHeader, fs: int, nts: int,
             bw.write(pointer, _ceil_log2(n_env + 1))
             for _ in range(n_env):        # same res every env (either order)
                 bw.write(freq_res, 1)
-        else:
-            raise NotImplementedError("VARVAR writer")
+        else:                             # VARVAR (ISO 14496-3 4.6.18.3.3)
+            assert len(rel_bords) + len(rel_bords1) == n_env - 1
+            assert n_env <= 5
+            bw.write(var_bord, 2)         # bs_var_bord_0: t[0]
+            bw.write(var_bord1, 2)        # bs_var_bord_1: t[n_env]-nts
+            bw.write(len(rel_bords), 2)   # bs_num_rel_0
+            bw.write(len(rel_bords1), 2)  # bs_num_rel_1
+            for r in rel_bords:           # leading: t[i+1]-t[i] = 2r+2
+                bw.write(r, 2)
+            for r in rel_bords1:          # trailing: consumed last-to-first
+                bw.write(r, 2)
+            bw.write(pointer, _ceil_log2(n_env + 1))
+            for _ in range(n_env):
+                bw.write(freq_res, 1)
 
     e_df = list(env_df) if env_df is not None else [0] * n_env
     q_df = list(noise_df) if noise_df is not None else [0] * nq

@@ -152,7 +152,7 @@ def test_freq_tables_sane():
 
 @pytest.mark.parametrize("variant", ["mono", "stereo", "coupled",
                                      "fixfix2", "fixvar", "varfix",
-                                     "deltatime"])
+                                     "varvar", "deltatime"])
 def test_sbr_differential_vs_libavcodec_1024(variant):
     """Full-chain oracle: our SBR stage must match libavcodec's conformant
     HE-AAC@1024 decode within 1% RMS on a realistic signal. Variants cover
@@ -208,6 +208,18 @@ def test_sbr_differential_vs_libavcodec_1024(variant):
             hdr, 48000, 16, [[env3, env3 + 1]], [[noise, noise]],
             is_cpe=False, frame_class=fc, pointer=ptr, var_bord=0,
             rel_bords=[1])
+    elif variant == "varvar":
+        # 3-envelope VARVAR with both leading and trailing variable
+        # borders: t_env = [1, 7, 13, 17] (trailing border past nts=16
+        # exercises envelope spill), pointer=2 -> l_a = n_env+1-ptr = 2
+        # and middleBorder = n_env+1-ptr = 2. The only grid class with no
+        # differential coverage before this variant.
+        env3 = np.full(ft.n[1], 13, np.int64)
+        payload, nbits = S.build_sbr_payload(
+            hdr, 48000, 16, [[env3, env3 + 1, env3]],
+            [[noise, noise]], is_cpe=False, frame_class=S.VARVAR,
+            pointer=2, var_bord=1, rel_bords=[2],
+            var_bord1=1, rel_bords1=[1])
     elif variant == "deltatime":
         # delta-TIME coded envelopes/noise (real broadcasts inter-frame
         # code constantly; df=1 was writer-unreachable before round 3):
