@@ -54,6 +54,15 @@ BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", "900"))
 # hard wall for the whole process incl. overtime retries after a fully
 # degraded window (see main); the record line stays valid at every instant
 OVERTIME_S = int(os.environ.get("BENCH_OVERTIME_S", "1800"))
+
+# Track-record floors (~20% of every healthy-window measurement across the
+# r2/r3 sessions: demod 1430-1560 MSPS, Viterbi 174-176 Mbit/s, resident
+# fleet 68-76 rt): a landed value below its floor means the window's relay
+# link dominated the timing, not the chip. Best-so-far still records it,
+# but overtime keeps retrying those metrics instead of accepting it.
+DEMOD_FLOOR = 300.0
+VITERBI_FLOOR = 50.0
+FLEET_FLOOR = 10.0
 _T_START = time.time()
 _T_END = _T_START + BUDGET_S
 
@@ -338,8 +347,9 @@ def main():
     fleet_tool = os.path.join(here, "tools", "bench_fleet.py")
 
     def fleet_stage(streams, frames, k, cap):
-        if _remaining() < 120 or line.get("fleet_resident_rt", 0) > 0:
-            return         # one successful --both run carries both numbers
+        if _remaining() < 120 or \
+                line.get("fleet_resident_rt", 0) >= FLEET_FLOOR:
+            return         # one healthy --both run carries both numbers
         for res in _run_sub(
                 [fleet_tool, "--streams", str(streams), "--fused", "--both",
                  "--frames", str(frames), "--frames-per-step", str(k)],
@@ -388,31 +398,49 @@ def main():
                 or line.get("fleet_resident_rt", 0) > 0
                 or line.get("fleet_rt_ensembles", 0) > 0)
 
-    # Overtime: a fully-degraded relay window (every worker timed out) can
-    # recover within minutes; the budget is spent but the driver's wall
-    # window may be longer. Retry the cheapest known-good rung every few
-    # minutes until OVERTIME_S total wall; on the first success, spend the
-    # recovered window on the fleet + Viterbi records too. The last
-    # printed line is the record at every instant, so a driver kill
-    # mid-overtime still leaves the best-so-far JSON.
-    while not landed() and time.time() - _T_START < OVERTIME_S - 240:
-        print("# overtime: degraded relay window, retrying in 120 s",
-              file=sys.stderr)
+    def degraded_record():
+        return (line["value"] < DEMOD_FLOOR
+                or line.get("viterbi_mbps", 0.0) < VITERBI_FLOOR
+                or line.get("fleet_resident_rt", 0.0) < FLEET_FLOOR)
+
+    # Overtime: a degraded relay window can recover within minutes; the
+    # budget is spent but the driver's wall window may be longer. Covers
+    # BOTH the fully-degraded case (nothing landed) and the semi-degraded
+    # one (measurements landed but the link dominated the timing — values
+    # far below the track-record floors). Retry the missing/weak metrics
+    # every few minutes until OVERTIME_S total wall; best-so-far wins, so
+    # a retry can only improve the record. The last printed line is the
+    # record at every instant, so a driver kill mid-overtime keeps it.
+    while degraded_record() and time.time() - _T_START < OVERTIME_S - 240:
+        weak = [k for k, v, fl in (
+            ("demod", line["value"], DEMOD_FLOOR),
+            ("viterbi", line.get("viterbi_mbps", 0.0), VITERBI_FLOOR),
+            ("fleet", line.get("fleet_resident_rt", 0.0), FLEET_FLOOR))
+            if v < fl]
+        print(f"# overtime: degraded window ({'/'.join(weak)} below "
+              "track-record floors), retrying in 120 s", file=sys.stderr)
         time.sleep(120)
         _extend_deadline(420)
         t_try = time.time()
-        demod_stage(128, 30, 0, cap=380)
-        if line["value"] > 0.0:
-            _extend_deadline(900)
+        if line["value"] < DEMOD_FLOOR:
+            before = line["value"]
+            demod_stage(128, 30, 0, cap=380)
+            if line["value"] == 0.0 and time.time() - t_try < 60:
+                # the worker failed FAST (import/backend error), not via a
+                # relay timeout — waiting will not recover this host
+                print("# overtime: worker failing fast (backend "
+                      "unavailable), giving up", file=sys.stderr)
+                break
+            if line["value"] <= max(before, 0.0) and \
+                    line["value"] < DEMOD_FLOOR:
+                continue   # cheapest rung says the window is still bad —
+                           # don't burn overtime on the big programs yet
+        _extend_deadline(900)
+        if line.get("fleet_resident_rt", 0.0) < FLEET_FLOOR:
             fleet_stage(8, 80, 8, cap=340)
-            if _remaining() >= 280:
-                viterbi_stage([(8192, 10, "exact", 2)])
-        elif time.time() - t_try < 60:
-            # the worker failed FAST (import/backend error), not via a
-            # relay timeout — no amount of waiting will recover this host
-            print("# overtime: worker failing fast (backend unavailable), "
-                  "giving up", file=sys.stderr)
-            break
+        if _remaining() >= 280 and \
+                line.get("viterbi_mbps", 0.0) < VITERBI_FLOOR:
+            viterbi_stage([(8192, 10, "exact", 2)])
 
     if not landed():
         line["error"] = ("no measurement completed (TPU backend "
@@ -420,6 +448,10 @@ def main():
     elif line["value"] == 0.0:
         line["note"] = ("partial record: some worker compiles exceeded "
                         "their stage caps in this relay window")
+    elif degraded_record():
+        line["note"] = ("degraded-window record: one or more values below "
+                        "the track-record floors (link-dominated timing; "
+                        "healthy-window numbers in docs/PERF.md)")
     emit()
 
 
