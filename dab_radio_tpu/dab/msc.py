@@ -182,7 +182,10 @@ class MSCDecoder:
         self.cfg = cfg
         self.nb_bits = cfg.nb_cif_bits
         self.spec, self._step, self._frame = _decoder_fns(cfg)
-        self.history = jnp.zeros((DEPTH, self.nb_bits), jnp.int8)
+        # NumPy, not jnp: channel creation happens inside the host byte
+        # layer (receiver._update_channels) and must not dispatch to the
+        # device; the first jitted decode call promotes it on device
+        self.history = np.zeros((DEPTH, self.nb_bits), np.int8)
         self.nb_pushed = 0
 
     # checkpoint/resume (SURVEY §5.4): the carry is the deinterleaver
@@ -195,7 +198,7 @@ class MSCDecoder:
         self.cfg = state["cfg"]
         self.nb_bits = self.cfg.nb_cif_bits
         self.spec, self._step, self._frame = _decoder_fns(self.cfg)
-        self.history = jnp.asarray(state["history"])
+        self.history = state["history"]     # np; device-promoted on use
         self.nb_pushed = state["nb_pushed"]
 
     def decode_cif(self, msc_soft_bits: np.ndarray):
