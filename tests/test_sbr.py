@@ -151,8 +151,8 @@ def test_freq_tables_sane():
 
 
 @pytest.mark.parametrize("variant", ["mono", "stereo", "coupled",
-                                     "fixfix2", "fixvar", "varfix",
-                                     "varvar", "deltatime"])
+                                     "fixfix2", "fixvar", "fixvar1",
+                                     "varfix", "varvar", "deltatime"])
 def test_sbr_differential_vs_libavcodec_1024(variant):
     """Full-chain oracle: our SBR stage must match libavcodec's conformant
     HE-AAC@1024 decode within 1% RMS on a realistic signal. Variants cover
@@ -195,15 +195,17 @@ def test_sbr_differential_vs_libavcodec_1024(variant):
         env3 = np.full(ft.n[1], 13, np.int64)
         payload, nbits = S.build_sbr_payload(
             hdr, 48000, 16, [[env3, env3 + 1]], [[noise, noise]])
-    elif variant in ("fixvar", "varfix"):
-        fc = S.FIXVAR if variant == "fixvar" else S.VARFIX
+    elif variant in ("fixvar", "fixvar1", "varfix"):
+        fc = S.VARFIX if variant == "varfix" else S.FIXVAR
         # n_env=2; VARFIX pointer=1 exercises the l_a<=1 -> -1 rule and the
-        # middleBorder=n_env-1 case; FIXVAR pointer=2 puts l_a at env 1.
+        # middleBorder=n_env-1 case; FIXVAR pointer=2 puts l_a at env 1;
+        # FIXVAR pointer=1 covers the pointer<=1 middle-border branch
+        # (mid = n_env-1) with l_a = n_env (transient in the LAST env).
         # Multi-envelope frames use the header amp_res (3.0 dB): env 13 =
         # 2^20 target, same level as the single-envelope config (values
         # >~20 make the int16 oracle clip and the differential meaningless)
         env3 = np.full(ft.n[1], 13, np.int64)
-        ptr = 2 if variant == "fixvar" else 1
+        ptr = {"fixvar": 2, "fixvar1": 1, "varfix": 1}[variant]
         payload, nbits = S.build_sbr_payload(
             hdr, 48000, 16, [[env3, env3 + 1]], [[noise, noise]],
             is_cpe=False, frame_class=fc, pointer=ptr, var_bord=0,
