@@ -78,6 +78,26 @@ def test_loop_file(tmp_path):
     assert r.stdout == b"abcdef" * 3
 
 
+def test_serve_pod_state_aggregation():
+    """aggregate_pod reads the counters from state.json's "totals" (its
+    top-level "streams" is the per-stream ROW LIST, which a regression
+    once summed as an int, crashing the pod loop); workers that have not
+    served a state yet must be tolerated."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    try:
+        from serve_pod import aggregate_pod
+    finally:
+        sys.path.pop(0)
+    w = {"streams": [{"stream": 0}, {"stream": 1}],
+         "totals": {"streams": 2, "rounds": 3, "frames": 24,
+                    "access_units": 72, "services": 4}}
+    pod = aggregate_pod([w, w, None])
+    assert pod == {"rounds": 6, "access_units": 144, "streams": 4}
+    assert aggregate_pod([]) == {"rounds": 0, "access_units": 0,
+                                 "streams": 0}
+
+
 @pytest.mark.slow
 def test_tx_rx_pipeline(tmp_path):
     """simulate_transmitter --payload ensemble | radio_cli finds the service."""

@@ -29,6 +29,19 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(HERE)
 
 
+def aggregate_pod(worker_states):
+    """Merge parsed /state.json dicts (fleet_serve._status_blob shape:
+    {"streams": [per-stream rows], "totals": {counters}}) into the pod
+    counter view. Tolerates missing/None entries (worker not up yet)."""
+    totals = [(s.get("totals") or {}) for s in worker_states
+              if isinstance(s, dict)]
+    return {
+        "rounds": sum(t.get("rounds", 0) for t in totals),
+        "access_units": sum(t.get("access_units", 0) for t in totals),
+        "streams": sum(t.get("streams", 0) for t in totals),
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--workers", type=int, default=2)
@@ -91,13 +104,9 @@ def main(argv=None):
                 pass                       # keep the last-seen state
             w["state"] = last_state.get(k)
             out["workers"].append(w)
-        states = [w["state"] for w in out["workers"] if w["state"]]
-        out["pod"] = {
-            "alive_workers": sum(w["alive"] for w in out["workers"]),
-            "rounds": sum(s.get("rounds", 0) for s in states),
-            "access_units": sum(s.get("access_units", 0) for s in states),
-            "streams": sum(s.get("streams", 0) for s in states),
-        }
+        out["pod"] = dict(
+            alive_workers=sum(w["alive"] for w in out["workers"]),
+            **aggregate_pod([w["state"] for w in out["workers"]]))
         return out
 
     srv = None
