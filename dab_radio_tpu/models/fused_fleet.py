@@ -51,7 +51,7 @@ class FusedFleet:
                  transmission_mode: int = 1, frames_per_step: int = 8,
                  mesh=None, block_tracking: bool = False,
                  subchannel_kinds=None, viterbi: str = "exact",
-                 chainback: str = "sequential",
+                 chainback: str = "sequential", fuse_fic: bool = True,
                  consume_workers: int = 0):
         import jax
         import jax.numpy as jnp
@@ -62,6 +62,10 @@ class FusedFleet:
         self._block_tracking = block_tracking
         self._viterbi = viterbi
         self._chainback = chainback
+        # serving default ON: FIC lanes ride the MSC Viterbi scan (one
+        # decode instead of two; ~27% fewer sequential scan iterations
+        # per round — parallel/mesh.py fuse_fic docstring)
+        self._fuse_fic = fuse_fic
         # >1 shards the host byte layer across worker threads, one job
         # per stream (streams touch disjoint state); observers still fire
         # on the calling thread in stream order — see _consume.
@@ -99,7 +103,7 @@ class FusedFleet:
             subchannels_per_shard=subs, ensembles_per_shard=ens,
             ingest="u8", subchannel_cfgs=subchannel_cfgs,
             block_tracking=block_tracking, viterbi=viterbi,
-            chainback=chainback)
+            chainback=chainback, fuse_fic=fuse_fic)
         # per-(stream, sub) byte-layer kind: "audio" (DAB+ superframes),
         # "mp2" (classic DAB: each logical frame IS one MP2 frame, fired
         # via on_mp2_frame + optional PCM decode), or ("packet",
@@ -202,6 +206,7 @@ class FusedFleet:
             "block_tracking": self._block_tracking,
             "viterbi": self._viterbi,
             "chainback": self._chainback,
+            "fuse_fic": self._fuse_fic,
             "carry": jax.device_get(self._carry),
             "hist": jax.device_get(self._hist),
             "receivers": self.receivers, "sfp": self._sfp,
@@ -231,6 +236,7 @@ class FusedFleet:
                     subchannel_kinds=d["kinds"],
                     viterbi=d.get("viterbi", "exact"),
                     chainback=d.get("chainback", "sequential"),
+                    fuse_fic=d.get("fuse_fic", True),
                     consume_workers=consume_workers)
         # mesh-compat gate: the carry's leading dims are (B, n_time) — a
         # target mesh with a different 'time' axis cannot consume this

@@ -171,7 +171,8 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
                             subchannel_cfgs=None,
                             block_tracking: bool = False,
                             viterbi: str = "exact",
-                            chainback: str = "sequential"):
+                            chainback: str = "sequential",
+                            fuse_fic: bool = False):
     """Full end-to-end sharded receiver step: IQ in, decoded bits out.
 
     One jitted program over the ('ens','time','sub') mesh (the surface the
@@ -222,6 +223,20 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
     sequential depth instead of O(T); composes with viterbi="tiled" for
     the lowest-latency round (forward depth chunk/2+overlap, traceback
     depth ~log2).
+
+    fuse_fic=True folds the FIC groups into the MSC Viterbi batch as
+    extra lanes: each FIC trellis (774 steps) is padded to the common MSC
+    trellis length with the same strong-zero-bit trellis-pad symbols the
+    heterogeneous-subchannel path already uses, so ONE decode scan covers
+    FIC + every subchannel — the separate FIC forward pass + chainback
+    (774 sequential iterations) disappear from the round (the round is
+    scan-iteration-bound, docs/PERF.md roofline analysis). Identical
+    output on any signal where the FIC trellis's own metric terminates
+    near state 0 (i.e. whenever the FIB CRC could pass); under pure-noise
+    input a padded decode may anchor differently — such FIBs fail CRC
+    either way. With viterbi="tiled", FIC decodes tiled too (same
+    accuracy contract as MSC). fic_err is reported on the standalone
+    scale (the pad steps' error offset is subtracted).
     """
     from ..ops import viterbi as vit
     from ..ops.deinterleave import (make_gather_index,
@@ -277,6 +292,8 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
     # pad the common trellis length so data bits stay byte-aligned (device
     # packbits + host byte protocols) and the step count is even (radix-4)
     max_steps = max(s.nb_steps for s in all_specs)
+    if fuse_fic:
+        max_steps = max(max_steps, fic_spec.nb_steps)
     nb_steps = 6 + 8 * ((max_steps - 6 + 7) // 8)
     nb_data = nb_steps - 6
     gather_idx = jnp.asarray(make_gather_index(nb_sub_bits))
@@ -330,10 +347,20 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
         # ---- FIC (reference fic_decoder.cpp:53-117, batched) ----
         fic_soft = frames[:, :, :dab.nb_fic_bits].reshape(
             B * F * dab.nb_cifs, fic_spec.nb_in).astype(jnp.int8)
-        fib_bits, fic_err = vit.viterbi_decode(fic_soft, fic_spec,
-                                               chainback=chainback)
-        fib_bits = (fib_bits ^ fic_prbs[None, :]).reshape(
-            B, F, dab.nb_cifs, fic_spec.nb_data_bits)
+        if fuse_fic:
+            # pad each FIC trellis to the common MSC length with strong
+            # zero-bit symbols (state-0 extension, see docstring) and
+            # decode it as extra lanes of the ONE MSC Viterbi scan below
+            d_fic = vit.depuncture(fic_soft, fic_spec)
+            d_fic = jnp.pad(
+                d_fic, ((0, 0), (0, nb_steps - fic_spec.nb_steps), (0, 0)),
+                constant_values=vit.SOFT_LOW)
+            fib_bits = fic_err = None        # filled after the fused decode
+        else:
+            fib_bits, fic_err = vit.viterbi_decode(fic_soft, fic_spec,
+                                                   chainback=chainback)
+            fib_bits = (fib_bits ^ fic_prbs[None, :]).reshape(
+                B, F, dab.nb_cifs, fic_spec.nb_data_bits)
 
         # ---- MSC (reference msc_decoder.cpp:46-154, sharded over 'sub') --
         cifs = frames[:, :, dab.nb_fic_bits:].reshape(
@@ -383,13 +410,32 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
             deints.astype(jnp.int32),
             jnp.broadcast_to(g_b, (B, S, C, nb_steps * 4)), axis=-1)
         d = jnp.where(m_b == 1, d, jnp.where(m_b == 0, 0, vit.SOFT_LOW))
+        lanes = d.reshape(B * S * C, nb_steps, 4)
+        if fuse_fic:
+            lanes = jnp.concatenate([lanes, d_fic], axis=0)
         if viterbi == "tiled":
             bits_full, _ = vit.viterbi_decode_soft_tiled(
-                d.reshape(B * S * C, nb_steps, 4), chainback=chainback)
-            msc_err = jnp.zeros((B * S * C,), jnp.int32)
+                lanes, chainback=chainback)
+            err_full = jnp.zeros((lanes.shape[0],), jnp.int32)
         else:
-            bits_full, msc_err = vit.viterbi_decode_soft_radix4(
-                d.reshape(B * S * C, nb_steps, 4), chainback=chainback)
+            bits_full, err_full = vit.viterbi_decode_soft_radix4(
+                lanes, chainback=chainback)
+        if fuse_fic:
+            fic_rows = bits_full[B * S * C:]
+            fib_bits = (fic_rows[:, :fic_spec.nb_data_bits]
+                        ^ fic_prbs[None, :]).reshape(
+                B, F, dab.nb_cifs, fic_spec.nb_data_bits)
+            # report on the standalone-decode scale: the pad steps each
+            # contribute one dropped-constant offset but zero metric on
+            # the state-0 extension path (tiled mode reports no errors,
+            # matching msc_err)
+            fic_err = err_full[B * S * C:] if viterbi == "tiled" else (
+                err_full[B * S * C:]
+                - (nb_steps - fic_spec.nb_steps) * vit._STEP_ERR_OFFSET)
+            bits_full = bits_full[:B * S * C]
+            msc_err = err_full[:B * S * C]
+        else:
+            msc_err = err_full
         prbs_b = msc_prbs[:, :, None, :] if per_stream \
             else msc_prbs[None, :, None, :]
         msc_bits = bits_full[..., :nb_data].reshape(B, S, C, nb_data) \

@@ -468,3 +468,59 @@ def test_multichip_chainback_parallel_bit_exact():
         seq, par = outs[(viterbi, "sequential")], outs[(viterbi, "parallel")]
         for k in ("fib_bits", "msc_bits", "fic_err"):
             np.testing.assert_array_equal(par[k], seq[k], err_msg=f"{viterbi}:{k}")
+
+
+def test_fuse_fic_bit_exact_vs_separate_decode():
+    """fuse_fic=True (FIC lanes padded into the ONE MSC Viterbi scan —
+    the scan-depth lever, parallel/mesh.py docstring) must reproduce the
+    separate-decode outputs exactly on a real signal: fib_bits, fic_err
+    (reported on the standalone scale), per-frame offsets, and every
+    subchannel's payload region of msc_bits (the common padded width
+    grows to cover the 774-step FIC trellis; consumers slice by
+    msc_nb_data_bits)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dab_radio_tpu.parallel.mesh import (make_receiver_mesh,
+                                             multichip_receiver_step)
+    from dab_radio_tpu.models.transmitter import (EnsembleTransmitter,
+                                                  ServiceSpec)
+    from dab_radio_tpu.params import SubchannelConfig
+    from dab_radio_tpu.ops.iq import iq_pairs
+
+    mode = 2
+    F, S = 8, 2
+    cfg = [SubchannelConfig(s * 12, 12, False, eep_type="A",
+                            eep_prot_level=2) for s in range(S)]
+    tx = EnsembleTransmitter(
+        mode, ensemble_id=0xC0CC, ensemble_label="FF",
+        services=[ServiceSpec(0xF200 + s, s, f"S{s}", cfg[s])
+                  for s in range(S)])
+    iq = np.concatenate(
+        [tx.modulate_frame_bits(np.asarray(tx.next_frame_bits()))
+         for _ in range(F)])[None]
+
+    for n, ax in ((1, (1, 1, 1)), (8, None)):
+        mesh = make_receiver_mesh(n, axis_sizes=ax)
+        B = mesh.shape["ens"]
+        outs, nbd = {}, {}
+        for ff in (False, True):
+            step, (carry, hist, _) = multichip_receiver_step(
+                mesh, mode, F // mesh.shape["time"],
+                subchannels_per_shard=S // mesh.shape["sub"],
+                ensembles_per_shard=1, subchannel_cfgs=cfg, fuse_fic=ff)
+            giq = np.broadcast_to(
+                iq_pairs(iq), (B, iq.shape[1], 2)).copy()
+            g = jax.device_put(jnp.asarray(giq),
+                               NamedSharding(mesh, P("ens", "time")))
+            _, _, out = step(carry, hist, g)
+            outs[ff] = {k: np.asarray(v) for k, v in out.items()}
+            nbd[ff] = step.msc_nb_data_bits
+        assert nbd[True] == nbd[False]
+        for k in ("fib_bits", "fic_err", "offsets"):
+            np.testing.assert_array_equal(outs[True][k], outs[False][k],
+                                          err_msg=f"n={n}:{k}")
+        for s, nb in enumerate(nbd[True]):
+            np.testing.assert_array_equal(
+                outs[True]["msc_bits"][:, s, :, :nb],
+                outs[False]["msc_bits"][:, s, :, :nb],
+                err_msg=f"n={n}:msc{s}")
