@@ -306,6 +306,94 @@ def _chainback_parallel_sm(decisions, state0, radix_bits: int):
     return bits.reshape(Tr * r, B)
 
 
+def _radix4_forward_re(pm0, xs):
+    """Chainback-FREE radix-4 forward pass: register exchange.
+
+    Every state carries its decoded bit history as packed uint32 words;
+    each ACS step selects the survivor predecessor's history (a 4-way
+    select over STATIC state permutations — no dynamic gathers) and
+    appends the two bits implied by the new state index (in register
+    exchange the appended bits are a static property of the destination
+    state: s' = (b2<<5)|(b1<<4)|j). The traceback scan disappears
+    entirely — sequential depth is the ACS scan alone, the last lever
+    class left after radix-4 + tiled + parallel chainback
+    (docs/PERF.md "where the time goes").
+
+    Work trade: O(T^2/32) word-selects vs chainback's O(T), so this is
+    for SHORT trellises where scan depth, not word volume, bounds the
+    round — the tiled decoder's fixed L=chunk+2*overlap window (W =
+    L/16 words) and FIC-sized groups. Exactness: survivor selection is
+    the identical packed-min ACS, so bits match the sequential
+    chainback bit-for-bit, ties included.
+
+    pm0: (64, B) f32. xs: (T/2, 2, B, 4) f32, T/2 <= 2^16.
+    Returns (pm (64, B), hist (64, B, W) uint32) with bit 2t+k of the
+    stream at word (2t+k)>>5, bit position (2t+k)&31 (LSB-first)."""
+    St = jnp.asarray(_branch_sign_matrix().T).astype(jnp.float32)  # (128, 4)
+    B = pm0.shape[-1]
+    T2 = xs.shape[0]
+    W = -(-(2 * T2) // 32)
+
+    def branch_err(d_t):
+        return (St @ d_t.T).reshape(NB_STATES, 2, B)
+
+    p_idx = jnp.arange(4, dtype=jnp.float32)[None, :, None, None, None]
+    # static predecessor permutations: pred_p[s'] = ((s' & 15) << 2) | p
+    sp = np.arange(NB_STATES)
+    perms = [((sp & 15) << 2) | p for p in range(4)]
+    # bits appended at state s': b1 = (s'>>4)&1 (older), b2 = s'>>5
+    new2 = jnp.asarray(((sp >> 4) & 1) | ((sp >> 5) << 1),
+                       jnp.uint32)[:, None]            # (64, 1)
+
+    def step(carry, inp):
+        pm, base, hist = carry
+        d2, t = inp
+        bm_a = branch_err(d2[0])
+        bm_b = branch_err(d2[1])
+        tmp = jnp.broadcast_to(bm_b.reshape(2, 32, 2, B)[:, :, None],
+                               (2, 32, 2, 2, B))
+        bmb = jnp.moveaxis(tmp, 0, 2).reshape(NB_STATES, 2, 2, B)
+        cand = (pm[:, None, None, :] + bm_a[:, :, None, :] + bmb)
+        quads = cand.reshape(16, 4, 2, 2, B)
+        packed = jnp.min(quads * 4.0 + p_idx, axis=1)
+        new_pm = jnp.floor(packed * 0.25)
+        dec = (packed - 4.0 * new_pm).astype(jnp.uint8)
+        new_pm = jnp.moveaxis(new_pm, (0, 1, 2), (2, 1, 0)
+                              ).reshape(NB_STATES, B)
+        dec = jnp.moveaxis(dec, (0, 1, 2), (2, 1, 0)
+                           ).reshape(NB_STATES, B)[..., None]  # (64, B, 1)
+        # survivor history: 4-way select over static permutations
+        nh = jnp.where(dec == 0, hist[perms[0]],
+                       jnp.where(dec == 1, hist[perms[1]],
+                                 jnp.where(dec == 2, hist[perms[2]],
+                                           hist[perms[3]])))
+        # append the 2 new bits into word (2t)>>5 at bit (2t)&31
+        word = (2 * t) >> 5
+        shift = ((2 * t) & 31).astype(jnp.uint32)
+        upd = jax.lax.dynamic_slice_in_dim(nh, word, 1, axis=2)
+        upd = upd | (new2[:, :, None] << shift)
+        nh = jax.lax.dynamic_update_slice_in_dim(nh, upd, word, axis=2)
+        rebase = new_pm[0]
+        return (new_pm - rebase[None, :], base + rebase, nh), None
+
+    hist0 = jnp.zeros((NB_STATES, B, W), jnp.uint32)
+    ts = jnp.arange(T2, dtype=jnp.int32)
+    (pm, base, hist), _ = jax.lax.scan(
+        step, (pm0, jnp.zeros(pm0.shape[1:], pm0.dtype), hist0), (xs, ts))
+    return pm + base[None, :], hist
+
+
+def _re_extract_bits(hist, state0, T: int):
+    """hist (64, B, W) uint32 from _radix4_forward_re, state0 (B,) anchor
+    states -> bits (T, B) int8 in forward time order."""
+    B = hist.shape[1]
+    h = jnp.take_along_axis(
+        hist, state0.astype(jnp.int32)[None, :, None], axis=0)[0]  # (B, W)
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    bits = ((h[:, :, None] >> shifts) & 1).astype(jnp.int8)        # (B, W, 32)
+    return jnp.moveaxis(bits.reshape(B, -1)[:, :T], 0, 1)          # (T, B)
+
+
 def _radix8_forward_sm(pm0, xs):
     """State-major radix-8 forward pass: THREE trellis steps fused per
     scan iteration (sequential depth T/3 vs T/2 for radix-4; the scans are
@@ -437,12 +525,16 @@ def viterbi_decode_soft_radix4(depunctured: jnp.ndarray, start_state: int = 0,
     pm0 = jnp.full((NB_STATES, B), _INITIAL_NON_START, jnp.float32)
     pm0 = pm0.at[start_state].set(0.0)
 
-    pm_final, decisions = _radix4_forward_sm(pm0, xs)
     state0 = jnp.full((B,), end_state, jnp.int32)
-    if chainback == "parallel":
-        bits = _chainback_parallel_sm(decisions, state0, 2)   # (T, B)
+    if chainback == "fused":
+        pm_final, hist = _radix4_forward_re(pm0, xs)
+        bits = _re_extract_bits(hist, state0, T)              # (T, B)
     else:
-        bits = _radix4_chainback_sm(decisions, state0)        # (T, B)
+        pm_final, decisions = _radix4_forward_sm(pm0, xs)
+        if chainback == "parallel":
+            bits = _chainback_parallel_sm(decisions, state0, 2)   # (T, B)
+        else:
+            bits = _radix4_chainback_sm(decisions, state0)        # (T, B)
     bits = jnp.moveaxis(bits, 0, -1).reshape(*batch_shape, T)
     error = (pm_final[end_state] + T * _STEP_ERR_OFFSET
              ).astype(jnp.int32).reshape(batch_shape)
@@ -490,13 +582,20 @@ def viterbi_decode_soft_tiled(depunctured: jnp.ndarray,
                            ).reshape(NB_STATES, BC)
 
     xs = jnp.moveaxis(x, 1, 0).reshape(L // 2, 2, BC, CODE_RATE)
-    pm_final, decisions = _radix4_forward_sm(pm0, xs)   # (L/2, 64, BC)
-
-    state0 = jnp.argmin(pm_final, axis=0).astype(jnp.int32)   # (BC,)
-    if chainback == "parallel":
-        bits = _chainback_parallel_sm(decisions, state0, 2)   # (L, BC)
+    if chainback == "fused":
+        # register exchange: no traceback scan at all — sequential depth
+        # is the L/2 ACS iterations alone (W = L/32 words per state stays
+        # small because the tile length is fixed)
+        pm_final, hist = _radix4_forward_re(pm0, xs)
+        state0 = jnp.argmin(pm_final, axis=0).astype(jnp.int32)
+        bits = _re_extract_bits(hist, state0, L)              # (L, BC)
     else:
-        bits = _radix4_chainback_sm(decisions, state0)        # (L, BC)
+        pm_final, decisions = _radix4_forward_sm(pm0, xs)   # (L/2, 64, BC)
+        state0 = jnp.argmin(pm_final, axis=0).astype(jnp.int32)   # (BC,)
+        if chainback == "parallel":
+            bits = _chainback_parallel_sm(decisions, state0, 2)   # (L, BC)
+        else:
+            bits = _radix4_chainback_sm(decisions, state0)        # (L, BC)
     bits = jnp.moveaxis(bits, 0, -1)                          # (BC, L)
     bits = bits.reshape(B, nb_chunks, L)[:, :, overlap:overlap + chunk]
     return bits.reshape(B, Tp)[:, :T], None

@@ -312,3 +312,46 @@ def test_long_trellis_exactness_radix4_and_radix8():
     b8, e8 = vit.viterbi_decode_soft_radix8(d)
     np.testing.assert_array_equal(np.asarray(b8), np.asarray(b2))
     np.testing.assert_array_equal(np.asarray(e8), np.asarray(e2))
+
+
+def test_fused_register_exchange_matches_sequential():
+    """chainback="fused" (register exchange: decoded bits ride the forward
+    scan as packed words, no traceback scan at all) must be bit-identical
+    to the sequential chainback for radix-4 and tiled decodes, on heavily
+    corrupted input with saturated ties — the survivor selection is the
+    same packed-min ACS, so any divergence is a history-permutation or
+    bit-packing bug."""
+    rng = np.random.default_rng(31)
+    for L in (42, 378, 1018):          # word-boundary coverage: T=48 (1.5
+        B = 5                          # words), 384 (12), 1024 (32 exact)
+        bits = rng.integers(0, 2, size=(B, L)).astype(np.uint8)
+        soft = np.stack([
+            vit.bits_to_soft(vit.conv_encode(b)).reshape(-1, 4)
+            for b in bits]).astype(np.int32)
+        noise = rng.integers(-120, 121, size=soft.shape)
+        soft = np.clip(soft + noise, -127, 127).astype(np.int8)
+        soft[rng.random(soft.shape) < 0.05] = 0
+        d = jnp.asarray(soft)
+
+        bs, es = vit.viterbi_decode_soft_radix4(d)
+        bf, ef = vit.viterbi_decode_soft_radix4(d, chainback="fused")
+        np.testing.assert_array_equal(np.asarray(bf), np.asarray(bs))
+        np.testing.assert_array_equal(np.asarray(ef), np.asarray(es))
+
+        ts, _ = vit.viterbi_decode_soft_tiled(d)
+        tf, _ = vit.viterbi_decode_soft_tiled(d, chainback="fused")
+        np.testing.assert_array_equal(np.asarray(tf), np.asarray(ts))
+
+
+def test_fused_register_exchange_clean_roundtrip():
+    """Clean encode->decode through the register-exchange path recovers the
+    payload exactly (end-state anchored decode, tail bits dropped)."""
+    rng = np.random.default_rng(33)
+    bits = rng.integers(0, 2, size=(3, 250)).astype(np.uint8)
+    soft = np.stack([
+        vit.bits_to_soft(vit.conv_encode(b)).reshape(-1, 4)
+        for b in bits]).astype(np.int32)
+    out, err = vit.viterbi_decode_soft_radix4(
+        jnp.asarray(soft), chainback="fused")
+    np.testing.assert_array_equal(np.asarray(out)[:, :250], bits)
+    assert np.all(np.asarray(err) == 0)
