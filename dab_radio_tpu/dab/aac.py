@@ -17,7 +17,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..ops.crc import crc16, firecode_crc16
+from ..ops.crc import crc16, crc16_ragged, firecode_crc16
 from ..ops.rs import dab_plus_rs, rs_encode
 
 TOTAL_DAB_FRAMES = 5
@@ -87,6 +87,22 @@ class SuperframeProcessor:
                       "superframes": 0, "rs_corrected_bytes": 0}
 
     def process_frame(self, frame: bytes):
+        sf = self.push_frame(frame)
+        if sf is None:
+            return None
+        arr = np.frombuffer(sf, dtype=np.uint8).reshape(
+            RS_MESSAGE, len(sf) // RS_MESSAGE)
+        corrected, nerr = dab_plus_rs().decode(arr.T.copy())
+        return self.finish(corrected, nerr)
+
+    def push_frame(self, frame: bytes):
+        """Accumulation half of process_frame: returns the raw assembled
+        superframe bytes once TOTAL_DAB_FRAMES are buffered, else None.
+        The caller must RS-decode the column-deinterleaved codewords and
+        call finish() before the next push — this split lets a serving
+        fleet batch ONE RS decode across every stream's completed
+        superframes per round (FusedFleet._consume) instead of paying
+        the Berlekamp-Massey dispatch overhead per superframe."""
         if self.frame_bytes != len(frame):
             self.frame_bytes = len(frame)
             self.buffer.clear()
@@ -106,7 +122,7 @@ class SuperframeProcessor:
             return None
         sf = b"".join(self.buffer)
         self.buffer.clear()
-        return self._process_superframe(bytearray(sf))
+        return sf
 
     @staticmethod
     def _firecode_ok(buf: bytes) -> bool:
@@ -118,18 +134,18 @@ class SuperframeProcessor:
             return False
         return firecode_crc16(buf[2:11]) == rx
 
-    def _process_superframe(self, sf: bytearray):
-        n_cols = len(sf) // RS_MESSAGE
-        # column deinterleave -> (n_cols, 120) codewords
-        arr = np.frombuffer(bytes(sf), dtype=np.uint8).reshape(RS_MESSAGE, n_cols)
-        codewords = arr.T.copy()
-        corrected, nerr = dab_plus_rs().decode(codewords)
+    def finish(self, corrected: np.ndarray, nerr: np.ndarray):
+        """Post-RS half of process_frame: corrected (n_cols, 120) uint8
+        codewords + per-codeword error counts (-1 = uncorrectable) from
+        push_frame's superframe. Returns (header, [au_payloads]) or
+        None."""
         if (nerr < 0).any():
             self.stats["rs_errors"] += 1
             self.desync_count += 1
             return None
         self.stats["rs_corrected_bytes"] += int(nerr.sum())
-        sf = corrected.T.reshape(-1).tobytes()
+        sf = np.ascontiguousarray(corrected.T).reshape(-1).tobytes()
+        n_cols = corrected.shape[0]
 
         if not self._firecode_ok(sf):
             self.stats["firecode_errors"] += 1
@@ -154,16 +170,19 @@ class SuperframeProcessor:
         starts[0] = 3 + au_start_bytes
         starts[num_aus] = RS_DATA * n_cols
 
-        aus = []
+        # per-AU CRC16, one ragged native call for the whole superframe
+        spans = []
         for i in range(num_aus):
             a, b = starts[i], starts[i + 1]
             if b - a < 2 or b > len(sf):
                 self.stats["au_crc_errors"] += 1
-                continue
-            au = sf[a:b]
-            rx = (au[-2] << 8) | au[-1]
-            if crc16(au[:-2]) == rx:
-                aus.append(bytes(au[:-2]))
+            else:
+                spans.append((a, b))
+        crcs = crc16_ragged([sf[a:b - 2] for a, b in spans])
+        aus = []
+        for (a, b), crc in zip(spans, crcs):
+            if ((sf[b - 2] << 8) | sf[b - 1]) == crc:
+                aus.append(sf[a:b - 2])
             else:
                 self.stats["au_crc_errors"] += 1
         self.stats["superframes"] += 1

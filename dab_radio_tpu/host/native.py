@@ -84,6 +84,11 @@ def io_lib():
         lib.crc16_block.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                     ctypes.c_void_p, ctypes.c_uint32,
                                     ctypes.c_uint32]
+    if hasattr(lib, "crc16_blocks"):
+        lib.crc16_blocks.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_int64, ctypes.c_void_p,
+                                     ctypes.c_uint32, ctypes.c_uint32,
+                                     ctypes.c_void_p]
     return lib
 
 

@@ -467,8 +467,9 @@ class FusedFleet:
         # nearly all; a desynced/retuned one passes none)
         self.last_fib_ok = ok.reshape(B, -1).sum(axis=1)
         if self._pool is None:
-            for b in range(self.N):
-                self._fire(b, self._stream_job(b, fibs, ok, msc_bytes))
+            for b, events in enumerate(
+                    self._consume_batched(fibs, ok, msc_bytes)):
+                self._fire(b, events)
         else:
             # streams are independent (disjoint receivers / processors /
             # decoders), so the heavy byte work runs in the pool; events
@@ -488,6 +489,88 @@ class FusedFleet:
                     first_err = first_err or e
             if first_err is not None:
                 raise first_err
+
+    def _consume_batched(self, fibs, ok, msc_bytes):
+        """Single-threaded consume with the round's RS decodes BATCHED:
+        audio subchannels advance in frame lockstep across every
+        (stream, sub), and whenever superframes complete, ONE
+        ReedSolomonDecoder.decode call corrects all of them together —
+        the Berlekamp-Massey/Chien/Forney tail vectorizes over every
+        corrupted codeword in the round instead of dispatching per
+        superframe (the measured byte-layer hot spot: ~70% of consume
+        was per-superframe _decode_many overhead). Byte-identical to the
+        sequential path: each processor sees the exact same
+        push/finish sequence, and events are re-assembled in the
+        per-stream, subchannel-major order _stream_job produces.
+        Returns a list of per-stream event lists for _fire."""
+        from ..ops.rs import dab_plus_rs
+        F = fibs.shape[1]
+        C = msc_bytes.shape[2]
+        for b in range(self.N):
+            for f in range(F):
+                self.receivers[b].ingest_fibs(
+                    [bytes(fib[:30]) for fib, o
+                     in zip(fibs[b, f], ok[b, f]) if o])
+        ev_bs = {}
+        audio = []
+        for b in range(self.N):
+            for s in range(self.S):
+                ev_bs[(b, s)] = []
+                if self._kinds[b][s] == "audio":
+                    audio.append((b, s))
+        rs = dab_plus_rs()
+        for c in range(C):
+            done = []                     # (b, s, (n_cols, 120) codewords)
+            for b, s in audio:
+                nb = self._nbytes[b][s]
+                sf = self._sfp[b][s].push_frame(
+                    msc_bytes[b, s, c][:nb].tobytes())
+                if sf is not None:
+                    arr = np.frombuffer(sf, np.uint8).reshape(
+                        120, len(sf) // 120)
+                    done.append((b, s, arr.T))
+            if not done:
+                continue
+            cw = np.concatenate([d[2] for d in done], axis=0)
+            corrected, nerr = rs.decode(cw)
+            pos = 0
+            for b, s, arr in done:
+                n_cols = arr.shape[0]
+                res = self._sfp[b][s].finish(
+                    corrected[pos:pos + n_cols], nerr[pos:pos + n_cols])
+                pos += n_cols
+                if res is None:
+                    continue
+                header, aus = res
+                pcm = self._decode_audio(b, s, header, aus) \
+                    if (b, s) in self._audio_enabled else None
+                ev_bs[(b, s)].append(("sf", s, header, aus, pcm))
+        # mp2 / packet subchannels: same work as _stream_job
+        for b in range(self.N):
+            for s in range(self.S):
+                kind = self._kinds[b][s]
+                if kind == "audio":
+                    continue
+                nb = self._nbytes[b][s]
+                proc = self._sfp[b][s]
+                if kind == "mp2":
+                    for c in range(C):
+                        payload = msc_bytes[b, s, c][:nb].tobytes()
+                        pcm = self._decode_mp2(b, s, payload) \
+                            if (b, s) in self._audio_enabled else None
+                        ev_bs[(b, s)].append(("mp2", s, payload, pcm))
+                    continue
+                local = []
+                proc.on_data_group.append(local.append)
+                try:
+                    for c in range(C):
+                        proc.process(msc_bytes[b, s, c][:nb].tobytes())
+                finally:
+                    proc.on_data_group.remove(local.append)
+                if local:
+                    ev_bs[(b, s)].append(("dg", s, local))
+        return [[e for s in range(self.S) for e in ev_bs[(b, s)]]
+                for b in range(self.N)]
 
     def _stream_job(self, b, fibs, ok, msc_bytes):
         """All of stream b's byte-layer work for one round (FIB ingest,

@@ -270,6 +270,7 @@ class DabReceiver:
         self._last_stats = None
         self.benchmark_all = benchmark_all
         self.total_frames = 0
+        self._fib_memo: Dict[bytes, int] = {}   # see ingest_fibs
 
     @property
     def db(self):
@@ -310,11 +311,33 @@ class DabReceiver:
     def ingest_fibs(self, fibs):
         """Host half of the FIC path: FIG parse -> database -> channel
         creation. Exposed so a fleet can batch the FIC Viterbi across
-        receivers and feed each receiver its decoded FIBs."""
+        receivers and feed each receiver its decoded FIBs.
+
+        Exact-repeat fast path: the FIC carousel retransmits identical
+        FIBs every ~0.25-1 s, and applying a byte-identical FIB to the
+        database is idempotent (list merges are membership-guarded;
+        time-varying FIGs — 0/0 CIF counters, 0/10 datetime — change the
+        FIB bytes and so always miss the memo). A converged long-running
+        receiver skips the whole parse+apply loop per repeated FIB.
+        Observable difference vs re-applying: the updates counter still
+        advances one per skipped event (preserving the stats-change
+        channel-creation trigger) but update/conflict counters no longer
+        re-count carousel repetitions of the same record."""
         with profile_scope("radio/fig_parse"):
+            memo = getattr(self, "_fib_memo", None)
+            if memo is None:            # snapshots from older builds
+                memo = self._fib_memo = {}
             for fib in fibs:
-                for ev in self.parser.parse_fib(fib):
+                n = memo.get(fib)
+                if n is not None:
+                    self.updater.updates += n
+                    continue
+                events = self.parser.parse_fib(fib)
+                for ev in events:
                     self.updater.apply(ev)
+                if len(memo) >= 4096:   # FIC carousels are tiny; noise-
+                    memo.clear()        # corrupted FIBs fail CRC upstream
+                memo[fib] = len(events)
 
         stats = self.updater.stats()
         if stats != self._last_stats:

@@ -290,4 +290,19 @@ uint32_t crc16_block(const uint8_t* data, int64_t n, const uint16_t* lut,
     return uint32_t(crc ^ uint16_t(final_xor));
 }
 
+// Ragged batch: m buffers packed back-to-back in `data`, buffer i spanning
+// [offsets[i], offsets[i+1]). One ctypes call per superframe/round instead
+// of one per access unit — the ~9 us Python+ffi prologue per call was the
+// host byte layer's AU-CRC cost, not the CRC itself.
+void crc16_blocks(const uint8_t* data, const int64_t* offsets, int64_t m,
+                  const uint16_t* lut, uint32_t init, uint32_t final_xor,
+                  uint16_t* out) {
+    for (int64_t k = 0; k < m; k++) {
+        uint16_t crc = uint16_t(init);
+        for (int64_t i = offsets[k]; i < offsets[k + 1]; i++)
+            crc = uint16_t((crc << 8) ^ lut[((crc >> 8) ^ data[i]) & 0xFF]);
+        out[k] = uint16_t(crc ^ uint16_t(final_xor));
+    }
+}
+
 }  // extern "C"
