@@ -14,6 +14,43 @@ from typing import Dict, List, Optional, Tuple
 
 from . import fig as F
 
+# ---- mutation clock ---------------------------------------------------------
+#
+# A module-level counter that advances on every REAL change to any database
+# entity (field set to a different value, guarded list append, entity
+# creation). `DabReceiver.ingest_fibs` uses it to prove a carousel FIB's
+# application was a no-op against the current database state before
+# memoizing it — applying a FIB can silently do nothing when a FIG it
+# references hasn't arrived yet (e.g. FIG 0/13 user-app before the FIG 0/2
+# packet ref that links the component to its service), and only the
+# carousel's re-application converges the database; a value-blind memo
+# breaks that. Pickle restore bypasses __setattr__ (no spurious bumps).
+
+_DB_MUTATION_CLOCK = [0]
+
+
+def db_mutation_clock() -> int:
+    return _DB_MUTATION_CLOCK[0]
+
+
+def _bump() -> None:
+    _DB_MUTATION_CLOCK[0] += 1
+
+
+_UNSET = object()
+
+
+class _Tracked:
+    """Entity base: advance the mutation clock when a field actually changes.
+
+    Dataclass __init__ runs through here too, so entity creation counts as
+    a mutation (each field goes missing -> value)."""
+
+    def __setattr__(self, name, value):
+        if getattr(self, name, _UNSET) != value:
+            _bump()
+        object.__setattr__(self, name, value)
+
 # transport modes
 STREAM_AUDIO, STREAM_DATA, PACKET_DATA = 0, 1, 3
 # audio service types (ASCTy)
@@ -25,7 +62,7 @@ FEC_NONE, FEC_REED_SOLOMON = 0, 1
 
 
 @dataclass
-class Ensemble:
+class Ensemble(_Tracked):
     id: int = 0
     extended_country_code: int = 0
     label: str = ""
@@ -39,7 +76,7 @@ class Ensemble:
 
 
 @dataclass
-class Service:
+class Service(_Tracked):
     id: int = 0
     country_id: int = 0
     extended_country_code: int = 0
@@ -51,7 +88,7 @@ class Service:
 
 
 @dataclass
-class ServiceComponent:
+class ServiceComponent(_Tracked):
     service_id: int = 0
     component_id: int = 0               # SCIdS
     global_id: Optional[int] = None     # SCId (packet components)
@@ -70,7 +107,7 @@ class ServiceComponent:
 
 
 @dataclass
-class Subchannel:
+class Subchannel(_Tracked):
     id: int = 0
     start_address: Optional[int] = None
     length: Optional[int] = None        # capacity units
@@ -83,7 +120,7 @@ class Subchannel:
 
 
 @dataclass
-class LinkService:
+class LinkService(_Tracked):
     id: int = 0                          # linkage set number
     is_active_link: bool = False
     is_hard_link: bool = False
@@ -95,7 +132,7 @@ class LinkService:
 
 
 @dataclass
-class OtherEnsemble:
+class OtherEnsemble(_Tracked):
     ensemble_id: int = 0
     frequency_hz: int = 0
     is_continuous: bool = False
@@ -106,7 +143,7 @@ class OtherEnsemble:
 
 
 @dataclass
-class FMService:
+class FMService(_Tracked):
     """FM station linked to a DAB service (reference FM_Service)."""
     pi_code: int = 0
     lsn: Optional[int] = None
@@ -116,7 +153,7 @@ class FMService:
 
 
 @dataclass
-class DRMService:
+class DRMService(_Tracked):
     drm_id: int = 0
     lsn: Optional[int] = None
     is_time_compensated: bool = False
@@ -125,7 +162,7 @@ class DRMService:
 
 
 @dataclass
-class AMSSService:
+class AMSSService(_Tracked):
     amss_id: int = 0
     is_time_compensated: bool = False
     frequencies: List[int] = dc_field(default_factory=list)
@@ -343,9 +380,11 @@ class DatabaseUpdater:
             for sid in ev.service_ids:
                 if sid not in ls.service_ids:
                     ls.service_ids.append(sid)
+                    _bump()
             for pid in ev.rds_pi_ids:
                 if pid not in ls.fm_services:
                     ls.fm_services.append(pid)
+                    _bump()
                 fm = self.db.fm_services.setdefault(
                     pid, FMService(pi_code=pid))
                 if fm.lsn is None:
@@ -354,6 +393,7 @@ class DatabaseUpdater:
             for did in ev.drm_ids:
                 if did not in ls.drm_services:
                     ls.drm_services.append(did)
+                    _bump()
                 dr = self.db.drm_services.setdefault(
                     did, DRMService(drm_id=did))
                 if dr.lsn is None:
@@ -387,6 +427,7 @@ class DatabaseUpdater:
                 if c.service_id == ev.service_id and c.component_id == ev.scids:
                     if ev.app_type not in c.user_app_types:
                         c.user_app_types.append(ev.app_type)
+                        _bump()
                     self._update_component_complete(c)
                     break
         elif isinstance(ev, F.SubchannelFEC):
@@ -413,6 +454,7 @@ class DatabaseUpdater:
                 fm.is_time_compensated = ev.is_continuous
                 if ev.frequency_hz not in fm.frequencies:
                     fm.frequencies.append(ev.frequency_hz)
+                    _bump()
                 fm.is_complete = fm.lsn is not None
             elif ev.rm == 0b0110:
                 dr = self.db.drm_services.setdefault(
@@ -420,6 +462,7 @@ class DatabaseUpdater:
                 dr.is_time_compensated = ev.is_continuous
                 if ev.frequency_hz not in dr.frequencies:
                     dr.frequencies.append(ev.frequency_hz)
+                    _bump()
                 dr.is_complete = dr.lsn is not None
             elif ev.rm == 0b1110:
                 am = self.db.amss_services.setdefault(
@@ -427,12 +470,14 @@ class DatabaseUpdater:
                 am.is_time_compensated = ev.is_continuous
                 if ev.frequency_hz not in am.frequencies:
                     am.frequencies.append(ev.frequency_hz)
+                    _bump()
                 am.is_complete = True
         elif isinstance(ev, F.OtherEnsembleService):
             oe = self.db.other_ensembles.setdefault(
                 ev.ensemble_id, OtherEnsemble(ensemble_id=ev.ensemble_id))
             if ev.service_id not in oe.service_ids:
                 oe.service_ids.append(ev.service_id)
+                _bump()
             # reference OE completeness requires the frequency (0/21 rm=0);
             # 0/24 alone only creates the entity
         elif isinstance(ev, F.Label):

@@ -270,7 +270,8 @@ class DabReceiver:
         self._last_stats = None
         self.benchmark_all = benchmark_all
         self.total_frames = 0
-        self._fib_memo: Dict[bytes, int] = {}   # see ingest_fibs
+        self._fib_memo: Dict[bytes, bool] = {}  # see ingest_fibs
+        self._fib_memo_clock = -1               # db_mutation_clock at build
 
     @property
     def db(self):
@@ -314,30 +315,41 @@ class DabReceiver:
         receivers and feed each receiver its decoded FIBs.
 
         Exact-repeat fast path: the FIC carousel retransmits identical
-        FIBs every ~0.25-1 s, and applying a byte-identical FIB to the
-        database is idempotent (list merges are membership-guarded;
-        time-varying FIGs — 0/0 CIF counters, 0/10 datetime — change the
-        FIB bytes and so always miss the memo). A converged long-running
-        receiver skips the whole parse+apply loop per repeated FIB.
-        Observable difference vs re-applying: the updates counter still
-        advances one per skipped event (preserving the stats-change
-        channel-creation trigger) but update/conflict counters no longer
-        re-count carousel repetitions of the same record."""
+        FIBs every ~0.25-1 s; a converged long-running receiver skips the
+        whole parse+apply loop per repeated FIB. Applying a FIB is NOT
+        always idempotent against an incomplete database — a FIG can
+        silently no-op when an entity it references hasn't been linked yet
+        (e.g. FIG 0/13 user-app before the FIG 0/2 packet ref) and only
+        the carousel's re-application converges it — so a FIB is only
+        memoized once its application provably changed nothing (database
+        mutation clock unmoved, no conflicts), and the whole memo is
+        flushed whenever any mutation lands (a change can make a
+        previously-no-op FIB effective). Time-varying FIGs (0/0 CIF
+        counters, 0/10 datetime) change the FIB bytes and always miss.
+        Observable difference vs re-applying: update/conflict counters no
+        longer re-count carousel repetitions of proven-no-op FIBs."""
+        from ..dab.database import db_mutation_clock
         with profile_scope("radio/fig_parse"):
             memo = getattr(self, "_fib_memo", None)
             if memo is None:            # snapshots from older builds
                 memo = self._fib_memo = {}
+                self._fib_memo_clock = -1
+            up = self.updater
             for fib in fibs:
-                n = memo.get(fib)
-                if n is not None:
-                    self.updater.updates += n
+                clock = db_mutation_clock()
+                if getattr(self, "_fib_memo_clock", -1) != clock:
+                    memo.clear()
+                    self._fib_memo_clock = clock
+                if fib in memo:
                     continue
                 events = self.parser.parse_fib(fib)
+                conflicts = up.conflicts
                 for ev in events:
-                    self.updater.apply(ev)
-                if len(memo) >= 4096:   # FIC carousels are tiny; noise-
-                    memo.clear()        # corrupted FIBs fail CRC upstream
-                memo[fib] = len(events)
+                    up.apply(ev)
+                if (db_mutation_clock() == clock
+                        and up.conflicts == conflicts
+                        and len(memo) < 4096):
+                    memo[fib] = True    # proven no-op against current state
 
         stats = self.updater.stats()
         if stats != self._last_stats:

@@ -138,3 +138,41 @@ def test_crc16_batch_matches_scalar():
     ref = np.array([crc16_check(r) for r in rows])
     np.testing.assert_array_equal(got, ref)
     assert got.sum() >= 32
+
+
+def test_ingest_fibs_memo_converges_out_of_order_figs():
+    """Regression: the carousel-FIB memo must not block convergence when a
+    FIG's application is a silent no-op against an incomplete database.
+
+    A packet service's FIG 0/13 (user application) only applies once the
+    FIG 0/2 packet ref has linked the component to its service; on the
+    first carousel pass it does nothing, and only the re-application on the
+    next pass completes the component. A value-blind exact-repeat memo
+    froze the database there (round-4 regression); the mutation-clock memo
+    only caches proven no-ops and flushes on any database change."""
+    from dab_radio_tpu.params import SubchannelConfig
+    from dab_radio_tpu.models.transmitter import (
+        EnsembleTransmitter, ServiceSpec)
+    from dab_radio_tpu.models.receiver import DabReceiver
+
+    tx = EnsembleTransmitter(1, services=[
+        ServiceSpec(0xA003, 3, "Data Service",
+                    SubchannelConfig(132, 48, False, eep_type="A",
+                                     eep_prot_level=2), kind="packet",
+                    scid=0x10, packet_address=2),
+    ])
+    enc = FICEncoder(1)
+    fib_bytes = [bytes(enc.encode_fib_payload(p))
+                 for p in tx._fib_payloads()]
+    rx = DabReceiver(1)
+    for _ in range(3):          # carousel repetitions of IDENTICAL bytes
+        rx.ingest_fibs(fib_bytes)
+    assert {k: ch.kind for k, ch in rx.channels.items()} == {3: "packet"}
+    comp = rx.db.component_by_subchannel(3)
+    assert comp.is_complete and comp.user_app_types
+
+    # steady state: every FIB is now a proven no-op and memoized
+    assert len(rx._fib_memo) == len(set(fib_bytes))
+    stats_before = rx.updater.stats()
+    rx.ingest_fibs(fib_bytes)
+    assert rx.updater.stats() == stats_before
