@@ -1,4 +1,4 @@
-"""BER-vs-SNR sweep: closed-loop modulator -> AWGN/CFO channel -> demodulator.
+"""BER-vs-SNR sweep: closed-loop modulator -> channel -> demodulator.
 
 The quantitative version of the reference's manual stress tests
 (simulate_transmitter + apply_frequency_shift, SURVEY.md §4.5-4.6): the FIC
@@ -9,6 +9,12 @@ portion of every frame carries real encoded FIBs, so the sweep measures
   vit_byte_err  post-Viterbi byte error rate of the decoded FIB groups
   fib_crc_rate  fraction of FIBs passing CRC16
 across an SNR range. Prints a CSV table.
+
+The channel is models.channel.ChannelModel: AWGN + CFO by default, plus
+optional TDL multipath/SFN echoes (--echo "delay_us:gain_db[:doppler[:r]]")
+and continuous sample-clock drift (--drift-ppm) — BER waterfalls per echo
+profile quantify the guard-interval margin the reference only ever faced
+anecdotally on live captures.
 """
 
 import argparse
@@ -19,13 +25,14 @@ import jax.numpy as jnp
 
 from ..models import OFDMModulator, OFDMDemodulator
 from ..models.demodulator import StreamingDemodulator
+from ..models.channel import ChannelModel, parse_echo_spec
 from ..dab.fic import FICDecoder, FICEncoder
 from ..ops.scrambler import prbs_bytes
 from ..utils.backend import add_backend_flag, apply_backend
 
 
 def run_point(mode: int, snr_db: float, cfo_hz: float, nb_frames: int,
-              seed: int = 0):
+              seed: int = 0, taps=(), drift_ppm: float = 0.0):
     mod = OFDMModulator(mode)
     demod = OFDMDemodulator(mode)
     fic_enc = FICEncoder(mode)
@@ -54,22 +61,17 @@ def run_point(mode: int, snr_db: float, cfo_hz: float, nb_frames: int,
         nb_frames, p.nb_data_symbols, 2 * p.nb_data_carriers)
     iq = np.asarray(mod.modulate_stream(jnp.asarray(bits)))
 
-    sig_pow = float(np.mean(np.abs(iq[p.nb_frame_samples // 2:
-                                      p.nb_frame_samples]) ** 2))
-    noise_std = np.sqrt(sig_pow / 10 ** (snr_db / 10) / 2)
-    noise = (rng.normal(0, noise_std, iq.shape)
-             + 1j * rng.normal(0, noise_std, iq.shape)).astype(np.complex64)
-    x = iq + noise
-    if cfo_hz:
-        f = cfo_hz / 2.048e6
-        x = (x * np.exp(2j * np.pi * f * np.arange(x.shape[0]))
-             ).astype(np.complex64)
-    lead = (rng.normal(0, noise_std, 20000)
-            + 1j * rng.normal(0, noise_std, 20000)).astype(np.complex64)
-    tail = np.zeros(2 * p.nb_frame_samples, np.complex64)
+    lead = 20000
+    x = np.concatenate([np.zeros(lead, np.complex64), iq,
+                        np.zeros(2 * p.nb_frame_samples, np.complex64)])
+    channel = ChannelModel(
+        taps=list(taps), cfo_hz=cfo_hz, drift_ppm=drift_ppm, snr_db=snr_db,
+        seed=seed,
+        # calibrate SNR against the faded signal, not the silent lead/tail
+        snr_ref=(lead + p.nb_frame_samples // 2, lead + iq.shape[0]))
 
     sd = StreamingDemodulator(demod)
-    frames = sd.process(np.concatenate([lead, x, tail]))
+    frames = sd.process(channel.apply(x))
 
     # align the locked frames to the tx stream (lock may start late). Anchor
     # on the first frame that clearly matches some tx frame — frame 0 can be
@@ -130,15 +132,24 @@ def main(argv=None):
                     help="comma-separated SNR points (dB)")
     ap.add_argument("--cfo", type=float, default=0.0, help="CFO in Hz")
     ap.add_argument("-n", "--nb-frames", type=int, default=4)
+    ap.add_argument("--echo", default="",
+                    help="TDL taps 'delay_us:gain_db[:doppler_hz[:r]]', "
+                         "comma-separated (e.g. '240:-3' = SFN echo at the "
+                         "mode-I guard edge)")
+    ap.add_argument("--drift-ppm", type=float, default=0.0,
+                    help="continuous sample-clock drift in ppm")
+    ap.add_argument("--seed", type=int, default=0)
     add_backend_flag(ap)
     args = ap.parse_args(argv)
     apply_backend(args)
+    taps = parse_echo_spec(args.echo) if args.echo else []
 
     cols = ["snr_db", "locked_frames", "raw_ber", "first_frame_ber",
             "vit_byte_err", "fib_crc_rate", "desync"]
     print(",".join(cols))
     for snr in [float(s) for s in args.snr.split(",")]:
-        r = run_point(args.transmission_mode, snr, args.cfo, args.nb_frames)
+        r = run_point(args.transmission_mode, snr, args.cfo, args.nb_frames,
+                      seed=args.seed, taps=taps, drift_ppm=args.drift_ppm)
         print(f"{r['snr_db']},{r['locked_frames']},{r['raw_ber']:.6f},"
               f"{r['first_frame_ber']:.4f},{r['vit_byte_err']:.6f},"
               f"{r['fib_crc_rate']:.3f},{r['desync']}")

@@ -151,6 +151,11 @@ class ChannelModel:
     sample_rate: float = float(SAMPLE_RATE_HZ)
     direct_gain_db: float = 0.0     # direct path; set -inf via direct=False
     direct: bool = True
+    # measure signal power for the SNR calibration over this [start, stop)
+    # slice instead of the whole block — harnesses that pad the signal with
+    # silence (acquisition lead, flush tail) would otherwise get a noise
+    # floor calibrated against the diluted average power.
+    snr_ref: tuple | None = None
 
     def apply(self, iq: np.ndarray) -> np.ndarray:
         rng = np.random.default_rng(self.seed)
@@ -191,7 +196,9 @@ class ChannelModel:
 
         # --- receiver noise ----------------------------------------------
         if self.snr_db is not None:
-            sig_pow = float(np.mean(np.abs(y) ** 2))
+            ref = y if self.snr_ref is None else \
+                y[self.snr_ref[0]:self.snr_ref[1]]
+            sig_pow = float(np.mean(np.abs(ref) ** 2))
             noise_std = np.sqrt(sig_pow / 10 ** (self.snr_db / 10) / 2)
             y = (y + rng.normal(0, noise_std, y.shape)
                  + 1j * rng.normal(0, noise_std, y.shape)

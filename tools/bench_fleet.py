@@ -62,6 +62,14 @@ def main(argv=None):
                          "u8-ingest (link-bound) modes in one process, "
                          "sharing the compiled program — prints two JSON "
                          "lines")
+    ap.add_argument("--overlap", action="store_true",
+                    help="(fused only) measure compute/H2D overlap: times "
+                         "a compute-only loop, an upload-only loop, and a "
+                         "loop fed by the double-buffered ingest feeder "
+                         "(host.feeder), and reports overlap efficiency — "
+                         "the architecture proof that ingest hides behind "
+                         "compute on real PCIe hosts (reference "
+                         "ThreadedRingBuffer, app_io_buffers.h:189-245)")
     ap.add_argument("--latency", action="store_true",
                     help="per-round latency percentiles in resident mode "
                          "(no deferred fetch): the artifact for the "
@@ -230,7 +238,8 @@ def run_fused(args, iq):
     rounds = iq.shape[0] // chunk
 
     tb = fleet.tail_bytes
-    use_resident = args.resident or args.both or args.latency
+    use_resident = (args.resident or args.both or args.latency
+                    or args.overlap)
     if use_resident:
         # stage the whole capture on device ONCE (~0.4 MB/frame u8,
         # un-replicated: all N streams decode the same broadcast), then
@@ -348,6 +357,91 @@ def run_fused(args, iq):
         }
         print(json.dumps(result), flush=True)
         assert fleet.total_aus > 0, "latency mode: no access units"
+
+    def run_overlap():
+        """Three loops over the same rounds — compute-only (device-
+        resident input), H2D-only (upload + dependent fetch, no compute),
+        and feeder-overlapped (the double-buffered staging thread uploads
+        round r+1 while round r computes). All three fetch the packed
+        outputs per round like a real serving loop; the byte layer is
+        excluded from all three. overlap_efficiency = how much of the
+        smaller of (compute, H2D) is hidden behind the larger."""
+        from dab_radio_tpu.host.feeder import DoubleBufferedFeeder
+        R = rounds - 1
+        if R < 2:
+            print(f"# overlap mode needs >= 3 rounds in the capture "
+                  f"(have {rounds}) — raise --frames", file=sys.stderr)
+            return 1
+
+        def host_round(r):
+            blk = np.ascontiguousarray(
+                np.tile(iq[r * chunk:(r + 1) * chunk][None], (N, 1)))
+            t = iq[(r + 1) * chunk:(r + 1) * chunk + tb]
+            tail = np.ascontiguousarray(np.tile(t[None], (N, 1))) \
+                if t.shape[0] == tb else None
+            return blk, tail
+
+        def timed_compute(get):
+            t0 = _time.time()
+            for item in get:
+                blk, tail = item
+                fleet._carry, fleet._hist, out = fleet.step(
+                    fleet._carry, fleet._hist, blk, tail)
+                packed = fleet._pack(out)
+                _ = (np.asarray(packed[0]), np.asarray(packed[1]))
+            return _time.time() - t0
+
+        # 1) compute-only (device-resident slices)
+        fleet.reset()
+        t_c = timed_compute(get_blk(r, True) for r in range(1, R + 1))
+
+        # 2) H2D-only: upload each round and force completion with a
+        #    dependent 1-element fetch (block_until_ready does not
+        #    synchronize on the axon relay)
+        t0 = _time.time()
+        for r in range(1, R + 1):
+            blk, tail = host_round(r)
+            d = jax.device_put(blk)
+            if tail is not None:
+                dt_ = jax.device_put(tail)
+                _ = np.asarray(dt_[:1, :1])
+            _ = np.asarray(d[:1, :1])
+        t_h2d = _time.time() - t0
+
+        # 3) overlapped: feeder stages H2D on its own thread, depth 2
+        fleet.reset()
+        rs = iter(range(1, R + 1))
+
+        def src():
+            r = next(rs, None)
+            return None if r is None else host_round(r)
+
+        with DoubleBufferedFeeder(src, depth=2) as feeder:
+            t_fed = timed_compute(iter(feeder))
+
+        hidden = t_c + t_h2d - t_fed
+        eff = max(0.0, min(1.0, hidden / max(min(t_c, t_h2d), 1e-9)))
+        result = {
+            "metric": "ingest_overlap",
+            "streams": N, "frames_per_round": fleet.frames_per_round,
+            "rounds": R,
+            "h2d_bytes_per_round": int(N * (chunk + tb)),
+            "t_compute_s": round(t_c, 3),
+            "t_h2d_s": round(t_h2d, 3),
+            "t_overlapped_s": round(t_fed, 3),
+            "overlap_efficiency": round(eff, 3),
+            "device_busy_fraction": round(min(1.0, t_c / t_fed), 3),
+            "bound": "compute" if t_c >= t_h2d else "ingest",
+            "feeder_producer_wait_s": round(
+                feeder.stats.producer_wait_s, 3),
+            "feeder_consumer_wait_s": round(
+                feeder.stats.consumer_wait_s, 3),
+        }
+        print(json.dumps(result), flush=True)
+        return 0
+
+    if args.overlap:
+        return run_overlap() or 0
 
     if args.latency:
         rc = run_latency()
