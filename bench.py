@@ -288,8 +288,34 @@ def main():
     here = os.path.dirname(me)
     line = {"metric": "mode1_ofdm_demod_throughput", "value": 0.0,
             "unit": "Msamples/s/chip", "vs_baseline": 0.0}
+    # raw replication record: every fetch-verified measurement that landed,
+    # per metric (workers emit one line per rep, so a single healthy worker
+    # already contributes >=2) — lets a reader distinguish a replicated
+    # number from a one-shot fluke and see intra-window variance at a glance
+    records = {"demod_msps": [], "viterbi_mbps": [], "fleet_resident_rt": [],
+               "fleet_ingest_rt": []}
+
+    def window_health():
+        """Classify this relay window from what landed vs the track-record
+        floors: healthy (all three headline metrics landed above floors),
+        semi-degraded (something landed below a floor: link-dominated
+        timing), partial (missing metrics but what landed looks healthy),
+        degraded (nothing landed)."""
+        vals = [(line["value"], DEMOD_FLOOR),
+                (line.get("viterbi_mbps", 0.0), VITERBI_FLOOR),
+                (line.get("fleet_resident_rt", 0.0), FLEET_FLOOR)]
+        landed_ = [v for v, _ in vals if v > 0.0]
+        if not landed_:
+            return "degraded"
+        if any(0.0 < v < fl for v, fl in vals):
+            return "semi-degraded"
+        if len(landed_) < len(vals):
+            return "partial"
+        return "healthy"
 
     def emit():
+        line["records"] = {k: v[-8:] for k, v in records.items() if v}
+        line["window_health"] = window_health()
         print(json.dumps(line), flush=True)
 
     # a record line exists from second zero: a driver window shorter than
@@ -305,6 +331,9 @@ def main():
         res = _run_sub([me, "--worker", str(batch), str(iters), str(chunk)],
                        timeout=min(cap, max(_remaining(), 60)))
         demod_results.extend(res)
+        records["demod_msps"].extend(
+            round(r["msps"], 2) for r in res
+            if r.get("sync") == "fetch_verified")
         verified = [r for r in demod_results if r["sync"] == "fetch_verified"]
         pool = verified if verified else demod_results
         if pool:
@@ -323,6 +352,7 @@ def main():
             for res in _run_sub([me, "--viterbi-worker", str(vb), str(vi),
                                  mode, str(reps)],
                                 timeout=min(420, max(_remaining(), 90))):
+                records["viterbi_mbps"].append(round(res["viterbi_mbps"], 2))
                 if res["viterbi_mbps"] > line.get("viterbi_mbps", 0.0):
                     line["viterbi_mbps"] = res["viterbi_mbps"]
                     line["viterbi_mode"] = res["mode"]
@@ -357,6 +387,9 @@ def main():
             rt = res.get("realtime_ensembles", 0.0)
             key = ("fleet_resident_rt" if res.get("mode") == "fused-resident"
                    else "fleet_rt_ensembles")
+            if res.get("access_units", 0) > 0:
+                records["fleet_resident_rt" if key == "fleet_resident_rt"
+                        else "fleet_ingest_rt"].append(round(rt, 2))
             if res.get("access_units", 0) > 0 and rt > line.get(key, 0.0):
                 line[key] = rt
                 line["fleet_streams"] = res["streams"]

@@ -121,3 +121,25 @@ def _restore_env():
             os.environ.pop(k, None)
         else:
             os.environ[k] = v
+
+
+def test_bench_records_and_window_health():
+    """Round-4 provenance fields: the final record carries per-metric raw
+    measurement lists (replication evidence) and a window_health
+    classification a reader can trust at a glance."""
+    m = _load_bench(budget_s=900, overtime_s=1800)
+    _stub(m, demod_seq=[1500.0, 1480.0], vit_seq=[175.5], fleet_seq=[70.0])
+    last = _run_main(m)[-1]
+    assert last["window_health"] == "healthy"
+    recs = last["records"]
+    assert recs["demod_msps"] and recs["viterbi_mbps"]
+    assert recs["fleet_resident_rt"] == [70.0]
+    assert recs["fleet_ingest_rt"] == [6.5]
+    assert last["value"] in recs["demod_msps"]
+
+    # semi-degraded: values landed but below floors -> classified as such
+    m2 = _load_bench(budget_s=60, overtime_s=250)
+    _stub(m2, demod_seq=[120.0], vit_seq=[21.0], fleet_seq=[6.9])
+    last2 = _run_main(m2)[-1]
+    assert last2["window_health"] == "semi-degraded"
+    assert 120.0 in last2["records"]["demod_msps"]
