@@ -492,7 +492,7 @@ def main(argv=None):
                     help="MSC Viterbi: exact full-trellis or overlap-save "
                          "tiled (lower round latency; docs/PERF.md)")
     ap.add_argument("--chainback", default="sequential",
-                    choices=["sequential", "parallel"],
+                    choices=["sequential", "parallel", "fused"],
                     help="Viterbi traceback: sequential walk or log-depth "
                          "map composition (lower round latency)")
     ap.add_argument("--consume-workers", type=int, default=0,

@@ -222,7 +222,11 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
     (ops/viterbi.py:_chainback_parallel_sm) — bit-identical, O(log T)
     sequential depth instead of O(T); composes with viterbi="tiled" for
     the lowest-latency round (forward depth chunk/2+overlap, traceback
-    depth ~log2).
+    depth ~log2). chainback="fused" removes the traceback entirely
+    (register exchange: packed decoded-bit words ride the forward ACS
+    scan, ops/viterbi.py _radix4_forward_re) — bit-identical survivor
+    selection, sequential depth = the ACS scan alone, at O(T/32) extra
+    uint32 state per trellis state.
 
     fuse_fic=True folds the FIC groups into the MSC Viterbi batch as
     extra lanes: each FIC trellis (774 steps) is padded to the common MSC
@@ -250,7 +254,7 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
             "transmission mode III FIC (32-CU FIB groups) is unsupported "
             "— the reference rejects it identically (fic_decoder.cpp:66-73)")
     assert viterbi in ("exact", "tiled"), viterbi
-    assert chainback in ("sequential", "parallel"), chainback
+    assert chainback in ("sequential", "parallel", "fused"), chainback
     demod = OFDMDemodulator(transmission_mode)
     dab = get_dab_params(transmission_mode)
     n_ens = mesh.shape["ens"]

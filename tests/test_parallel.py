@@ -470,6 +470,31 @@ def test_multichip_chainback_parallel_bit_exact():
             np.testing.assert_array_equal(par[k], seq[k], err_msg=f"{viterbi}:{k}")
 
 
+def test_multichip_chainback_fused_bit_exact():
+    """chainback="fused" (traceback-free register exchange: packed decoded
+    bits ride the forward ACS scan) must match the sequential walk through
+    the whole sharded program — FIC and MSC, exact and tiled viterbi
+    modes. Survivor selection is the identical packed-min ACS, so the bits
+    match exactly, ties included (ops proof: test_viterbi.py)."""
+    mesh = make_receiver_mesh(8)
+
+    for viterbi in ("exact", "tiled"):
+        outs = {}
+        for cb in ("sequential", "fused"):
+            step, (carry, hist, iq) = multichip_receiver_step(
+                mesh, transmission_mode=2, viterbi=viterbi, chainback=cb)
+            iq = jax.device_put(
+                jnp.asarray(np.random.default_rng(5).normal(
+                    0, 0.3, np.asarray(iq).shape).astype(np.float32)),
+                iq.sharding)
+            _, _, out = step(carry, hist, iq)
+            outs[cb] = {k: np.asarray(v) for k, v in out.items()}
+        for k in ("fib_bits", "msc_bits", "fic_err"):
+            np.testing.assert_array_equal(outs["fused"][k],
+                                          outs["sequential"][k],
+                                          err_msg=f"{viterbi}:{k}")
+
+
 def test_fuse_fic_bit_exact_vs_separate_decode():
     """fuse_fic=True (FIC lanes padded into the ONE MSC Viterbi scan —
     the scan-depth lever, parallel/mesh.py docstring) must reproduce the

@@ -36,9 +36,13 @@ def main(argv=None):
                     help="rounds of deferred host fetch (hides device latency)")
     ap.add_argument("--viterbi", default="exact", choices=["exact", "tiled"])
     ap.add_argument("--chainback", default="sequential",
-                    choices=["sequential", "parallel"],
-                    help="Viterbi traceback: sequential scan or "
-                         "log-depth map composition (latency lever)")
+                    choices=["sequential", "parallel", "fused"],
+                    help="Viterbi traceback: sequential scan, log-depth "
+                         "map composition, or traceback-free register "
+                         "exchange (latency levers)")
+    ap.add_argument("--no-fuse-fic", action="store_true",
+                    help="(fused only) decode FIC as a separate Viterbi "
+                         "pass instead of riding the MSC scan (A/B lever)")
     ap.add_argument("--frames-per-step", type=int, default=1,
                     help="fuse K demod tracking steps per device dispatch")
     ap.add_argument("--fused", action="store_true",
@@ -231,7 +235,8 @@ def run_fused(args, iq):
                              eep_prot_level=2) for s in range(S)]
     fleet = FusedFleet(N, cfgs, transmission_mode=1, frames_per_step=K,
                        block_tracking=args.block_tracking,
-                       viterbi=args.viterbi, chainback=args.chainback)
+                       viterbi=args.viterbi, chainback=args.chainback,
+                       fuse_fic=not args.no_fuse_fic)
 
     fs = get_ofdm_params(1).nb_frame_samples
     chunk = 2 * K * fs

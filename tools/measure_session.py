@@ -84,18 +84,43 @@ def main(argv=None):
     run_stage("viterbi", [py, os.path.join(ROOT, "bench.py"),
                           "--viterbi-worker", "16384", "8", "exact", "3"],
               600, args.log)
-    # 4. serving latency ladder: the sequential-depth lever matrix
-    for vit, cb in (("exact", "sequential"), ("exact", "parallel"),
-                    ("tiled", "sequential"), ("tiled", "parallel")):
+    # 4. serving latency ladder: the sequential-depth lever matrix.
+    #    exact/tiled x sequential/parallel was measured twice in healthy
+    #    windows (2026-08-19, MEASUREMENTS.jsonl): parallel chainback is
+    #    15-50x SLOWER on this chip at B=16 streams (the O(T log T)
+    #    gather volume dominates), so the matrix now prioritises the
+    #    register-exchange 'fused' chainback instead and keeps one
+    #    parallel point for provenance.
+    for vit, cb in (("exact", "sequential"), ("exact", "fused"),
+                    ("tiled", "sequential"), ("tiled", "fused"),
+                    ("exact", "parallel")):
         run_stage(f"latency-{vit}-{cb}",
                   [py, os.path.join(HERE, "bench_fleet.py"), "--fused",
                    "--latency", "--streams", "16", "--frames", "84",
                    "--frames-per-step", "16", "--viterbi", vit,
                    "--chainback", cb], 700, args.log)
     # 5. resident fleet (chip-bound throughput with today's round changes)
+    #    + the round-4 A/B levers: block-tracking demod, separate-FIC
     run_stage("fleet-resident",
               [py, os.path.join(HERE, "bench_fleet.py"), "--fused",
                "--resident", "--streams", "16", "--frames", "160",
+               "--frames-per-step", "16"], 900, args.log)
+    run_stage("fleet-resident-blocktracking",
+              [py, os.path.join(HERE, "bench_fleet.py"), "--fused",
+               "--resident", "--streams", "16", "--frames", "160",
+               "--frames-per-step", "16", "--block-tracking"], 900, args.log)
+    run_stage("fleet-resident-nofusefic",
+              [py, os.path.join(HERE, "bench_fleet.py"), "--fused",
+               "--resident", "--streams", "16", "--frames", "160",
+               "--frames-per-step", "16", "--no-fuse-fic"], 900, args.log)
+    # 6. the batch-256 demod rung (timed out in the r03 driver run)
+    run_stage("demod-256",
+              [py, os.path.join(ROOT, "bench.py"), "--worker", "256", "15",
+               "19"], 700, args.log)
+    # 7. compute/H2D overlap on the real link (feeder architecture proof)
+    run_stage("ingest-overlap",
+              [py, os.path.join(HERE, "bench_fleet.py"), "--fused",
+               "--overlap", "--streams", "16", "--frames", "160",
                "--frames-per-step", "16"], 900, args.log)
     print(f"# measurement session complete -> {args.log}", file=sys.stderr)
     return 0
