@@ -43,6 +43,10 @@ class _State:
         self.rx = None
         self.reader = None
         self.done = False
+        self.device = None           # tuner (FileDevice / RTLSDRDevice)
+        self.channel = None          # current DAB block label
+        self.freq_hz = None
+        self.retune = None           # callable(label) set by main()
 
 
 def _state_json(st: _State) -> bytes:
@@ -121,6 +125,66 @@ def _slideshow_img(st: _State, sub_id: int):
             "image/jpeg" if s.image_type == "jpeg" else "image/png"
 
 
+def _decimate(a: np.ndarray, n: int = 512) -> list:
+    """Min/max-preserving downsample for line plots (peaks must survive:
+    the impulse response's fine-time peak is 1-2 samples wide)."""
+    a = np.asarray(a, np.float64).reshape(-1)
+    if a.shape[0] <= n:
+        return [round(float(v), 2) for v in a]
+    m = a.shape[0] // (n // 2)
+    k = (a.shape[0] // m) * m
+    blocks = a[:k].reshape(-1, m)
+    out = np.empty(blocks.shape[0] * 2)
+    out[0::2] = blocks.min(axis=1)
+    out[1::2] = blocks.max(axis=1)
+    return [round(float(v), 2) for v in out]
+
+
+def _plot_json(st: _State) -> bytes:
+    """Numeric plot payload for the browser-side canvas renderer — the
+    reference GUI's live OFDM windows (render_ofdm_demod.cpp:39-336:
+    constellation, fine-time impulse response, coarse-frequency PRS
+    correlation, data-symbol spectrum) as JSON arrays instead of an
+    ImGui draw list. ~40 KB/poll vs the 200+ KB matplotlib PNG."""
+    from .monitor import collect_diagnostics
+    with st.lock:
+        sd, demod = st.sd, st.demod
+        if sd is None or sd.last_window is None:
+            return b""
+        window = np.asarray(sd.last_window).copy()
+        carry = sd.carry
+        frames = st.nb_frames
+    diag = collect_diagnostics(demod, window, carry)
+    con = np.asarray(diag["constellation"])
+    if con.shape[0] > 1024:
+        con = con[:: con.shape[0] // 1024 + 1]
+    scale = float(np.abs(con).mean()) or 1.0
+    out = {
+        "frames": frames,
+        "impulse_db": _decimate(diag["impulse_db"]),
+        "freq_response_db": _decimate(diag["freq_response_db"]),
+        "spectrum_db": _decimate(diag["spectrum_db"]),
+        "constellation": [[round(float(c.real / scale), 3),
+                           round(float(c.imag / scale), 3)] for c in con],
+    }
+    mer = diag.get("mer_db")
+    if mer is not None and mer == mer:
+        out["mer_db"] = round(float(mer), 1)
+    return json.dumps(out).encode()
+
+
+def _device_json(st: _State) -> bytes:
+    from ..host.device import BLOCK_FREQUENCIES
+    with st.lock:
+        dev = getattr(st, "device", None)
+        out = {"channels": sorted(BLOCK_FREQUENCIES),
+               "channel": getattr(st, "channel", None),
+               "freq_hz": getattr(st, "freq_hz", None),
+               "device": type(dev).__name__ if dev else None,
+               "running": bool(dev and dev._running)}
+    return json.dumps(out).encode()
+
+
 def _dashboard_png(st: _State) -> bytes:
     from .monitor import collect_diagnostics, render_dashboard
     with st.lock:
@@ -143,8 +207,15 @@ def _dashboard_png(st: _State) -> bytes:
 _PAGE = b"""<!doctype html><title>DAB-Radio TPU</title>
 <body style="background:#111;color:#ddd;font-family:monospace">
 <h3>DAB-Radio TPU &mdash; live monitor</h3>
-<div id="ss"></div><div id="ctl"></div>
-<pre id="s"></pre><img id="d" src="/dashboard.png" width="900">
+<div id="tuner"></div><div id="ss"></div><div id="ctl"></div>
+<div>
+<canvas id="p_imp" width="440" height="140"></canvas>
+<canvas id="p_coarse" width="440" height="140"></canvas>
+<canvas id="p_spec" width="440" height="140"></canvas>
+<canvas id="p_con" width="280" height="140"></canvas>
+</div>
+<pre id="s"></pre>
+<a href="/dashboard.png">full matplotlib dashboard</a>
 <script>
 async function tick(){
  try{
@@ -190,11 +261,85 @@ async function tick(){
     ctlbox.append(row);
    }
   }
-  document.getElementById('d').src = '/dashboard.png?' + Date.now();
  }catch(e){}
  setTimeout(tick, 2000);
 }
-tick();
+// live plots: the reference GUI's OFDM windows rendered client-side from
+// /plot.json (canvas line/scatter; ~1 Hz; no server-side matplotlib)
+function line(id, data, label){
+ const cv = document.getElementById(id), ctx = cv.getContext('2d');
+ ctx.fillStyle = '#181818'; ctx.fillRect(0, 0, cv.width, cv.height);
+ if (!data || !data.length) return;
+ let lo = Math.min(...data), hi = Math.max(...data);
+ if (hi - lo < 1e-6) hi = lo + 1;
+ ctx.strokeStyle = '#6cf'; ctx.beginPath();
+ for (let i = 0; i < data.length; i++) {
+  const x = i / (data.length - 1) * (cv.width - 2) + 1;
+  const y = cv.height - 2 - (data[i] - lo) / (hi - lo) * (cv.height - 4);
+  i ? ctx.lineTo(x, y) : ctx.moveTo(x, y);
+ }
+ ctx.stroke();
+ ctx.fillStyle = '#999'; ctx.font = '10px monospace';
+ ctx.fillText(label + '  [' + lo.toFixed(1) + ', ' + hi.toFixed(1) + ']',
+              4, 12);
+}
+function scatter(id, pts, label){
+ const cv = document.getElementById(id), ctx = cv.getContext('2d');
+ ctx.fillStyle = '#181818'; ctx.fillRect(0, 0, cv.width, cv.height);
+ ctx.fillStyle = '#fc6';
+ for (const [re, im] of (pts || [])) {
+  const x = cv.width / 2 + re * cv.width / 5;
+  const y = cv.height / 2 - im * cv.height / 5;
+  if (x >= 0 && x < cv.width && y >= 0 && y < cv.height)
+   ctx.fillRect(x, y, 2, 2);
+ }
+ ctx.fillStyle = '#999'; ctx.font = '10px monospace';
+ ctx.fillText(label, 4, 12);
+}
+async function plots(){
+ try{
+  const r = await fetch('/plot.json');
+  if (r.ok) {
+   const j = await r.json();
+   line('p_imp', j.impulse_db, 'fine-time impulse (dB)');
+   line('p_coarse', j.freq_response_db, 'coarse-freq PRS corr (dB)');
+   line('p_spec', j.spectrum_db, 'data symbol spectrum (dB)');
+   scatter('p_con', j.constellation,
+           'DQPSK constellation' + (j.mer_db ? '  MER ' + j.mer_db + ' dB'
+                                             : ''));
+  }
+ }catch(e){}
+ setTimeout(plots, 1000);
+}
+async function tuner(){
+ try{
+  const r = await fetch('/device.json');
+  if (!r.ok) return;
+  const j = await r.json();
+  if (!j.device) return;
+  const box = document.getElementById('tuner');
+  if (!box.dataset.built) {
+   box.dataset.built = '1';
+   const sel = document.createElement('select'); sel.id = 'chan';
+   for (const c of j.channels) {
+    const o = document.createElement('option');
+    o.value = c; o.textContent = c; sel.append(o);
+   }
+   const btn = document.createElement('button');
+   btn.textContent = 'Tune';
+   btn.onclick = () => fetch('/tune', {method: 'POST',
+     body: JSON.stringify({channel: sel.value})}).then(tuner);
+   const tag = document.createElement('span'); tag.id = 'tuned';
+   box.append(sel, btn, tag);
+  }
+  if (j.channel) document.getElementById('chan').value = j.channel;
+  document.getElementById('tuned').textContent =
+    '  ' + (j.device || '') + (j.channel ? ' @ ' + j.channel : '') +
+    (j.freq_hz ? ' (' + (j.freq_hz / 1e6).toFixed(3) + ' MHz)' : '');
+ }catch(e){}
+ setTimeout(tuner, 3000);
+}
+tick(); plots(); tuner();
 </script>"""
 
 
@@ -208,6 +353,14 @@ def _make_handler(st: _State):
                 body, ctype = _PAGE, "text/html"
             elif path == "/state.json":
                 body, ctype = _state_json(st), "application/json"
+            elif path == "/plot.json":
+                body, ctype = _plot_json(st), "application/json"
+                if not body:
+                    self.send_response(503)
+                    self.end_headers()
+                    return
+            elif path == "/device.json":
+                body, ctype = _device_json(st), "application/json"
             elif path == "/dashboard.png":
                 body, ctype = _dashboard_png(st), "image/png"
                 if not body:
@@ -240,7 +393,8 @@ def _make_handler(st: _State):
             # body: {"subchannel": N, "flag": "decode_audio"|"decode_data"
             #        |"play_audio", "value": bool} or
             #       {"subchannel": N, "action": "run_all"|"stop_all"}
-            if self.path.split("?")[0] != "/control":
+            post_path = self.path.split("?")[0]
+            if post_path not in ("/control", "/tune"):
                 self.send_response(404)
                 self.end_headers()
                 return
@@ -251,6 +405,34 @@ def _make_handler(st: _State):
             if origin and origin != f"http://{self.headers.get('Host')}":
                 self.send_response(403)
                 self.end_headers()
+                return
+            if post_path == "/tune":
+                # tuner retune round-trip (reference device_gui channel
+                # list, examples/gui/device/render_devices.cpp): switch
+                # the DAB block, reset demod+receiver decode state, and
+                # restart the device stream on the new frequency
+                from ..host.device import BLOCK_FREQUENCIES
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n))
+                    label = str(req["channel"])
+                    freq = BLOCK_FREQUENCIES[label]
+                except (ValueError, KeyError, TypeError,
+                        json.JSONDecodeError):
+                    self.send_response(400)
+                    self.end_headers()
+                    return
+                if st.retune is None:
+                    self.send_response(404)   # no tuner attached (-i pump)
+                    self.end_headers()
+                    return
+                st.retune(label, freq)
+                body = _device_json(st)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
@@ -302,6 +484,13 @@ def main(argv=None):
     ap.add_argument("--loop", action="store_true",
                     help="loop a file input forever")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--device", choices=["file", "rtlsdr"],
+                    help="attach a tuner device instead of the raw -i "
+                         "pump: enables the /tune retune endpoint and the "
+                         "browser tuner panel ('file' replays -i through "
+                         "the device layer; 'rtlsdr' tunes real hardware)")
+    ap.add_argument("-c", "--channel", default="9C",
+                    help="initial DAB block for --device")
     add_backend_flag(ap)
     args = ap.parse_args(argv)
     apply_backend(args)
@@ -337,8 +526,49 @@ def main(argv=None):
         with st.lock:
             st.done = True
 
-    t = threading.Thread(target=pump, daemon=True)
-    t.start()
+    if args.device:
+        # tuner-backed mode: IQ flows from the device layer's reader
+        # thread; /tune switches blocks with a full decode-state reset
+        # (a retune is a new signal — stale sync/deinterleaver/database
+        # state would fight it; reference radio.cpp rebuilds its radio
+        # per channel switch)
+        from ..host.device import (BLOCK_FREQUENCIES, FileDevice,
+                                   RTLSDRDevice)
+        if args.device == "rtlsdr":
+            dev = RTLSDRDevice()
+        else:
+            if args.input == "-":
+                ap.error("--device file requires -i capture")
+            dev = FileDevice(args.input, args.format, realtime=False,
+                             loop=args.loop)
+        st.device = dev
+        st.channel = args.channel
+        st.freq_hz = BLOCK_FREQUENCIES[args.channel]
+
+        def on_iq(iq):
+            for bits in st.sd.process(iq):
+                with st.lock:
+                    st.rx.process_frame(bits)
+                    st.nb_frames += 1
+
+        def retune(label, freq):
+            dev.stop()
+            with st.lock:
+                st.sd = StreamingDemodulator(st.demod)
+                st.rx = DabReceiver(args.transmission_mode,
+                                    benchmark_all=True)
+                st.nb_frames = 0
+                st.channel, st.freq_hz = label, freq
+            dev.set_center_frequency(label, freq)
+            dev.start()          # FileDevice: replay from the top
+
+        st.retune = retune
+        dev.on_data.append(on_iq)
+        dev.set_center_frequency(args.channel, st.freq_hz)
+        dev.start()
+    else:
+        t = threading.Thread(target=pump, daemon=True)
+        t.start()
 
     from http.server import ThreadingHTTPServer
     srv = ThreadingHTTPServer(("127.0.0.1", args.port), _make_handler(st))

@@ -709,3 +709,113 @@ def test_fleet_serve_s16_input(tmp_path):
               stdin=b"", timeout=200)
     assert r3.returncode == 2
     assert b"u8 only" in r3.stderr
+
+
+@pytest.mark.slow
+def test_webmon_live_plots_and_tuner_retune(tmp_path):
+    """Round-4 GUI parity: /plot.json streams the reference GUI's OFDM
+    windows (constellation/impulse/coarse-corr/spectrum,
+    render_ofdm_demod.cpp:39-336) as numeric arrays for the browser-side
+    canvas renderer, and the tuner panel's POST /tune round-trips a
+    channel retune through the device layer with a full decode reset."""
+    import json as json_mod
+    import time as time_mod
+    import urllib.request
+    import urllib.error
+    iq_path = tmp_path / "iq.bin"
+    r = _run(["dab_radio_tpu.apps.simulate_transmitter", "--payload",
+              "ensemble", "-n", "16", "-F", "u8"], timeout=400)
+    iq_path.write_bytes(r.stdout)
+    port = 8793
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "dab_radio_tpu.apps.webmon",
+         "-i", str(iq_path), "-F", "u8", "--port", str(port),
+         "--device", "file", "--loop", "-c", "9C"],
+        env=ENV, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    base = f"http://127.0.0.1:{port}"
+
+    def get(path, timeout=10):
+        with urllib.request.urlopen(base + path, timeout=timeout) as resp:
+            return json_mod.loads(resp.read())
+
+    try:
+        state = None
+        for _ in range(120):
+            time_mod.sleep(1)
+            try:
+                state = get("/state.json")
+                if state.get("ensemble", {}).get("id") == "C0FE" \
+                        and state.get("frames", 0) >= 6:
+                    break
+            except Exception:
+                continue
+        assert state and state["ensemble"]["id"] == "C0FE", \
+            proc.stderr.read().decode()[-400:] if proc.poll() is not None \
+            else state
+
+        # live plot payload: all four panels present and sane
+        plot = get("/plot.json", timeout=60)
+        assert len(plot["impulse_db"]) >= 128
+        assert len(plot["freq_response_db"]) >= 128
+        assert len(plot["spectrum_db"]) >= 128
+        con = plot["constellation"]
+        assert len(con) >= 256 and len(con[0]) == 2
+        # DQPSK on a locked frame: points cluster on the axes-rotated
+        # quadrants, away from the origin
+        import numpy as np
+        pts = np.asarray(con, dtype=np.float64)
+        assert np.isfinite(pts).all()
+        assert float(np.hypot(pts[:, 0], pts[:, 1]).mean()) > 0.3
+
+        # the embedded page carries the canvas renderer
+        with urllib.request.urlopen(base + "/", timeout=5) as resp:
+            page = resp.read()
+        assert b"p_con" in page and b"plot.json" in page
+
+        dev = get("/device.json")
+        assert dev["device"] == "FileDevice" and dev["channel"] == "9C"
+        assert dev["freq_hz"] == 206352000
+
+        # foreign-Origin POST must be refused (CSRF gate)
+        req = urllib.request.Request(
+            base + "/tune", data=b'{"channel": "12B"}', method="POST",
+            headers={"Origin": "http://evil.example"})
+        try:
+            urllib.request.urlopen(req, timeout=5)
+            assert False, "foreign-origin /tune must 403"
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+
+        # unknown channel -> 400
+        req = urllib.request.Request(base + "/tune",
+                                     data=b'{"channel": "99Z"}',
+                                     method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=5)
+            assert False, "unknown channel must 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # the real retune: device reports the new block+frequency and the
+        # decode restarts from scratch (frames reset, ensemble re-found)
+        req = urllib.request.Request(base + "/tune",
+                                     data=b'{"channel": "12B"}',
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            tuned = json_mod.loads(resp.read())
+        assert tuned["channel"] == "12B"
+        assert tuned["freq_hz"] == 225648000
+        refound = None
+        for _ in range(90):
+            time_mod.sleep(1)
+            try:
+                refound = get("/state.json")
+                if refound.get("ensemble", {}).get("id") == "C0FE" \
+                        and refound.get("frames", 0) >= 4:
+                    break
+            except Exception:
+                continue
+        assert refound and refound["ensemble"]["id"] == "C0FE", refound
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
