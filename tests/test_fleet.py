@@ -699,7 +699,8 @@ def test_serving_soak_constant_memory():
 @pytest.mark.parametrize("levers", [
     dict(),
     dict(viterbi="tiled", chainback="parallel", consume_workers=2),
-], ids=["default", "all-levers"])
+    dict(viterbi="tiled", chainback="fused", block_tracking=True),
+], ids=["default", "all-levers", "min-depth"])
 def test_fused_fleet_mode_2_serving(levers):
     """The fused serving path across a different transmission mode: a
     mode-II ensemble (24 ms frames, 1 CIF/frame, 384-pt FFT geometry)

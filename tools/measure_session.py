@@ -113,6 +113,23 @@ def main(argv=None):
               [py, os.path.join(HERE, "bench_fleet.py"), "--fused",
                "--resident", "--streams", "16", "--frames", "160",
                "--frames-per-step", "16", "--no-fuse-fic"], 900, args.log)
+    # 5b. the minimum-sequential-depth stack (block-tracked demod +
+    #     tiled Viterbi + register-exchange chainback): if the fused
+    #     round is iteration-bound as the roofline analysis says
+    #     (docs/PERF.md: ~40x under the compute/HBM roofline at ~2900
+    #     scan iterations), this config's ~15x depth cut is the
+    #     experiment that shows the new ceiling. AU-stream parity with
+    #     the host path is pinned by test_fused_fleet_mode_2_serving.
+    run_stage("fleet-resident-mindepth",
+              [py, os.path.join(HERE, "bench_fleet.py"), "--fused",
+               "--resident", "--streams", "16", "--frames", "160",
+               "--frames-per-step", "16", "--block-tracking",
+               "--viterbi", "tiled", "--chainback", "fused"], 900, args.log)
+    run_stage("latency-mindepth",
+              [py, os.path.join(HERE, "bench_fleet.py"), "--fused",
+               "--latency", "--streams", "16", "--frames", "84",
+               "--frames-per-step", "16", "--block-tracking",
+               "--viterbi", "tiled", "--chainback", "fused"], 700, args.log)
     # 6. the batch-256 demod rung (timed out in the r03 driver run)
     run_stage("demod-256",
               [py, os.path.join(ROOT, "bench.py"), "--worker", "256", "15",
