@@ -189,3 +189,40 @@ def main(argv=None):
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def decimate_minmax(a: np.ndarray, n: int = 512) -> list:
+    """Min/max-preserving downsample for line plots (peaks must survive:
+    the impulse response's fine-time peak is 1-2 samples wide)."""
+    a = np.asarray(a, np.float64).reshape(-1)
+    if a.shape[0] <= n:
+        return [round(float(v), 2) for v in a]
+    m = a.shape[0] // (n // 2)
+    k = (a.shape[0] // m) * m
+    blocks = a[:k].reshape(-1, m)
+    out = np.empty(blocks.shape[0] * 2)
+    out[0::2] = blocks.min(axis=1)
+    out[1::2] = blocks.max(axis=1)
+    return [round(float(v), 2) for v in out]
+
+
+def plot_payload(diag: dict) -> dict:
+    """collect_diagnostics output -> the compact JSON the browser canvas
+    renderer draws (webmon and fleet_serve /plot.json share this): the
+    reference GUI's four live OFDM windows
+    (render_ofdm_demod.cpp:39-336) as decimated numeric arrays."""
+    con = np.asarray(diag["constellation"])
+    if con.shape[0] > 1024:
+        con = con[:: con.shape[0] // 1024 + 1]
+    scale = float(np.abs(con).mean()) or 1.0
+    out = {
+        "impulse_db": decimate_minmax(diag["impulse_db"]),
+        "freq_response_db": decimate_minmax(diag["freq_response_db"]),
+        "spectrum_db": decimate_minmax(diag["spectrum_db"]),
+        "constellation": [[round(float(c.real / scale), 3),
+                           round(float(c.imag / scale), 3)] for c in con],
+    }
+    mer = diag.get("mer_db")
+    if mer is not None and mer == mer:
+        out["mer_db"] = round(float(mer), 1)
+    return out

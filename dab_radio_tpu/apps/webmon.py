@@ -125,21 +125,6 @@ def _slideshow_img(st: _State, sub_id: int):
             "image/jpeg" if s.image_type == "jpeg" else "image/png"
 
 
-def _decimate(a: np.ndarray, n: int = 512) -> list:
-    """Min/max-preserving downsample for line plots (peaks must survive:
-    the impulse response's fine-time peak is 1-2 samples wide)."""
-    a = np.asarray(a, np.float64).reshape(-1)
-    if a.shape[0] <= n:
-        return [round(float(v), 2) for v in a]
-    m = a.shape[0] // (n // 2)
-    k = (a.shape[0] // m) * m
-    blocks = a[:k].reshape(-1, m)
-    out = np.empty(blocks.shape[0] * 2)
-    out[0::2] = blocks.min(axis=1)
-    out[1::2] = blocks.max(axis=1)
-    return [round(float(v), 2) for v in out]
-
-
 def _plot_json(st: _State) -> bytes:
     """Numeric plot payload for the browser-side canvas renderer — the
     reference GUI's live OFDM windows (render_ofdm_demod.cpp:39-336:
@@ -154,22 +139,10 @@ def _plot_json(st: _State) -> bytes:
         window = np.asarray(sd.last_window).copy()
         carry = sd.carry
         frames = st.nb_frames
+    from .monitor import plot_payload
     diag = collect_diagnostics(demod, window, carry)
-    con = np.asarray(diag["constellation"])
-    if con.shape[0] > 1024:
-        con = con[:: con.shape[0] // 1024 + 1]
-    scale = float(np.abs(con).mean()) or 1.0
-    out = {
-        "frames": frames,
-        "impulse_db": _decimate(diag["impulse_db"]),
-        "freq_response_db": _decimate(diag["freq_response_db"]),
-        "spectrum_db": _decimate(diag["spectrum_db"]),
-        "constellation": [[round(float(c.real / scale), 3),
-                           round(float(c.imag / scale), 3)] for c in con],
-    }
-    mer = diag.get("mer_db")
-    if mer is not None and mer == mer:
-        out["mer_db"] = round(float(mer), 1)
+    out = plot_payload(diag)
+    out["frames"] = frames
     return json.dumps(out).encode()
 
 

@@ -528,6 +528,7 @@ def test_fleet_serve_status_endpoint(tmp_path):
     import json as json_mod
     import socket
     import time
+    import urllib.error
     import urllib.request
     r = _run(["dab_radio_tpu.apps.simulate_transmitter", "--payload",
               "ensemble", "--services", "2", "-n", "24", "-F", "u8"],
@@ -543,7 +544,8 @@ def test_fleet_serve_status_endpoint(tmp_path):
         stdin=subprocess.PIPE, stdout=subprocess.PIPE,
         stderr=subprocess.PIPE, env=ENV, cwd=REPO)
     try:
-        proc.stdin.write(iq)        # stream in, keep the pipe OPEN
+        half = len(iq) // 2
+        proc.stdin.write(iq[:half])  # stream in, keep the pipe OPEN
         proc.stdin.flush()
         state = None
         for _ in range(240):        # poll until rounds land (compile lag)
@@ -565,7 +567,34 @@ def test_fleet_serve_status_endpoint(tmp_path):
         assert state["streams"][0]["fib_ok"] > 0       # signal health row
         with urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/", timeout=5) as resp:
-            assert b"fleet_serve live status" in resp.read()
+            assert b"p_con" in resp.read()   # canvas plot page
+
+        # live OFDM plots for a running fleet_serve: the first poll arms
+        # the lazy builder (503), the rounds decoding the second data
+        # half build it, and subsequent polls return the payload
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/plot.json?stream=1", timeout=5)
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+        proc.stdin.write(iq[half:])
+        proc.stdin.flush()
+        plot = None
+        for _ in range(120):
+            time.sleep(1)
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/plot.json?stream=1",
+                        timeout=5) as resp:
+                    plot = json_mod.loads(resp.read())
+                break
+            except OSError:
+                continue
+        assert plot is not None and "error" not in plot, plot
+        assert plot["stream"] == 1 and plot["rounds"] > 0
+        assert len(plot["impulse_db"]) >= 128
+        assert len(plot["spectrum_db"]) >= 128
+        assert len(plot["constellation"]) >= 256
     finally:
         proc.stdin.close()          # EOF ends the serving loop
         proc.stdin = None           # communicate() must not re-flush it
