@@ -197,7 +197,7 @@ def decimate_minmax(a: np.ndarray, n: int = 512) -> list:
     a = np.asarray(a, np.float64).reshape(-1)
     if a.shape[0] <= n:
         return [round(float(v), 2) for v in a]
-    m = a.shape[0] // (n // 2)
+    m = -(-a.shape[0] // (n // 2))   # ceil: output stays <= n points
     k = (a.shape[0] // m) * m
     blocks = a[:k].reshape(-1, m)
     out = np.empty(blocks.shape[0] * 2)

@@ -512,6 +512,12 @@ def main(argv=None):
         else:
             if args.input == "-":
                 ap.error("--device file requires -i capture")
+            if args.format == "wav":
+                # FileDevice replays raw sample formats only (the -i pump
+                # path strips WAV headers via IQReader); rejecting here
+                # beats a KeyError on the reader thread
+                ap.error("--device file does not support -F wav; "
+                         "use the plain -i pump for WAV captures")
             dev = FileDevice(args.input, args.format, realtime=False,
                              loop=args.loop)
         st.device = dev
@@ -519,21 +525,34 @@ def main(argv=None):
         st.freq_hz = BLOCK_FREQUENCIES[args.channel]
 
         def on_iq(iq):
+            if st.done:
+                return
             for bits in st.sd.process(iq):
                 with st.lock:
                     st.rx.process_frame(bits)
                     st.nb_frames += 1
+                if args.max_frames and st.nb_frames >= args.max_frames:
+                    with st.lock:
+                        st.done = True
+                    return
+
+        # serialize retunes: ThreadingHTTPServer handles each POST on its
+        # own thread, and an interleaved stop/start pair would leave two
+        # device reader threads feeding one demodulator
+        tune_lock = threading.Lock()
 
         def retune(label, freq):
-            dev.stop()
-            with st.lock:
-                st.sd = StreamingDemodulator(st.demod)
-                st.rx = DabReceiver(args.transmission_mode,
-                                    benchmark_all=True)
-                st.nb_frames = 0
-                st.channel, st.freq_hz = label, freq
-            dev.set_center_frequency(label, freq)
-            dev.start()          # FileDevice: replay from the top
+            with tune_lock:
+                dev.stop()
+                with st.lock:
+                    st.sd = StreamingDemodulator(st.demod)
+                    st.rx = DabReceiver(args.transmission_mode,
+                                        benchmark_all=True)
+                    st.nb_frames = 0
+                    st.done = False
+                    st.channel, st.freq_hz = label, freq
+                dev.set_center_frequency(label, freq)
+                dev.start()      # FileDevice: replay from the top
 
         st.retune = retune
         dev.on_data.append(on_iq)

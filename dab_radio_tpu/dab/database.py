@@ -37,6 +37,18 @@ def _bump() -> None:
     _DB_MUTATION_CLOCK[0] += 1
 
 
+def _getdefault(d, key, factory):
+    """dict.setdefault semantics without eagerly constructing the default:
+    building a _Tracked entity bumps the mutation clock in __init__, so an
+    eager default would count a pure lookup (e.g. every carousel
+    repetition of FIG 0/6/0/21/0/24) as a database change and permanently
+    defeat the FIB memo."""
+    e = d.get(key)
+    if e is None:
+        e = d[key] = factory()
+    return e
+
+
 _UNSET = object()
 
 
@@ -373,7 +385,8 @@ class DatabaseUpdater:
         elif isinstance(ev, F.StreamCA):
             pass                      # conditional access not decoded
         elif isinstance(ev, F.ServiceLinkage):
-            ls = self.db.link_services.setdefault(ev.lsn, LinkService(id=ev.lsn))
+            ls = _getdefault(self.db.link_services, ev.lsn,
+                     lambda: LinkService(id=ev.lsn))
             ls.is_active_link = ev.is_active_link
             ls.is_hard_link = ev.is_hard_link
             ls.is_international = ev.is_international
@@ -385,8 +398,8 @@ class DatabaseUpdater:
                 if pid not in ls.fm_services:
                     ls.fm_services.append(pid)
                     _bump()
-                fm = self.db.fm_services.setdefault(
-                    pid, FMService(pi_code=pid))
+                fm = _getdefault(self.db.fm_services, pid,
+                     lambda: FMService(pi_code=pid))
                 if fm.lsn is None:
                     fm.lsn = ev.lsn
                 fm.is_complete = bool(fm.frequencies)
@@ -394,8 +407,8 @@ class DatabaseUpdater:
                 if did not in ls.drm_services:
                     ls.drm_services.append(did)
                     _bump()
-                dr = self.db.drm_services.setdefault(
-                    did, DRMService(drm_id=did))
+                dr = _getdefault(self.db.drm_services, did,
+                     lambda: DRMService(drm_id=did))
                 if dr.lsn is None:
                     dr.lsn = ev.lsn
                 dr.is_complete = bool(dr.frequencies)
@@ -441,40 +454,40 @@ class DatabaseUpdater:
                 sv.language = ev.language_type
         elif isinstance(ev, F.FrequencyInfo):
             if ev.rm == 0:
-                oe = self.db.other_ensembles.setdefault(
-                    ev.id_value, OtherEnsemble(ensemble_id=ev.id_value))
+                oe = _getdefault(self.db.other_ensembles, ev.id_value,
+                     lambda: OtherEnsemble(ensemble_id=ev.id_value))
                 oe.frequency_hz = ev.frequency_hz
                 oe.is_continuous = ev.is_continuous
                 oe.is_geo_adjacent = ev.geo_adjacent
                 oe.is_mode_one = ev.mode_one
                 oe.is_complete = True
             elif ev.rm == 0b1000:
-                fm = self.db.fm_services.setdefault(
-                    ev.id_value, FMService(pi_code=ev.id_value))
+                fm = _getdefault(self.db.fm_services, ev.id_value,
+                     lambda: FMService(pi_code=ev.id_value))
                 fm.is_time_compensated = ev.is_continuous
                 if ev.frequency_hz not in fm.frequencies:
                     fm.frequencies.append(ev.frequency_hz)
                     _bump()
                 fm.is_complete = fm.lsn is not None
             elif ev.rm == 0b0110:
-                dr = self.db.drm_services.setdefault(
-                    ev.id_value, DRMService(drm_id=ev.id_value))
+                dr = _getdefault(self.db.drm_services, ev.id_value,
+                     lambda: DRMService(drm_id=ev.id_value))
                 dr.is_time_compensated = ev.is_continuous
                 if ev.frequency_hz not in dr.frequencies:
                     dr.frequencies.append(ev.frequency_hz)
                     _bump()
                 dr.is_complete = dr.lsn is not None
             elif ev.rm == 0b1110:
-                am = self.db.amss_services.setdefault(
-                    ev.id_value, AMSSService(amss_id=ev.id_value))
+                am = _getdefault(self.db.amss_services, ev.id_value,
+                     lambda: AMSSService(amss_id=ev.id_value))
                 am.is_time_compensated = ev.is_continuous
                 if ev.frequency_hz not in am.frequencies:
                     am.frequencies.append(ev.frequency_hz)
                     _bump()
                 am.is_complete = True
         elif isinstance(ev, F.OtherEnsembleService):
-            oe = self.db.other_ensembles.setdefault(
-                ev.ensemble_id, OtherEnsemble(ensemble_id=ev.ensemble_id))
+            oe = _getdefault(self.db.other_ensembles, ev.ensemble_id,
+                     lambda: OtherEnsemble(ensemble_id=ev.ensemble_id))
             if ev.service_id not in oe.service_ids:
                 oe.service_ids.append(ev.service_id)
                 _bump()

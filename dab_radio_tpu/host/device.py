@@ -90,6 +90,8 @@ class Device:
             cb(label, freq_hz)
 
     def start(self):
+        if self._thread is not None and self._thread.is_alive():
+            return               # double-start would fork a second reader
         self._running = True
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()

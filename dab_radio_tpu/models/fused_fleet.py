@@ -236,7 +236,10 @@ class FusedFleet:
                     subchannel_kinds=d["kinds"],
                     viterbi=d.get("viterbi", "exact"),
                     chainback=d.get("chainback", "sequential"),
-                    fuse_fic=d.get("fuse_fic", True),
+                    # legacy (round-3) snapshots predate fuse_fic: restore the
+                    # behavior they actually ran (separate FIC decode), not
+                    # the new default
+                    fuse_fic=d.get("fuse_fic", False),
                     consume_workers=consume_workers)
         # mesh-compat gate: the carry's leading dims are (B, n_time) — a
         # target mesh with a different 'time' axis cannot consume this
@@ -526,8 +529,9 @@ class FusedFleet:
                 sf = self._sfp[b][s].push_frame(
                     msc_bytes[b, s, c][:nb].tobytes())
                 if sf is not None:
+                    from ..dab.aac import RS_MESSAGE
                     arr = np.frombuffer(sf, np.uint8).reshape(
-                        120, len(sf) // 120)
+                        RS_MESSAGE, len(sf) // RS_MESSAGE)
                     done.append((b, s, arr.T))
             if not done:
                 continue

@@ -429,13 +429,14 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
             fib_bits = (fic_rows[:, :fic_spec.nb_data_bits]
                         ^ fic_prbs[None, :]).reshape(
                 B, F, dab.nb_cifs, fic_spec.nb_data_bits)
-            # report on the standalone-decode scale: the pad steps each
-            # contribute one dropped-constant offset but zero metric on
-            # the state-0 extension path (tiled mode reports no errors,
-            # matching msc_err)
-            fic_err = err_full[B * S * C:] if viterbi == "tiled" else (
-                err_full[B * S * C:]
-                - (nb_steps - fic_spec.nb_steps) * vit._STEP_ERR_OFFSET)
+            # already on the standalone-decode scale: each SOFT_LOW pad
+            # step contributes -_STEP_ERR_OFFSET to the state-0 extension
+            # path's metric, exactly cancelling the +_STEP_ERR_OFFSET the
+            # error formula restores per step — verified numerically
+            # (padded decode error == unpadded; an earlier build
+            # re-subtracted the pad offset and drove fic_err far negative
+            # whenever the MSC trellis outgrew the 774-step FIC trellis)
+            fic_err = err_full[B * S * C:]
             bits_full = bits_full[:B * S * C]
             msc_err = err_full[:B * S * C]
         else:

@@ -848,3 +848,51 @@ def test_webmon_live_plots_and_tuner_retune(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_webmon_device_rejects_wav_format():
+    """--device file replays raw sample formats only; -F wav must be
+    rejected at argparse time (a round-4 review found the reader thread
+    died on KeyError instead)."""
+    r = _run(["dab_radio_tpu.apps.webmon", "--device", "file",
+              "-i", "x.wav", "-F", "wav", "--port", "8799"])
+    assert r.returncode == 2
+    assert b"does not support -F wav" in r.stderr
+
+
+@pytest.mark.slow
+def test_webmon_device_mode_honors_max_frames(tmp_path):
+    """--max-frames must terminate decode in --device mode too (the
+    round-4 review found the device path dropped it: with --loop the
+    file replays forever)."""
+    import json as json_mod
+    import time as time_mod
+    import urllib.request
+    iq_path = tmp_path / "iq.bin"
+    r = _run(["dab_radio_tpu.apps.simulate_transmitter", "--payload",
+              "ensemble", "-n", "12", "-F", "u8"], timeout=400)
+    iq_path.write_bytes(r.stdout)
+    port = 8801
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "dab_radio_tpu.apps.webmon",
+         "-i", str(iq_path), "-F", "u8", "--port", str(port),
+         "--device", "file", "--loop", "--max-frames", "6"],
+        env=ENV, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    try:
+        state = None
+        for _ in range(120):
+            time_mod.sleep(1)
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/state.json",
+                        timeout=5) as resp:
+                    state = json_mod.loads(resp.read())
+                if state.get("done"):
+                    break
+            except OSError:
+                continue
+        assert state is not None and state["done"], state
+        assert state["frames"] == 6
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)

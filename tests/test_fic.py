@@ -176,3 +176,32 @@ def test_ingest_fibs_memo_converges_out_of_order_figs():
     stats_before = rx.updater.stats()
     rx.ingest_fibs(fib_bytes)
     assert rx.updater.stats() == stats_before
+
+
+def test_mutation_clock_identical_reapplication_is_noop():
+    """Regression (round-4 review): applying a byte-identical FIG event a
+    second time must NOT advance the database mutation clock — an eager
+    dict.setdefault constructed tracked entities on pure lookups (FIG
+    0/6/0/21/0/24), bumping the clock every carousel pass and permanently
+    defeating the FIB memo."""
+    from dab_radio_tpu.dab.database import (
+        DatabaseUpdater, db_mutation_clock)
+    from dab_radio_tpu.dab import fig as F
+
+    events = [
+        F.ServiceLinkage(lsn=5, is_active_link=True, is_hard_link=False,
+                         is_international=False, service_ids=[0xF123],
+                         rds_pi_ids=[0x1234], drm_ids=[]),
+        F.FrequencyInfo(rm=0, id_value=0xC0FF, frequency_hz=206352000,
+                        is_continuous=True, geo_adjacent=False,
+                        mode_one=True),
+        F.OtherEnsembleService(ensemble_id=0xC0FF, service_id=0xF200,
+                               is_other_ensemble=True),
+    ]
+    up = DatabaseUpdater()
+    for ev in events:
+        up.apply(ev)
+    clock = db_mutation_clock()
+    for ev in events:            # carousel repetition: identical bytes
+        up.apply(ev)
+    assert db_mutation_clock() == clock

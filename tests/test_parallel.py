@@ -514,7 +514,11 @@ def test_fuse_fic_bit_exact_vs_separate_decode():
 
     mode = 2
     F, S = 8, 2
-    cfg = [SubchannelConfig(s * 12, 12, False, eep_type="A",
+    # 48-CU subchannels make the common MSC trellis LONGER than the
+    # 774-step FIC trellis, so the FIC lanes are actually padded —
+    # a 12-CU shape (nb_steps == 774, zero pad) masked a round-4 bug
+    # where fic_err re-subtracted the pad offset it never carried
+    cfg = [SubchannelConfig(s * 48, 48, False, eep_type="A",
                             eep_prot_level=2) for s in range(S)]
     tx = EnsembleTransmitter(
         mode, ensemble_id=0xC0CC, ensemble_label="FF",
