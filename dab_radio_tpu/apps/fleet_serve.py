@@ -581,6 +581,14 @@ def main(argv=None):
                     choices=["sequential", "parallel", "fused"],
                     help="Viterbi traceback: sequential walk or log-depth "
                          "map composition (lower round latency)")
+    ap.add_argument("--prefetch", type=int, default=0,
+                    help="double-buffered H2D staging depth for file "
+                         "inputs (host.feeder): rounds upload on a "
+                         "background thread while the current round "
+                         "computes; 0 = synchronous feeding. Staged "
+                         "rounds are dropped and restaged whenever a "
+                         "drift correction or desync re-acquisition "
+                         "moves the read grid.")
     ap.add_argument("--consume-workers", type=int, default=0,
                     help=">1 shards the host byte layer across worker "
                          "threads (one job per stream; observers still "
@@ -713,22 +721,64 @@ def main(argv=None):
         if snap.get("watch"):
             watch.restore(snap["watch"])
     done = 0
+
+    def round_at(positions):
+        """(blk, tail) host arrays for one round at the given per-stream
+        read positions, or None when any stream is exhausted."""
+        if any(p + chunk > s.shape[0] for p, s in zip(positions, aligned)):
+            return None
+        blk = np.stack([s[p:p + chunk]
+                        for p, s in zip(positions, aligned)])
+        # next round's head feeds the final frame's timing margin
+        tails = [s[p + chunk:p + chunk + tb]
+                 for p, s in zip(positions, aligned)]
+        tail = np.stack(tails) if all(t.shape[0] == tb for t in tails) \
+            else None
+        return blk, tail
+
+    feeder = None
+
+    def restage_feeder():
+        """(Re)build the H2D staging thread reading ahead from the
+        CURRENT read grid — called at start and whenever a drift
+        correction or re-acquisition moves `pos` (staged rounds were
+        computed against the old grid and must be dropped)."""
+        nonlocal feeder
+        from ..host.feeder import DoubleBufferedFeeder
+        if feeder is not None:
+            feeder.close()
+        read_pos = list(pos)
+
+        def src():
+            item = round_at(read_pos)
+            if item is None:
+                return None
+            for k in range(N):
+                read_pos[k] += chunk
+            return item
+        feeder = DoubleBufferedFeeder(src, depth=args.prefetch)
+
+    if args.prefetch > 0:
+        restage_feeder()
     while True:
         if args.max_rounds and done >= args.max_rounds:
             break
-        if any(p + chunk > s.shape[0] for p, s in zip(pos, aligned)):
+        if args.prefetch > 0:
+            item = feeder.get()
+        else:
+            item = round_at(pos)
+        if item is None:
             break
-        blk = np.stack([s[p:p + chunk] for p, s in zip(pos, aligned)])
-        # next round's head feeds the final frame's timing margin
-        tails = [s[p + chunk:p + chunk + tb] for p, s in zip(pos, aligned)]
-        tail = np.stack(tails) if all(t.shape[0] == tb for t in tails) \
-            else None
+        blk, tail = item
         fleet.process_round(blk, defer_fetch=True, tail_u8=tail)
         done += 1
         # sample-clock drift re-anchor (the dynamic path's pointer
         # advance, at round granularity)
-        for k, c in enumerate(anchor.corrections(fleet.drift_correction)):
+        corrs = anchor.corrections(fleet.drift_correction)
+        for k, c in enumerate(corrs):
             pos[k] += chunk + c
+        if args.prefetch > 0 and any(corrs):
+            restage_feeder()          # staged rounds used the old grid
         trig = watch.update(fleet.last_fib_ok) \
             if fleet.materialized_rounds > 0 else [False] * N
         if any(trig):
@@ -753,9 +803,13 @@ def main(argv=None):
                     pos[k] += max(seg.shape[0] - tb, 1)   # slide on
                 else:
                     pos[k] += off2
+            if args.prefetch > 0:
+                restage_feeder()
         if box is not None:
             box["json"] = _status_blob(fleet, args, pcm_out)
             _maybe_build_plot(fleet, box, blk)
+    if feeder is not None:
+        feeder.close()
     return _finish(fleet, args, pcm_out, scraper, srv, box, offsets,
                    anchor=anchor, pos=pos, watch=watch)
 

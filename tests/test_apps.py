@@ -896,3 +896,53 @@ def test_webmon_device_mode_honors_max_frames(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+@pytest.mark.slow
+def test_fleet_serve_prefetch_identical_output(tmp_path):
+    """--prefetch (double-buffered H2D staging via host.feeder) must
+    produce byte-identical serving output to synchronous feeding on a
+    clean capture."""
+    import json as json_mod
+    iq_path = tmp_path / "iq.bin"
+    r = _run(["dab_radio_tpu.apps.simulate_transmitter", "--payload",
+              "ensemble", "--services", "2", "-n", "24", "-F", "u8"],
+             timeout=400)
+    iq_path.write_bytes(r.stdout)
+
+    def serve(prefetch):
+        r2 = _run(["dab_radio_tpu.apps.fleet_serve", "-i", str(iq_path),
+                   "--shared-input", "--streams", "2",
+                   "--subchannels", "0:48:EEP3A,48:48:EEP3A",
+                   "--frames-per-step", "4", "--audio", "0:0",
+                   "--prefetch", str(prefetch)], timeout=400)
+        assert r2.returncode == 0, r2.stderr.decode()[-500:]
+        return [json_mod.loads(l) for l in r2.stdout.decode().splitlines()]
+
+    sync, fed = serve(0), serve(2)
+    assert fed == sync
+    assert fed[-1]["access_units"] > 0 and fed[-1]["pcm_samples"] > 0
+
+
+@pytest.mark.slow
+def test_fleet_serve_prefetch_drift_reanchor(tmp_path):
+    """A drift correction moves the read grid, so staged rounds were
+    computed against a stale grid: --prefetch must drop and restage them
+    (same corrected-sample count and AU survival as synchronous mode)."""
+    import json as json_mod
+    r = _run(["dab_radio_tpu.apps.simulate_transmitter", "--payload",
+              "ensemble", "--services", "2", "-n", "26", "-F", "u8"],
+             timeout=400)
+    iq = np.frombuffer(r.stdout, np.uint8)
+    X = 8 * 196608 * 2
+    drifted = np.concatenate([iq[:X], iq[X - 1200:X], iq[X:]])
+    path = tmp_path / "drift.u8"
+    drifted.tofile(path)
+    r2 = _run(["dab_radio_tpu.apps.fleet_serve", "-i", str(path),
+               "--subchannels", "0:48:EEP3A,48:48:EEP3A",
+               "--frames-per-step", "4", "--prefetch", "2"], timeout=400)
+    assert r2.returncode == 0, r2.stderr.decode()[-500:]
+    total = json_mod.loads(r2.stdout.decode().splitlines()[-1])
+    corrected = sum(total.get("drift_corrected_samples", [0]))
+    assert 500 <= corrected <= 700, total
+    assert total["access_units"] >= 80, total
