@@ -106,11 +106,18 @@ def worker(batch: int, iters: int, symbol_chunk: int = 0) -> None:
     wins = jax.device_put(jnp.asarray(win))
     carry = DemodCarry.init((batch,))
 
-    # the relay intermittently rejects compiles; retry a few times
+    # the relay intermittently rejects compiles; retry a few times.
+    # Large batches (256 w/ symbol tiling) have blown a 240 s alarm in
+    # every recorded session (MEASUREMENTS demod-256 rc=124): give them
+    # one long attempt instead so the compile either lands or its cost
+    # is documented by the compile record below.
+    compile_alarm = 240 if batch <= 128 else 600
+    attempts = 4 if batch <= 128 else 2
+    t_compile = time.time()
     last_err = None
-    for attempt in range(4):
+    for attempt in range(attempts):
         try:
-            signal.alarm(240)
+            signal.alarm(compile_alarm)
             c, out = demod.frame_step_batch(carry, wins)
             jax.block_until_ready(out["bits"])
             signal.alarm(0)
@@ -121,6 +128,13 @@ def worker(batch: int, iters: int, symbol_chunk: int = 0) -> None:
             time.sleep(3)
     else:
         raise last_err
+    # compile provenance: lands on stdout BEFORE the timing loop, so a
+    # worker killed mid-measurement still documents what the compile cost
+    # in this window (the demod-256 rung timed out opaque in r03/r04)
+    print(json.dumps({"stage": "compile", "batch": batch,
+                      "symbol_chunk": symbol_chunk,
+                      "compile_seconds": round(time.time() - t_compile, 1)}),
+          flush=True)
 
     def fetch_sync(x, timeout=120):
         """Force completion by fetching a scalar data-dependent on x
@@ -293,7 +307,7 @@ def main():
     # already contributes >=2) — lets a reader distinguish a replicated
     # number from a one-shot fluke and see intra-window variance at a glance
     records = {"demod_msps": [], "viterbi_mbps": [], "fleet_resident_rt": [],
-               "fleet_ingest_rt": []}
+               "fleet_resident_streams": [], "fleet_ingest_rt": []}
 
     def window_health():
         """Classify this relay window from what landed vs the track-record
@@ -330,6 +344,7 @@ def main():
             return
         res = _run_sub([me, "--worker", str(batch), str(iters), str(chunk)],
                        timeout=min(cap, max(_remaining(), 60)))
+        res = [r for r in res if "msps" in r]   # drop compile-provenance rows
         demod_results.extend(res)
         records["demod_msps"].extend(
             round(r["msps"], 2) for r in res
@@ -376,23 +391,61 @@ def main():
     # relay (15-365 s observed) and the fleet number is the north star.
     fleet_tool = os.path.join(here, "tools", "bench_fleet.py")
 
+    # Full-size rung for the headline: the per-chip rt number only means
+    # "serving capability" at the production round shape (16 streams x 16
+    # frames is the compile-budget sweet spot, docs/PERF.md); the 8-stream
+    # rung is a cheap warm-up/replication rung, never the headline unless
+    # nothing bigger ever lands (r04 lesson: the old FLEET_FLOOR
+    # short-circuit recorded the 8-rung 52.99 while the same-day 16-rung
+    # measured 75-80).
+    FLEET_HEADLINE_STREAMS = 16
+
+    def _fleet_headline():
+        """Headline = best full-size rung; small rung only as an
+        explicitly-annotated fallback."""
+        rungs = {int(k.rsplit("_", 1)[1]): v for k, v in line.items()
+                 if k.startswith("fleet_resident_rt_")}
+        full = {s: v for s, v in rungs.items()
+                if s >= FLEET_HEADLINE_STREAMS and v > 0}
+        small = {s: v for s, v in rungs.items()
+                 if s < FLEET_HEADLINE_STREAMS and v > 0}
+        if full:
+            s = max(full, key=full.get)
+            line["fleet_resident_rt"] = full[s]
+            line["fleet_streams"] = s
+            line.pop("fleet_resident_note", None)
+        elif small:
+            s = max(small, key=small.get)
+            line["fleet_resident_rt"] = small[s]
+            line["fleet_streams"] = s
+            line["fleet_resident_note"] = (
+                "partial window: only the small warm-up rung landed; the "
+                f"{FLEET_HEADLINE_STREAMS}-stream rung did not complete")
+
     def fleet_stage(streams, frames, k, cap):
+        # per-RUNG guard only: an earlier (smaller) rung's success must
+        # never suppress the full-size attempt (r04 VERDICT weak #2)
         if _remaining() < 120 or \
-                line.get("fleet_resident_rt", 0) >= FLEET_FLOOR:
+                line.get(f"fleet_resident_rt_{streams}", 0) >= FLEET_FLOOR:
             return         # one healthy --both run carries both numbers
         for res in _run_sub(
                 [fleet_tool, "--streams", str(streams), "--fused", "--both",
                  "--frames", str(frames), "--frames-per-step", str(k)],
                 timeout=min(cap, max(_remaining(), 120))):
             rt = res.get("realtime_ensembles", 0.0)
-            key = ("fleet_resident_rt" if res.get("mode") == "fused-resident"
-                   else "fleet_rt_ensembles")
-            if res.get("access_units", 0) > 0:
-                records["fleet_resident_rt" if key == "fleet_resident_rt"
-                        else "fleet_ingest_rt"].append(round(rt, 2))
-            if res.get("access_units", 0) > 0 and rt > line.get(key, 0.0):
-                line[key] = rt
-                line["fleet_streams"] = res["streams"]
+            if res.get("access_units", 0) <= 0:
+                continue
+            if res.get("mode") == "fused-resident":
+                records["fleet_resident_rt"].append(round(rt, 2))
+                records["fleet_resident_streams"].append(res["streams"])
+                key = f"fleet_resident_rt_{res['streams']}"
+                if rt > line.get(key, 0.0):
+                    line[key] = rt
+            else:
+                records["fleet_ingest_rt"].append(round(rt, 2))
+                if rt > line.get("fleet_rt_ensembles", 0.0):
+                    line["fleet_rt_ensembles"] = rt
+        _fleet_headline()
         emit()
 
     if slow_window:
@@ -410,6 +463,13 @@ def main():
         if _remaining() >= 300:
             viterbi_stage([(16384, 8, "exact", 2),
                            (8192, 10, "tiled512", 2)])
+        # 32-stream rung: the round-5 scaling experiment (per-frame step
+        # time measured nearly batch-independent between the batch-128
+        # demod ladder and the 16-stream fleet, so resident rt should
+        # scale with streams). Compile alone is 300-420 s on the relay —
+        # only attempt with a comfortable window.
+        if _remaining() >= 600:
+            fleet_stage(32, 160, 16, cap=560)
         fleet_stage(8, 80, 8, cap=320)
 
     # Stage 4: spend any leftover budget widening the ladders. If the
@@ -469,8 +529,13 @@ def main():
                 continue   # cheapest rung says the window is still bad —
                            # don't burn overtime on the big programs yet
         _extend_deadline(900)
-        if line.get("fleet_resident_rt", 0.0) < FLEET_FLOOR:
-            fleet_stage(8, 80, 8, cap=340)
+        if line.get("fleet_resident_rt_16", 0.0) < FLEET_FLOOR:
+            # the headline-bearing full-size rung first when the window
+            # can afford its compile, the warm-up rung otherwise
+            if _remaining() >= 500:
+                fleet_stage(16, 160, 16, cap=460)
+            if line.get("fleet_resident_rt", 0.0) < FLEET_FLOOR:
+                fleet_stage(8, 80, 8, cap=340)
         if _remaining() >= 280 and \
                 line.get("viterbi_mbps", 0.0) < VITERBI_FLOOR:
             viterbi_stage([(8192, 10, "exact", 2)])

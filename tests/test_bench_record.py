@@ -65,10 +65,12 @@ def _stub(m, demod_seq, vit_seq, fleet_seq):
                      "mode": "exact", "batch": int(a[2])}]
         if "bench_fleet" in a[0]:
             rt = pick(fleet_seq, "fleet")
+            streams = int(a[a.index("--streams") + 1])
+            calls.setdefault("fleet_streams", []).append(streams)
             return [{"mode": "fused-resident", "realtime_ensembles": rt,
-                     "access_units": 100, "streams": 8},
+                     "access_units": 100, "streams": streams},
                     {"mode": "fused-ingest", "realtime_ensembles": 6.5,
-                     "access_units": 100, "streams": 8}]
+                     "access_units": 100, "streams": streams}]
         return []
 
     m._run_sub = fake_run_sub
@@ -107,8 +109,62 @@ def test_bench_healthy_window_untouched():
     assert last["value"] == 1500.0 and last["viterbi_mbps"] == 175.5
     assert last["fleet_resident_rt"] == 70.0
     assert "note" not in last and "error" not in last
-    # healthy metrics must not be re-run in overtime
-    assert calls["fleet"] == 1 and calls["vit"] == 1
+    # the healthy-window ladder runs exactly the 16/32/8 rungs, and no
+    # healthy metric is re-run in overtime
+    assert calls["fleet_streams"] == [16, 32, 8]
+    assert calls["vit"] == 1
+
+
+def test_bench_small_rung_success_does_not_suppress_full_rung():
+    """r04 VERDICT weak #2: the old FLEET_FLOOR short-circuit let an early
+    8-stream success (52.99 rt) permanently block the 16-stream rung and
+    the driver record regressed vs r03. Pin: in a slow window where the
+    warm-up rung lands first, the full-size rung is STILL attempted, and
+    the headline comes from it."""
+    m = _load_bench(budget_s=900, overtime_s=1800)
+    # demod returns 0 first -> slow_window branch (8-rung runs first)
+    calls = _stub(m, demod_seq=[0.0, 1450.0], vit_seq=[175.0],
+                  fleet_seq=[52.99, 80.45])
+
+    def fake_run_sub(args, timeout, _orig=m._run_sub):
+        a = [str(x) for x in args]
+        if "--worker" in a:      # demod worker: fail first (slow window)
+            calls["demod"] += 1
+            if calls["demod"] == 1:
+                return []
+            return [{"batch": 128, "iters": 30, "sync": "fetch_verified",
+                     "msps": 1450.0}]
+        return _orig(args, timeout)
+
+    m._run_sub = fake_run_sub
+    last = _run_main(m)[-1]
+    assert 16 in calls["fleet_streams"], \
+        "full-size rung was never attempted after the small rung landed"
+    assert last["fleet_resident_rt"] == 80.45    # headline = 16-stream rung
+    assert last["fleet_streams"] == 16
+    assert "fleet_resident_note" not in last
+
+
+def test_bench_headline_annotated_when_only_small_rung_lands():
+    """If the full-size rung never completes, the record must say so
+    explicitly instead of silently presenting the warm-up number."""
+    m = _load_bench(budget_s=900, overtime_s=250)
+    calls = _stub(m, demod_seq=[1450.0], vit_seq=[175.0], fleet_seq=[52.99])
+
+    def fake_run_sub(args, timeout, _orig=m._run_sub):
+        a = [str(x) for x in args]
+        if "bench_fleet" in a[0]:
+            streams = int(a[a.index("--streams") + 1])
+            if streams >= 16:
+                calls.setdefault("fleet_streams", []).append(streams)
+                return []                 # full-size rung times out
+        return _orig(args, timeout)
+
+    m._run_sub = fake_run_sub
+    last = _run_main(m)[-1]
+    assert last["fleet_resident_rt"] == 52.99
+    assert last["fleet_streams"] == 8
+    assert "partial window" in last.get("fleet_resident_note", "")
 
 
 @pytest.fixture(autouse=True)
@@ -133,8 +189,10 @@ def test_bench_records_and_window_health():
     assert last["window_health"] == "healthy"
     recs = last["records"]
     assert recs["demod_msps"] and recs["viterbi_mbps"]
-    assert recs["fleet_resident_rt"] == [70.0]
-    assert recs["fleet_ingest_rt"] == [6.5]
+    # one entry per rung (16/32/8), each tagged with its stream count
+    assert recs["fleet_resident_rt"] == [70.0, 70.0, 70.0]
+    assert recs["fleet_resident_streams"] == [16, 32, 8]
+    assert recs["fleet_ingest_rt"] == [6.5, 6.5, 6.5]
     assert last["value"] in recs["demod_msps"]
 
     # semi-degraded: values landed but below floors -> classified as such
