@@ -172,7 +172,8 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
                             block_tracking: bool = False,
                             viterbi: str = "exact",
                             chainback: str = "sequential",
-                            fuse_fic: bool = False):
+                            fuse_fic: bool = False,
+                            stop_after: str = None):
     """Full end-to-end sharded receiver step: IQ in, decoded bits out.
 
     One jitted program over the ('ens','time','sub') mesh (the surface the
@@ -241,6 +242,28 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
     either way. With viterbi="tiled", FIC decodes tiled too (same
     accuracy contract as MSC). fic_err is reported on the standalone
     scale (the pad steps' error offset is subtracted).
+
+    stop_after truncates the program after a pipeline prefix — the
+    per-stage timing ablation for the fused serving round (round-4
+    VERDICT #1: no validated theory explains where the ~330 ms round
+    goes). One of {"ingest", "demod", "subs", "deint", "depunct",
+    "acs"}; the truncated step returns (carry, deint_hist,
+    {"digest": f32 scalar}) where the digest is a cheap strided device
+    reduction data-dependent on the stage's full output (so XLA cannot
+    dead-code the stage and a host fetch of the scalar fences the
+    measurement on the fire-and-forget relay):
+      ingest  - u8 -> f32 dequantize only
+      demod   - + the time-sharded frame-scan demodulator
+      subs    - + frame regather, FIC soft slice, per-subchannel CIF
+                gather
+      deint   - + the 16-CIF block deinterleaver push (hist advances)
+      depunct - + padded depuncture gathers -> Viterbi lanes (incl. the
+                fused-FIC lane build when fuse_fic)
+      acs     - + the radix-4 forward ACS scan alone (exact mode; no
+                chainback) — isolates the traceback's cost from the
+                forward trellis
+    Timing deltas between successive stages give the per-stage ms table
+    (tools/bench_stages.py drives this).
     """
     from ..ops import viterbi as vit
     from ..ops.deinterleave import (make_gather_index,
@@ -331,6 +354,15 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
 
     sub_sh = NamedSharding(mesh, P("ens", "sub"))
     time_sh = NamedSharding(mesh, P("ens", "time"))
+    assert stop_after in (None, "ingest", "demod", "subs", "deint",
+                          "depunct", "acs"), stop_after
+
+    def _digest(*xs):
+        # full (not strided) reductions: every stage output is consumed
+        # whole, so XLA cannot dead-code any part of the prefix; one HBM
+        # pass per tensor (<1 ms at serving shapes) — negligible next to
+        # the stages under measurement
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in xs)
 
     @jax.jit
     def step(carry, deint_hist, iq, tail=None):
@@ -342,7 +374,11 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
             if tail is not None:
                 tail = ((tail.astype(jnp.float32) - 127.5) * (1.0 / 127.5)
                         ).reshape(tail.shape[0], -1, 2)
+        if stop_after == "ingest":
+            return carry, deint_hist, {"digest": _digest(iq)}
         carry, bits, offs = demod_fn(carry, iq, tail)  # (B, n_time, f_loc, nb)
+        if stop_after == "demod":
+            return carry, deint_hist, {"digest": _digest(bits, offs)}
         # gather the time shards: frames are decoded ensemble-parallel
         frames = jax.lax.with_sharding_constraint(
             bits.reshape(B, F, dab.nb_frame_bits),
@@ -361,6 +397,7 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
                 constant_values=vit.SOFT_LOW)
             fib_bits = fic_err = None        # filled after the fused decode
         else:
+            d_fic = None
             fib_bits, fic_err = vit.viterbi_decode(fic_soft, fic_spec,
                                                    chainback=chainback)
             fib_bits = (fib_bits ^ fic_prbs[None, :]).reshape(
@@ -401,12 +438,20 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
         subs = jax.lax.with_sharding_constraint(
             subs.astype(jnp.int8),
             NamedSharding(mesh, P("ens", "sub", None, None)))
+        if stop_after == "subs":
+            # fuse_fic: the FIC lane build (depuncture+pad) lands in this
+            # prefix; without it, so does the standalone FIC decode — run
+            # the ablation with the serving default (fuse_fic=True)
+            return carry, deint_hist, {"digest": _digest(
+                subs, fic_soft, *(() if d_fic is None else (d_fic,)))}
 
         def per_sub(hist, seq):
             # scan-free block push: one static gather for all C CIFs
             return deinterleave_push_block(hist, seq, gather_idx)
 
         deint_hist, deints = jax.vmap(jax.vmap(per_sub))(deint_hist, subs)
+        if stop_after == "deint":
+            return carry, deint_hist, {"digest": _digest(deints)}
         # padded per-subchannel depuncture (3-state mask, see docstring)
         g_b = g_all[:, :, None, :] if per_stream else g_all[None, :, None, :]
         m_b = m_all[:, :, None, :] if per_stream else m_all[None, :, None, :]
@@ -417,6 +462,20 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
         lanes = d.reshape(B * S * C, nb_steps, 4)
         if fuse_fic:
             lanes = jnp.concatenate([lanes, d_fic], axis=0)
+        if stop_after == "depunct":
+            return carry, deint_hist, {"digest": _digest(lanes)}
+        if stop_after == "acs":
+            # forward ACS only, exactly as viterbi_decode_soft_radix4
+            # preps it (exact mode): the delta vs the full step is the
+            # chainback + descramble tail
+            L = lanes.shape[0]
+            d_f = lanes.reshape(L, nb_steps, 4).astype(jnp.float32)
+            xs = jnp.moveaxis(d_f, 1, 0).reshape(nb_steps // 2, 2, L, 4)
+            pm0 = jnp.full((vit.NB_STATES, L), vit._INITIAL_NON_START,
+                           jnp.float32).at[0].set(0.0)
+            pm_final, decisions = vit._radix4_forward_sm(pm0, xs)
+            return carry, deint_hist, {
+                "digest": _digest(pm_final, decisions)}
         if viterbi == "tiled":
             bits_full, _ = vit.viterbi_decode_soft_tiled(
                 lanes, chainback=chainback)
@@ -474,6 +533,7 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
     # samples as `tail` so the final frame's timing margin reads real
     # data (a zero tail corrupts it whenever fine-time offset > 0)
     step.tail_samples = demod_fn.halo
+    step.stop_after = stop_after
     return step, (carry, deint_hist, iq)
 
 

@@ -132,6 +132,30 @@ def test_multichip_receiver_step_compiles_and_runs():
     assert out["fib_bits"].shape[-1] == 768
 
 
+def test_multichip_receiver_step_stop_after_stages():
+    """stop_after truncation (the round-5 per-stage timing ablation,
+    tools/bench_stages.py): every rung compiles, returns a finite scalar
+    digest, and keeps the carry/hist tree shapes so rounds chain."""
+    import numpy as np
+    mesh = make_receiver_mesh(1, axis_sizes=(1, 1, 1))
+    shapes = None
+    for stage in ("ingest", "demod", "subs", "deint", "depunct", "acs"):
+        step, (carry, hist, iq) = multichip_receiver_step(
+            mesh, transmission_mode=2, frames_per_shard=1,
+            ensembles_per_shard=1, subchannels_per_shard=1,
+            ingest="u8", fuse_fic=True, stop_after=stage)
+        assert step.stop_after == stage
+        c2, h2, out = step(carry, hist, iq)
+        assert set(out) == {"digest"}
+        assert np.isfinite(float(np.asarray(out["digest"])))
+        got = [x.shape for x in jax.tree_util.tree_leaves((c2, h2))]
+        want = [x.shape for x in jax.tree_util.tree_leaves((carry, hist))]
+        assert got == want, stage
+        if shapes is None:
+            shapes = want
+        assert shapes == want
+
+
 @pytest.mark.slow
 def test_multichip_end_to_end_bit_exact():
     """The full dryrun contract: sharded demod->FIC->MSC over a real

@@ -425,7 +425,8 @@ def run_fused(args, iq):
             t_fed = timed_compute(iter(feeder))
 
         hidden = t_c + t_h2d - t_fed
-        eff = max(0.0, min(1.0, hidden / max(min(t_c, t_h2d), 1e-9)))
+        raw = hidden / max(min(t_c, t_h2d), 1e-9)
+        eff = max(0.0, min(1.0, raw))
         result = {
             "metric": "ingest_overlap",
             "streams": N, "frames_per_round": fleet.frames_per_round,
@@ -435,6 +436,12 @@ def run_fused(args, iq):
             "t_h2d_s": round(t_h2d, 3),
             "t_overlapped_s": round(t_fed, 3),
             "overlap_efficiency": round(eff, 3),
+            # unclamped: >1 means the overlapped loop beat the sum of the
+            # two single-resource baselines — i.e. a baseline itself
+            # overstates its resource's cost (round-4 ADVICE: the r4
+            # record's clamped 1.0 hid a raw 2.21, a sign the H2D-only
+            # loop was not a clean transfer-cost measurement)
+            "overlap_hidden_ratio_raw": round(raw, 3),
             "device_busy_fraction": round(min(1.0, t_c / t_fed), 3),
             "bound": "compute" if t_c >= t_h2d else "ingest",
             "feeder_producer_wait_s": round(

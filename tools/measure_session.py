@@ -22,6 +22,11 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(HERE)
 
+# session id: re-runs of the same stage across sessions stay
+# distinguishable when indexing records by stage name (round-4 ADVICE:
+# two 'fleet-resident' rows were ambiguous)
+SESSION = time.strftime("%m%d-%H%M")
+
 
 def run_stage(name, cmd, timeout, log):
     t0 = time.time()
@@ -36,7 +41,8 @@ def run_stage(name, cmd, timeout, log):
         out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
             else (e.stdout or "")
     lines = [ln for ln in out.splitlines() if ln.startswith("{")]
-    rec = {"stage": name, "rc": rc, "seconds": round(time.time() - t0, 1),
+    rec = {"stage": name, "session": SESSION, "rc": rc,
+           "seconds": round(time.time() - t0, 1),
            "results": []}
     for ln in lines:
         try:
@@ -78,67 +84,82 @@ def main(argv=None):
         return 1
 
     py = sys.executable
-    # 2. the official bench record (emits incrementally; 900 s budget)
+    fleet = os.path.join(HERE, "bench_fleet.py")
+    stages_tool = os.path.join(HERE, "bench_stages.py")
+    # ---- round-5 ladder, decisive stages first (windows degrade) ----
+    # 1. the official bench record (per-rung fleet records + the
+    #    32-stream scaling rung are inside bench.py now)
     run_stage("bench", [py, os.path.join(ROOT, "bench.py")], 1100, args.log)
-    # 3. Viterbi sanity: packed-min ACS must hold the ~175 Mbit/s record
+    # 2. THE round-5 decision data: per-stage ablation of the fused round
+    #    (where do the ~330 ms go?). Core rungs first — demod vs forward
+    #    ACS vs the full program (full-acs = chainback+descramble+pack).
+    run_stage("stages-core",
+              [py, stages_tool, "--streams", "16", "--frames-per-step",
+               "16", "--rounds", "5", "--stages", "demod,acs,full"],
+              1500, args.log)
+    # 3. batch-scaling hypothesis: per-frame step time looked
+    #    batch-independent between the batch-128 demod ladder and the
+    #    16-stream fleet — if true, resident rt scales with streams and
+    #    32 streams is the 2x VERDICT target in one move.
+    run_stage("fleet-resident-32",
+              [py, fleet, "--fused", "--resident", "--streams", "32",
+               "--frames", "160", "--frames-per-step", "16"], 1500, args.log)
+    # 4. replication rung: 16-stream resident (host consume target <0.5 s
+    #    needs a 2nd window; r4's two windows measured 0.878 and 0.444)
+    run_stage("fleet-resident",
+              [py, fleet, "--fused", "--resident", "--streams", "16",
+               "--frames", "160", "--frames-per-step", "16"], 900, args.log)
+    # 5. remaining ablation rungs (ingest/subs/deint/depunct deltas)
+    run_stage("stages-rest",
+              [py, stages_tool, "--streams", "16", "--frames-per-step",
+               "16", "--rounds", "5",
+               "--stages", "ingest,subs,deint,depunct"], 1500, args.log)
+    # 6. demod batch scaling through the SAME fused-demod program shape
+    #    (not the ladder's standalone step): 32-stream demod-only rung
+    run_stage("stages-demod-32",
+              [py, stages_tool, "--streams", "32", "--frames-per-step",
+               "16", "--rounds", "4", "--stages", "demod"], 1200, args.log)
+    # 7. Viterbi record + the speed-of-light batch rung (docs/PERF.md
+    #    roofline: is 308-317 Mbit/s lane-bound? B=32768 doubles lanes)
     run_stage("viterbi", [py, os.path.join(ROOT, "bench.py"),
                           "--viterbi-worker", "16384", "8", "exact", "3"],
               600, args.log)
-    # 4. serving latency ladder: the sequential-depth lever matrix.
-    #    exact/tiled x sequential/parallel was measured twice in healthy
-    #    windows (2026-08-19, MEASUREMENTS.jsonl): parallel chainback is
-    #    15-50x SLOWER on this chip at B=16 streams (the O(T log T)
-    #    gather volume dominates), so the matrix now prioritises the
-    #    register-exchange 'fused' chainback instead and keeps one
-    #    parallel point for provenance.
-    for vit, cb in (("exact", "sequential"), ("exact", "fused"),
-                    ("tiled", "sequential"), ("tiled", "fused"),
-                    ("exact", "parallel")):
-        run_stage(f"latency-{vit}-{cb}",
-                  [py, os.path.join(HERE, "bench_fleet.py"), "--fused",
-                   "--latency", "--streams", "16", "--frames", "84",
-                   "--frames-per-step", "16", "--viterbi", vit,
-                   "--chainback", cb], 700, args.log)
-    # 5. resident fleet (chip-bound throughput with today's round changes)
-    #    + the round-4 A/B levers: block-tracking demod, separate-FIC
-    run_stage("fleet-resident",
-              [py, os.path.join(HERE, "bench_fleet.py"), "--fused",
-               "--resident", "--streams", "16", "--frames", "160",
-               "--frames-per-step", "16"], 900, args.log)
+    run_stage("viterbi-32768", [py, os.path.join(ROOT, "bench.py"),
+                                "--viterbi-worker", "32768", "6", "exact",
+                                "3"], 700, args.log)
+    # 8. second-window A/B replication for the round-4 levers (each has
+    #    exactly one healthy-window record; VERDICT #5)
+    run_stage("latency-exact-sequential",
+              [py, fleet, "--fused", "--latency", "--streams", "16",
+               "--frames", "84", "--frames-per-step", "16"], 700, args.log)
+    run_stage("latency-exact-fused",
+              [py, fleet, "--fused", "--latency", "--streams", "16",
+               "--frames", "84", "--frames-per-step", "16",
+               "--chainback", "fused"], 700, args.log)
     run_stage("fleet-resident-blocktracking",
-              [py, os.path.join(HERE, "bench_fleet.py"), "--fused",
-               "--resident", "--streams", "16", "--frames", "160",
-               "--frames-per-step", "16", "--block-tracking"], 900, args.log)
+              [py, fleet, "--fused", "--resident", "--streams", "16",
+               "--frames", "160", "--frames-per-step", "16",
+               "--block-tracking"], 900, args.log)
     run_stage("fleet-resident-nofusefic",
-              [py, os.path.join(HERE, "bench_fleet.py"), "--fused",
-               "--resident", "--streams", "16", "--frames", "160",
-               "--frames-per-step", "16", "--no-fuse-fic"], 900, args.log)
-    # 5b. the minimum-sequential-depth stack (block-tracked demod +
-    #     tiled Viterbi + register-exchange chainback): if the fused
-    #     round is iteration-bound as the roofline analysis says
-    #     (docs/PERF.md: ~40x under the compute/HBM roofline at ~2900
-    #     scan iterations), this config's ~15x depth cut is the
-    #     experiment that shows the new ceiling. AU-stream parity with
-    #     the host path is pinned by test_fused_fleet_mode_2_serving.
+              [py, fleet, "--fused", "--resident", "--streams", "16",
+               "--frames", "160", "--frames-per-step", "16",
+               "--no-fuse-fic"], 900, args.log)
     run_stage("fleet-resident-mindepth",
-              [py, os.path.join(HERE, "bench_fleet.py"), "--fused",
-               "--resident", "--streams", "16", "--frames", "160",
-               "--frames-per-step", "16", "--block-tracking",
-               "--viterbi", "tiled", "--chainback", "fused"], 900, args.log)
-    run_stage("latency-mindepth",
-              [py, os.path.join(HERE, "bench_fleet.py"), "--fused",
-               "--latency", "--streams", "16", "--frames", "84",
-               "--frames-per-step", "16", "--block-tracking",
-               "--viterbi", "tiled", "--chainback", "fused"], 700, args.log)
-    # 6. the batch-256 demod rung (timed out in the r03 driver run)
+              [py, fleet, "--fused", "--resident", "--streams", "16",
+               "--frames", "160", "--frames-per-step", "16",
+               "--block-tracking", "--viterbi", "tiled",
+               "--chainback", "fused"], 900, args.log)
+    # 9. the batch-256 demod rung: the worker now emits a compile-
+    #    provenance line before timing, so even a timeout documents the
+    #    compile cost (r3/r4 rc=124 were opaque); one long attempt
     run_stage("demod-256",
               [py, os.path.join(ROOT, "bench.py"), "--worker", "256", "15",
-               "19"], 700, args.log)
-    # 7. compute/H2D overlap on the real link (feeder architecture proof)
+               "19"], 1100, args.log)
+    # 10. compute/H2D overlap on the real link (now with the unclamped
+    #     hidden-ratio alongside the clamped efficiency)
     run_stage("ingest-overlap",
-              [py, os.path.join(HERE, "bench_fleet.py"), "--fused",
-               "--overlap", "--streams", "16", "--frames", "160",
-               "--frames-per-step", "16"], 900, args.log)
+              [py, fleet, "--fused", "--overlap", "--streams", "16",
+               "--frames", "160", "--frames-per-step", "16"], 900, args.log)
     print(f"# measurement session complete -> {args.log}", file=sys.stderr)
     return 0
 
