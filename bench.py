@@ -216,6 +216,10 @@ def viterbi_worker(batch: int, inner: int, mode: str = "exact",
         chunk = int(mode[5:]) if len(mode) > 5 else 512
         decode = lambda x: vit.viterbi_decode_tiled(
             x, spec, chunk=chunk, overlap=64)[0]
+    elif mode == "lut":
+        # 16-entry branch-metric LUT instead of the (128, 4) sign matmul
+        # (bit-identical; the ACS roofline lever, docs/PERF.md)
+        decode = lambda x: vit.viterbi_decode(x, spec, branch="lut")[0]
     else:
         decode = lambda x: vit.viterbi_decode(x, spec)[0]
 

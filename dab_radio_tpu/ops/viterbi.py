@@ -69,6 +69,27 @@ def _branch_sign_matrix() -> np.ndarray:
 _STEP_ERR_OFFSET = CODE_RATE * SOFT_HIGH
 
 
+@functools.lru_cache(maxsize=1)
+def _branch_pattern_lut():
+    """LUT factorization of the branch metrics: the 128 per-(state, bit)
+    branch errors of one trellis step take only 16 distinct values
+    (+/-d0 +/-d1 +/-d2 +/-d3), so instead of the (128, 4) @ (4, B) sign
+    matmul (1024*B MACs/step) one can compute the 16 sums with a
+    (16, 4) @ (4, B) matmul (64*B MACs) and expand with a static 128-row
+    gather — the speed-of-light lever for the ACS step, whose ALU budget
+    is dominated by the branch matmuls (docs/PERF.md roofline).
+
+    Returns (idx (128,) int32, H (16, 4) f32) with
+    _branch_sign_matrix().T[k, :] == H[idx[k], :] for every k."""
+    S = _branch_sign_matrix().T                      # (128, 4), entries +/-1
+    H = np.array([[1 - 2 * ((m >> i) & 1) for i in range(4)]
+                  for m in range(16)], np.int64)     # (16, 4)
+    bits = ((1 - S) // 2).astype(np.int64)           # (128, 4) in {0, 1}
+    idx = (bits * (1 << np.arange(4))).sum(axis=1)
+    assert (H[idx] == S).all()
+    return idx.astype(np.int32), H.astype(np.float32)
+
+
 def conv_encode(bits: np.ndarray, append_tail: bool = True) -> np.ndarray:
     """Encode 0/1 bits with the DAB mother code. Returns the serialized coded
     bit stream x0(0) x1(0) x2(0) x3(0) x0(1) ... as 0/1 uint8.
@@ -182,7 +203,7 @@ def viterbi_decode_soft(depunctured: jnp.ndarray, start_state: int = 0,
     return bits, error
 
 
-def _radix4_forward_sm(pm0, xs):
+def _radix4_forward_sm(pm0, xs, branch: str = "matmul"):
     """State-major radix-4 forward pass.
 
     pm0: (64, B) f32. xs: (T/2, 2, B, 4) f32. Returns (pm (64, B),
@@ -190,13 +211,27 @@ def _radix4_forward_sm(pm0, xs):
 
     Layout note: the batch axis is minor-most so every (64, B) array maps
     onto full 128-wide VPU lanes — measured 8x faster on TPU than the
-    batch-major layout (the (B, 64) form leaves half the lanes idle)."""
+    batch-major layout (the (B, 64) form leaves half the lanes idle).
+
+    branch="lut" computes the 16 distinct +/-d sums with a (16, 4)
+    matmul and expands them with a static gather instead of the (128, 4)
+    sign matmul — 16x fewer branch MACs, bit-identical metrics
+    (_branch_pattern_lut); an A/B lever for the ACS roofline gap."""
     St = jnp.asarray(_branch_sign_matrix().T).astype(jnp.float32)  # (128, 4)
     B = pm0.shape[-1]
 
-    def branch_err(d_t):
-        # (128, 4) @ (4, B) -> (128, B) = (s*2+b, B), state-major
-        return (St @ d_t.T).reshape(NB_STATES, 2, B)
+    if branch == "lut":
+        idx16, H16 = _branch_pattern_lut()
+        Hj = jnp.asarray(H16)                          # (16, 4)
+        idxj = jnp.asarray(idx16)                      # (128,)
+
+        def branch_err(d_t):
+            v = Hj @ d_t.T                             # (16, B)
+            return v[idxj].reshape(NB_STATES, 2, B)
+    else:
+        def branch_err(d_t):
+            # (128, 4) @ (4, B) -> (128, B) = (s*2+b, B), state-major
+            return (St @ d_t.T).reshape(NB_STATES, 2, B)
 
     # packed min+argmin: ONE min reduction yields both the survivor metric
     # (floor-divide by 4) and the decision (remainder), with first-minimum-
@@ -499,7 +534,8 @@ def viterbi_decode_soft_radix8(depunctured: jnp.ndarray, start_state: int = 0,
 
 def viterbi_decode_soft_radix4(depunctured: jnp.ndarray, start_state: int = 0,
                                end_state: int = 0,
-                               chainback: str = "sequential"):
+                               chainback: str = "sequential",
+                               branch: str = "matmul"):
     """Radix-4 decode: two trellis steps fused per scan iteration, halving
     the sequential depth (the latency bottleneck on TPU, where per-step
     tensors are tiny), in the state-major (64, B) layout (see
@@ -530,7 +566,7 @@ def viterbi_decode_soft_radix4(depunctured: jnp.ndarray, start_state: int = 0,
         pm_final, hist = _radix4_forward_re(pm0, xs)
         bits = _re_extract_bits(hist, state0, T)              # (T, B)
     else:
-        pm_final, decisions = _radix4_forward_sm(pm0, xs)
+        pm_final, decisions = _radix4_forward_sm(pm0, xs, branch=branch)
         if chainback == "parallel":
             bits = _chainback_parallel_sm(decisions, state0, 2)   # (T, B)
         else:
@@ -602,14 +638,15 @@ def viterbi_decode_soft_tiled(depunctured: jnp.ndarray,
 
 
 def viterbi_decode(rx_soft: jnp.ndarray, spec: ViterbiSpec,
-                   chainback: str = "sequential"):
+                   chainback: str = "sequential", branch: str = "matmul"):
     """End-to-end: depuncture + decode + drop tail bits.
 
     rx_soft: (..., nb_in) int8 soft symbols. Returns (data_bits (..., nb_data)
     int8, path_error (...,) int32)."""
     d = depuncture(rx_soft, spec)
     if spec.nb_steps % 2 == 0:
-        bits, err = viterbi_decode_soft_radix4(d, chainback=chainback)
+        bits, err = viterbi_decode_soft_radix4(d, chainback=chainback,
+                                               branch=branch)
     else:
         bits, err = viterbi_decode_soft(d)
     nb_data = spec.nb_steps - (K - 1)

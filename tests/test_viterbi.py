@@ -160,6 +160,12 @@ def test_radix4_matches_radix2_exactly():
         b4, e4 = vit.viterbi_decode_soft_radix4(d)
         np.testing.assert_array_equal(np.asarray(b4), np.asarray(b2))
         np.testing.assert_array_equal(np.asarray(e4), np.asarray(e2))
+        # LUT branch metrics (16-sum factorization + static gather) must
+        # be bit-identical incl. ties and path error — same candidates,
+        # different arithmetic route (the ACS roofline A/B lever)
+        bl, el = vit.viterbi_decode_soft_radix4(d, branch="lut")
+        np.testing.assert_array_equal(np.asarray(bl), np.asarray(b2))
+        np.testing.assert_array_equal(np.asarray(el), np.asarray(e2))
 
 
 def test_radix8_matches_radix2_exactly():

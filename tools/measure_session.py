@@ -127,6 +127,9 @@ def main(argv=None):
     run_stage("viterbi-32768", [py, os.path.join(ROOT, "bench.py"),
                                 "--viterbi-worker", "32768", "6", "exact",
                                 "3"], 700, args.log)
+    run_stage("viterbi-lut", [py, os.path.join(ROOT, "bench.py"),
+                              "--viterbi-worker", "16384", "8", "lut", "3"],
+              600, args.log)
     # 8. second-window A/B replication for the round-4 levers (each has
     #    exactly one healthy-window record; VERDICT #5)
     run_stage("latency-exact-sequential",
