@@ -405,6 +405,24 @@ def test_fused_fleet_on_multichip_mesh():
     assert fleet.receivers[0].db.ensemble.label == "MeshServe"
 
 
+@pytest.mark.slow
+def test_northstar_shape_program_au_parity():
+    """100-ensemble-topology program shape (round-4 VERDICT #7): one
+    fused serving program sharded {ens: 8} must compile, decode, and
+    produce AU byte streams identical to the unsharded host path on
+    every stream. The full 104-stream record lives in
+    docs/MEASUREMENTS.jsonl (stage northstar-shape); this pins the
+    harness + parity semantics at a CI-sized 16 streams x 2/shard."""
+    import importlib.util
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "bench_northstar.py")
+    spec = importlib.util.spec_from_file_location("bench_northstar", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.main(["--streams", "16", "--rounds", "3"]) == 0
+
+
 def test_multichip_per_stream_layouts_bit_exact():
     """Each stream monitors a DIFFERENT ensemble layout (per-stream cfg
     rows) and the single padded program decodes all of them bit-exactly —
