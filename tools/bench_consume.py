@@ -47,6 +47,15 @@ def make_capture(n_frames: int, services: int) -> np.ndarray:
 
 
 def main(argv=None):
+    # the byte layer is host work — this bench must never depend on the
+    # relay backend (the axon sitecustomize would otherwise route the
+    # capture rounds through the TPU tunnel). Safe no-op when the caller
+    # (tests, consume_isolation) already initialized the CPU backend.
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--streams", type=int, default=16)
     ap.add_argument("--frames-per-step", type=int, default=16)
@@ -118,8 +127,9 @@ def main(argv=None):
     results = {}
     for name, batched in (("sequential", False), ("batched", True)):
         best, events, aus = None, None, None
-        for _ in range(args.reps):
+        for rep in range(args.reps):
             dt, ev, n_aus = replay(batched)
+            print(f"#   {name} rep {rep}: {dt:.3f}s", file=sys.stderr)
             if best is None or dt < best:
                 best, events, aus = dt, ev, n_aus
         results[name] = {"seconds": best, "aus": aus, "events": events}

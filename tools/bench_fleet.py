@@ -300,12 +300,36 @@ def run_fused(args, iq):
             fetch = (np.asarray(packed[0]), np.asarray(packed[1]))
             done += N * K
         dt = _time.time() - t0           # last fetch already materialized
+        # consume-phase self-diagnosis (r4 VERDICT #4: in-fleet consume
+        # measured 0.88-1.71 s vs 0.41-0.55 s standalone in some windows,
+        # and tools/consume_isolation.py could not reproduce the gap
+        # under ANY process state on an idle host — so record per-round
+        # times + scheduler/fault counters so a slow window says WHY):
+        # high inv_ctx_switches => host CPU contention; high major_faults
+        # => paging; one outlier round => data-dependent (RS corrections).
+        import resource
+        ru0 = resource.getrusage(resource.RUSAGE_SELF)
         t1 = _time.time()
+        per_round = []
         for f in fetched:
+            tr = _time.time()
             fleet._consume(*f)
+            per_round.append(round(_time.time() - tr, 3))
         if fetch is not None:
+            tr = _time.time()
             fleet._consume(*fetch)
+            per_round.append(round(_time.time() - tr, 3))
         consume_dt = _time.time() - t1
+        ru1 = resource.getrusage(resource.RUSAGE_SELF)
+        consume_diag = {
+            "per_round_s": per_round,
+            "inv_ctx_switches": ru1.ru_nivcsw - ru0.ru_nivcsw,
+            "vol_ctx_switches": ru1.ru_nvcsw - ru0.ru_nvcsw,
+            "minor_faults": ru1.ru_minflt - ru0.ru_minflt,
+            "major_faults": ru1.ru_majflt - ru0.ru_majflt,
+            "cpu_time_s": round((ru1.ru_utime + ru1.ru_stime)
+                                - (ru0.ru_utime + ru0.ru_stime), 3),
+        }
         msps = done * fs / dt / 1e6
         result = {
             "metric": "fleet_end_to_end_throughput",
@@ -314,6 +338,7 @@ def run_fused(args, iq):
             "frames_decoded": done,
             "seconds": round(dt, 3),
             "host_consume_seconds": round(consume_dt, 3),
+            "consume_diag": consume_diag,
             "msps_aggregate": round(msps, 2),
             "realtime_ensembles": round(msps / 2.048, 2),
             "channels": sum(len(r_.channels) for r_ in fleet.receivers),

@@ -105,10 +105,17 @@ def main(argv=None):
               [py, fleet, "--fused", "--resident", "--streams", "32",
                "--frames", "160", "--frames-per-step", "16"], 1500, args.log)
     # 4. replication rung: 16-stream resident (host consume target <0.5 s
-    #    needs a 2nd window; r4's two windows measured 0.878 and 0.444)
+    #    needs a 2nd window; r4's two windows measured 0.878 and 0.444).
+    #    The resident record now carries consume_diag (per-round times +
+    #    ctx-switch/fault counters + cpu-vs-wall) so a slow consume says
+    #    why; the standalone rung right after it is the SAME-WINDOW
+    #    baseline VERDICT #4 asks for (CPU-only: forces jax_platforms=cpu
+    #    internally, no relay dependence).
     run_stage("fleet-resident",
               [py, fleet, "--fused", "--resident", "--streams", "16",
                "--frames", "160", "--frames-per-step", "16"], 900, args.log)
+    run_stage("consume-standalone",
+              [py, os.path.join(HERE, "bench_consume.py")], 700, args.log)
     # 5. remaining ablation rungs (ingest/subs/deint/depunct deltas)
     run_stage("stages-rest",
               [py, stages_tool, "--streams", "16", "--frames-per-step",
