@@ -35,7 +35,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ALL_STAGES = ["ingest", "demod", "subs", "deint", "depunct", "acs", "full"]
+ALL_STAGES = ["rtt", "ingest", "demod", "subs", "deint", "depunct", "acs",
+              "full"]
 
 
 def synth_capture(services: int, frames: int) -> "np.ndarray":
@@ -103,6 +104,36 @@ def main(argv=None):
 
     results = {}
     for stage in stages:
+        if stage == "rtt":
+            # the dispatch floor: the same loop structure (two jitted
+            # dispatches + one scalar fetch) with ~zero compute. Every
+            # other rung pays this fixed per-round cost too, so
+            # (stage - rtt) is on-device time; and if rtt itself is a
+            # large share of the full round, the serving ceiling is the
+            # relay link's round-trip, not the chip.
+            tiny = jax.device_put(jnp.float32(1.0))
+            f1 = jax.jit(lambda x: x * 1.0000001)
+            f2 = jax.jit(lambda x: x + 0.0)
+            t0 = time.time()
+            _ = float(np.asarray(f2(f1(tiny))))
+            compile_s = time.time() - t0
+            times = []
+            for _r in range(R):
+                t0 = time.time()
+                _ = float(np.asarray(f2(f1(tiny))))
+                times.append(time.time() - t0)
+            ms = np.sort(np.asarray(times) * 1e3)
+            rec = {
+                "metric": "fused_stage_ablation",
+                "stage": "rtt", "streams": N, "frames_per_round": K,
+                "rounds": len(ms),
+                "round_ms_min": round(float(ms[0]), 2),
+                "round_ms_p50": round(float(ms[len(ms) // 2]), 2),
+                "compile_s": round(compile_s, 1),
+            }
+            results[stage] = rec
+            print(json.dumps(rec), flush=True)
+            continue
         t_build = time.time()
         step, (carry, hist, _) = multichip_receiver_step(
             mesh, 1, frames_per_shard=K, subchannels_per_shard=S,

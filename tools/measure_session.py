@@ -95,7 +95,7 @@ def main(argv=None):
     #    ACS vs the full program (full-acs = chainback+descramble+pack).
     run_stage("stages-core",
               [py, stages_tool, "--streams", "16", "--frames-per-step",
-               "16", "--rounds", "5", "--stages", "demod,acs,full"],
+               "16", "--rounds", "5", "--stages", "rtt,demod,acs,full"],
               1500, args.log)
     # 3. batch-scaling hypothesis: per-frame step time looked
     #    batch-independent between the batch-128 demod ladder and the
