@@ -51,7 +51,8 @@ class FusedFleet:
                  transmission_mode: int = 1, frames_per_step: int = 8,
                  mesh=None, block_tracking: bool = False,
                  subchannel_kinds=None, viterbi: str = "exact",
-                 chainback: str = "sequential", fuse_fic: bool = True,
+                 chainback: str = "sequential",
+                 viterbi_branch: str = "matmul", fuse_fic: bool = True,
                  consume_workers: int = 0):
         import jax
         import jax.numpy as jnp
@@ -62,6 +63,7 @@ class FusedFleet:
         self._block_tracking = block_tracking
         self._viterbi = viterbi
         self._chainback = chainback
+        self._viterbi_branch = viterbi_branch
         # serving default ON: FIC lanes ride the MSC Viterbi scan (one
         # decode instead of two; ~27% fewer sequential scan iterations
         # per round — parallel/mesh.py fuse_fic docstring)
@@ -103,7 +105,8 @@ class FusedFleet:
             subchannels_per_shard=subs, ensembles_per_shard=ens,
             ingest="u8", subchannel_cfgs=subchannel_cfgs,
             block_tracking=block_tracking, viterbi=viterbi,
-            chainback=chainback, fuse_fic=fuse_fic)
+            chainback=chainback, viterbi_branch=viterbi_branch,
+            fuse_fic=fuse_fic)
         # per-(stream, sub) byte-layer kind: "audio" (DAB+ superframes),
         # "mp2" (classic DAB: each logical frame IS one MP2 frame, fired
         # via on_mp2_frame + optional PCM decode), or ("packet",
@@ -206,6 +209,7 @@ class FusedFleet:
             "block_tracking": self._block_tracking,
             "viterbi": self._viterbi,
             "chainback": self._chainback,
+            "viterbi_branch": self._viterbi_branch,
             "fuse_fic": self._fuse_fic,
             "carry": jax.device_get(self._carry),
             "hist": jax.device_get(self._hist),
@@ -236,6 +240,7 @@ class FusedFleet:
                     subchannel_kinds=d["kinds"],
                     viterbi=d.get("viterbi", "exact"),
                     chainback=d.get("chainback", "sequential"),
+                    viterbi_branch=d.get("viterbi_branch", "matmul"),
                     # legacy (round-3) snapshots predate fuse_fic: restore the
                     # behavior they actually ran (separate FIC decode), not
                     # the new default

@@ -579,7 +579,8 @@ def viterbi_decode_soft_radix4(depunctured: jnp.ndarray, start_state: int = 0,
 
 def viterbi_decode_soft_tiled(depunctured: jnp.ndarray,
                               chunk: int = 128, overlap: int = 96,
-                              chainback: str = "sequential"):
+                              chainback: str = "sequential",
+                              branch: str = "matmul"):
     """Overlap-save tiled decode: the T trellis steps split into chunks that
     decode in parallel, each with `overlap` warmup steps (ACS from uniform
     metrics converges to the survivor paths within ~5-10 constraint lengths)
@@ -626,7 +627,8 @@ def viterbi_decode_soft_tiled(depunctured: jnp.ndarray,
         state0 = jnp.argmin(pm_final, axis=0).astype(jnp.int32)
         bits = _re_extract_bits(hist, state0, L)              # (L, BC)
     else:
-        pm_final, decisions = _radix4_forward_sm(pm0, xs)   # (L/2, 64, BC)
+        pm_final, decisions = _radix4_forward_sm(pm0, xs,
+                                                 branch=branch)
         state0 = jnp.argmin(pm_final, axis=0).astype(jnp.int32)   # (BC,)
         if chainback == "parallel":
             bits = _chainback_parallel_sm(decisions, state0, 2)   # (L, BC)

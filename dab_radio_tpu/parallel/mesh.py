@@ -172,6 +172,7 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
                             block_tracking: bool = False,
                             viterbi: str = "exact",
                             chainback: str = "sequential",
+                            viterbi_branch: str = "matmul",
                             fuse_fic: bool = False,
                             stop_after: str = None):
     """Full end-to-end sharded receiver step: IQ in, decoded bits out.
@@ -278,6 +279,12 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
             "— the reference rejects it identically (fic_decoder.cpp:66-73)")
     assert viterbi in ("exact", "tiled"), viterbi
     assert chainback in ("sequential", "parallel", "fused"), chainback
+    # viterbi_branch="lut": 16-entry branch-metric table instead of the
+    # (128,4) matmul — bit-identical (ops/viterbi.py _branch_pattern_lut;
+    # pinned by test_radix4_matches_radix2_exactly), an A/B lever for
+    # the ACS roofline gap (docs/PERF.md). Applies to every decode in the
+    # round (FIC, MSC, fused lanes, exact and tiled).
+    assert viterbi_branch in ("matmul", "lut"), viterbi_branch
     demod = OFDMDemodulator(transmission_mode)
     dab = get_dab_params(transmission_mode)
     n_ens = mesh.shape["ens"]
@@ -399,7 +406,8 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
         else:
             d_fic = None
             fib_bits, fic_err = vit.viterbi_decode(fic_soft, fic_spec,
-                                                   chainback=chainback)
+                                                   chainback=chainback,
+                                                   branch=viterbi_branch)
             fib_bits = (fib_bits ^ fic_prbs[None, :]).reshape(
                 B, F, dab.nb_cifs, fic_spec.nb_data_bits)
 
@@ -473,16 +481,17 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
             xs = jnp.moveaxis(d_f, 1, 0).reshape(nb_steps // 2, 2, L, 4)
             pm0 = jnp.full((vit.NB_STATES, L), vit._INITIAL_NON_START,
                            jnp.float32).at[0].set(0.0)
-            pm_final, decisions = vit._radix4_forward_sm(pm0, xs)
+            pm_final, decisions = vit._radix4_forward_sm(
+                pm0, xs, branch=viterbi_branch)
             return carry, deint_hist, {
                 "digest": _digest(pm_final, decisions)}
         if viterbi == "tiled":
             bits_full, _ = vit.viterbi_decode_soft_tiled(
-                lanes, chainback=chainback)
+                lanes, chainback=chainback, branch=viterbi_branch)
             err_full = jnp.zeros((lanes.shape[0],), jnp.int32)
         else:
             bits_full, err_full = vit.viterbi_decode_soft_radix4(
-                lanes, chainback=chainback)
+                lanes, chainback=chainback, branch=viterbi_branch)
         if fuse_fic:
             fic_rows = bits_full[B * S * C:]
             fib_bits = (fic_rows[:, :fic_spec.nb_data_bits]

@@ -493,6 +493,34 @@ def test_fused_fleet_tiled_viterbi_matches_exact():
     assert exact and tiled == exact
 
 
+def test_fused_fleet_lut_branch_matches_matmul():
+    """viterbi_branch='lut' (16-entry branch-metric factorization) is
+    bit-identical to the matmul route through the WHOLE serving path —
+    the kernel-level pin (test_radix4_matches_radix2_exactly) extended
+    to the fused program's padded/fused-FIC lanes and the byte layer."""
+    from dab_radio_tpu.models.fused_fleet import FusedFleet
+    from dab_radio_tpu.params import SubchannelConfig
+
+    iq = _api_iq()
+    cfgs = [SubchannelConfig(0, 48, False, eep_type="A", eep_prot_level=2),
+            SubchannelConfig(48, 48, False, eep_type="A", eep_prot_level=2)]
+
+    def run(branch):
+        fleet = FusedFleet(1, cfgs, transmission_mode=1, frames_per_step=4,
+                           viterbi_branch=branch)
+        aus = []
+        fleet.on_access_unit.append(
+            lambda b, s, i, n, au, h: aus.append((s, bytes(au))))
+        chunk = 2 * fleet.round_samples
+        for r in range(iq.shape[0] // chunk):
+            fleet.process_round(iq[r * chunk:(r + 1) * chunk][None])
+        return aus
+
+    matmul = run("matmul")
+    lut = run("lut")
+    assert matmul and lut == matmul
+
+
 def test_fused_fleet_snapshot_resume():
     """Serving-path checkpoint/resume: snapshot() mid-stream, rebuild via
     from_snapshot() (new program compile, databases + device carry +

@@ -35,6 +35,11 @@ def main(argv=None):
     ap.add_argument("--pipeline-depth", type=int, default=2,
                     help="rounds of deferred host fetch (hides device latency)")
     ap.add_argument("--viterbi", default="exact", choices=["exact", "tiled"])
+    ap.add_argument("--viterbi-branch", default="matmul",
+                    choices=["matmul", "lut"],
+                    help="branch-metric route: (128,4) matmul or the "
+                         "16-entry LUT factorization (bit-identical; "
+                         "docs/PERF.md ACS roofline lever)")
     ap.add_argument("--chainback", default="sequential",
                     choices=["sequential", "parallel", "fused"],
                     help="Viterbi traceback: sequential scan, log-depth "
@@ -236,6 +241,7 @@ def run_fused(args, iq):
     fleet = FusedFleet(N, cfgs, transmission_mode=1, frames_per_step=K,
                        block_tracking=args.block_tracking,
                        viterbi=args.viterbi, chainback=args.chainback,
+                       viterbi_branch=args.viterbi_branch,
                        fuse_fic=not args.no_fuse_fic)
 
     fs = get_ofdm_params(1).nb_frame_samples
@@ -346,6 +352,7 @@ def run_fused(args, iq):
             "access_units": int(fleet.total_aus),
             "viterbi_mode": args.viterbi,
             "chainback": args.chainback,
+            "viterbi_branch": args.viterbi_branch,
         }
         print(json.dumps(result), flush=True)
         assert fleet.total_aus > 0, \
@@ -384,6 +391,7 @@ def run_fused(args, iq):
             "access_units": int(fleet.total_aus),
             "viterbi_mode": args.viterbi,
             "chainback": args.chainback,
+            "viterbi_branch": args.viterbi_branch,
         }
         print(json.dumps(result), flush=True)
         assert fleet.total_aus > 0, "latency mode: no access units"

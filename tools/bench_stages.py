@@ -69,6 +69,8 @@ def main(argv=None):
     ap.add_argument("--backend", default="default",
                     choices=["default", "cpu", "tpu"])
     ap.add_argument("--viterbi", default="exact", choices=["exact", "tiled"])
+    ap.add_argument("--viterbi-branch", default="matmul",
+                    choices=["matmul", "lut"])
     ap.add_argument("--chainback", default="sequential",
                     choices=["sequential", "parallel", "fused"])
     ap.add_argument("--block-tracking", action="store_true")
@@ -139,7 +141,8 @@ def main(argv=None):
             mesh, 1, frames_per_shard=K, subchannels_per_shard=S,
             ensembles_per_shard=N, ingest="u8", subchannel_cfgs=cfgs,
             block_tracking=args.block_tracking, viterbi=args.viterbi,
-            chainback=args.chainback, fuse_fic=True,
+            chainback=args.chainback, viterbi_branch=args.viterbi_branch,
+            fuse_fic=True,
             stop_after=None if stage == "full" else stage)
         tb = 2 * step.tail_samples
         dev_iq = jax.device_put(jnp.asarray(np.concatenate(

@@ -154,6 +154,10 @@ def main(argv=None):
               [py, fleet, "--fused", "--resident", "--streams", "16",
                "--frames", "160", "--frames-per-step", "16",
                "--no-fuse-fic"], 900, args.log)
+    run_stage("fleet-resident-lutbranch",
+              [py, fleet, "--fused", "--resident", "--streams", "16",
+               "--frames", "160", "--frames-per-step", "16",
+               "--viterbi-branch", "lut"], 900, args.log)
     run_stage("fleet-resident-k32",
               [py, fleet, "--fused", "--resident", "--streams", "16",
                "--frames", "200", "--frames-per-step", "32"], 1200, args.log)
