@@ -28,6 +28,27 @@ ROOT = os.path.dirname(HERE)
 SESSION = time.strftime("%m%d-%H%M")
 
 
+PROBE_CODE = ("import time,jax,jax.numpy as jnp;t0=time.time();"
+              "f=jax.jit(lambda x:(x@x).sum());"
+              "r=float(f(jnp.ones((256,256))));"
+              "print('PROBE_S=%.1f'%(time.time()-t0))")
+
+
+def window_alive(strict_s=25.0, timeout=90):
+    """Cheap strict re-probe between ladder stages: a window that died
+    mid-session must not burn the remaining stages' full timeouts on
+    link-dominated junk (the supervisor re-arms the watcher for the next
+    window, which replicates better than grinding this one)."""
+    try:
+        r = subprocess.run([sys.executable, "-c", PROBE_CODE],
+                           capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return False
+    if r.returncode != 0 or "PROBE_S=" not in r.stdout:
+        return False
+    return float(r.stdout.split("PROBE_S=")[1].split()[0]) <= strict_s
+
+
 def run_stage(name, cmd, timeout, log):
     t0 = time.time()
     print(f"# stage {name}: {' '.join(cmd)}", file=sys.stderr, flush=True)
@@ -86,97 +107,102 @@ def main(argv=None):
     py = sys.executable
     fleet = os.path.join(HERE, "bench_fleet.py")
     stages_tool = os.path.join(HERE, "bench_stages.py")
+    bench = os.path.join(ROOT, "bench.py")
     # ---- round-5 ladder, decisive stages first (windows degrade) ----
-    # 1. the official bench record (per-rung fleet records + the
-    #    32-stream scaling rung are inside bench.py now)
-    run_stage("bench", [py, os.path.join(ROOT, "bench.py")], 1100, args.log)
-    # 2. THE round-5 decision data: per-stage ablation of the fused round
-    #    (where do the ~330 ms go?). Core rungs first — demod vs forward
-    #    ACS vs the full program (full-acs = chainback+descramble+pack).
-    run_stage("stages-core",
-              [py, stages_tool, "--streams", "16", "--frames-per-step",
-               "16", "--rounds", "5", "--stages", "rtt,demod,acs,full"],
-              1500, args.log)
-    # 3. batch-scaling hypothesis: per-frame step time looked
-    #    batch-independent between the batch-128 demod ladder and the
-    #    16-stream fleet — if true, resident rt scales with streams and
-    #    32 streams is the 2x VERDICT target in one move.
-    run_stage("fleet-resident-32",
-              [py, fleet, "--fused", "--resident", "--streams", "32",
-               "--frames", "160", "--frames-per-step", "16"], 1500, args.log)
-    # 4. replication rung: 16-stream resident (host consume target <0.5 s
-    #    needs a 2nd window; r4's two windows measured 0.878 and 0.444).
-    #    The resident record now carries consume_diag (per-round times +
-    #    ctx-switch/fault counters + cpu-vs-wall) so a slow consume says
-    #    why; the standalone rung right after it is the SAME-WINDOW
-    #    baseline VERDICT #4 asks for (CPU-only: forces jax_platforms=cpu
-    #    internally, no relay dependence).
-    run_stage("fleet-resident",
-              [py, fleet, "--fused", "--resident", "--streams", "16",
-               "--frames", "160", "--frames-per-step", "16"], 900, args.log)
-    run_stage("consume-standalone",
-              [py, os.path.join(HERE, "bench_consume.py")], 700, args.log)
-    # 5. remaining ablation rungs (ingest/subs/deint/depunct deltas)
-    run_stage("stages-rest",
-              [py, stages_tool, "--streams", "16", "--frames-per-step",
-               "16", "--rounds", "5",
-               "--stages", "ingest,subs,deint,depunct"], 1500, args.log)
-    # 6. demod batch scaling through the SAME fused-demod program shape
-    #    (not the ladder's standalone step): 32-stream demod-only rung
-    run_stage("stages-demod-32",
-              [py, stages_tool, "--streams", "32", "--frames-per-step",
-               "16", "--rounds", "4", "--stages", "demod"], 1200, args.log)
-    # 7. Viterbi record + the speed-of-light batch rung (docs/PERF.md
-    #    roofline: is 308-317 Mbit/s lane-bound? B=32768 doubles lanes)
-    run_stage("viterbi", [py, os.path.join(ROOT, "bench.py"),
-                          "--viterbi-worker", "16384", "8", "exact", "3"],
-              600, args.log)
-    run_stage("viterbi-32768", [py, os.path.join(ROOT, "bench.py"),
-                                "--viterbi-worker", "32768", "6", "exact",
-                                "3"], 700, args.log)
-    run_stage("viterbi-lut", [py, os.path.join(ROOT, "bench.py"),
-                              "--viterbi-worker", "16384", "8", "lut", "3"],
-              600, args.log)
-    # 8. second-window A/B replication for the round-4 levers (each has
-    #    exactly one healthy-window record; VERDICT #5)
-    run_stage("latency-exact-sequential",
-              [py, fleet, "--fused", "--latency", "--streams", "16",
-               "--frames", "84", "--frames-per-step", "16"], 700, args.log)
-    run_stage("latency-exact-fused",
-              [py, fleet, "--fused", "--latency", "--streams", "16",
-               "--frames", "84", "--frames-per-step", "16",
-               "--chainback", "fused"], 700, args.log)
-    run_stage("fleet-resident-blocktracking",
-              [py, fleet, "--fused", "--resident", "--streams", "16",
-               "--frames", "160", "--frames-per-step", "16",
-               "--block-tracking"], 900, args.log)
-    run_stage("fleet-resident-nofusefic",
-              [py, fleet, "--fused", "--resident", "--streams", "16",
-               "--frames", "160", "--frames-per-step", "16",
-               "--no-fuse-fic"], 900, args.log)
-    run_stage("fleet-resident-lutbranch",
-              [py, fleet, "--fused", "--resident", "--streams", "16",
-               "--frames", "160", "--frames-per-step", "16",
-               "--viterbi-branch", "lut"], 900, args.log)
-    run_stage("fleet-resident-k32",
-              [py, fleet, "--fused", "--resident", "--streams", "16",
-               "--frames", "200", "--frames-per-step", "32"], 1200, args.log)
-    run_stage("fleet-resident-mindepth",
-              [py, fleet, "--fused", "--resident", "--streams", "16",
-               "--frames", "160", "--frames-per-step", "16",
-               "--block-tracking", "--viterbi", "tiled",
-               "--chainback", "fused"], 900, args.log)
-    # 9. the batch-256 demod rung: the worker now emits a compile-
-    #    provenance line before timing, so even a timeout documents the
-    #    compile cost (r3/r4 rc=124 were opaque); one long attempt
-    run_stage("demod-256",
-              [py, os.path.join(ROOT, "bench.py"), "--worker", "256", "15",
-               "19"], 1100, args.log)
-    # 10. compute/H2D overlap on the real link (now with the unclamped
-    #     hidden-ratio alongside the clamped efficiency)
-    run_stage("ingest-overlap",
-              [py, fleet, "--fused", "--overlap", "--streams", "16",
-               "--frames", "160", "--frames-per-step", "16"], 900, args.log)
+    # 1.  bench: the official record (per-rung fleet records + the
+    #     32-stream scaling rung live inside bench.py)
+    # 2.  stages-core: per-stage ablation of the fused round (rtt floor,
+    #     demod vs forward ACS vs full; full-acs = chainback+descramble+
+    #     pack) — THE round-5 decision data
+    # 3.  fleet-resident-32: batch-scaling hypothesis (per-frame step
+    #     time looked batch-independent; if true, rt ∝ streams)
+    # 4.  fleet-resident + consume-standalone: replication rung + the
+    #     SAME-WINDOW host-consume baseline (VERDICT #4); the resident
+    #     record carries consume_diag so a slow consume says why
+    # 5-6. stages-rest / stages-demod-32: remaining ablation deltas +
+    #     demod batch scaling in the fused program shape
+    # 7.  viterbi rungs incl. B=32768 lane sweep and the LUT roofline
+    #     lever (docs/PERF.md speed-of-light)
+    # 8.  second-window A/B replication for every round-4/5 lever
+    # 9.  demod-256: now emits compile provenance even on timeout
+    # 10. ingest-overlap on the real link (unclamped hidden-ratio)
+    LADDER = [
+        ("bench", [py, bench], 1100),
+        ("stages-core",
+         [py, stages_tool, "--streams", "16", "--frames-per-step", "16",
+          "--rounds", "5", "--stages", "rtt,demod,acs,full"], 1500),
+        ("fleet-resident-32",
+         [py, fleet, "--fused", "--resident", "--streams", "32",
+          "--frames", "160", "--frames-per-step", "16"], 1500),
+        ("fleet-resident",
+         [py, fleet, "--fused", "--resident", "--streams", "16",
+          "--frames", "160", "--frames-per-step", "16"], 900),
+        ("consume-standalone",
+         [py, os.path.join(HERE, "bench_consume.py")], 700),
+        ("stages-rest",
+         [py, stages_tool, "--streams", "16", "--frames-per-step", "16",
+          "--rounds", "5", "--stages", "ingest,subs,deint,depunct"], 1500),
+        ("stages-demod-32",
+         [py, stages_tool, "--streams", "32", "--frames-per-step", "16",
+          "--rounds", "4", "--stages", "demod"], 1200),
+        ("viterbi", [py, bench, "--viterbi-worker", "16384", "8", "exact",
+                     "3"], 600),
+        ("viterbi-32768", [py, bench, "--viterbi-worker", "32768", "6",
+                           "exact", "3"], 700),
+        ("viterbi-lut", [py, bench, "--viterbi-worker", "16384", "8",
+                         "lut", "3"], 600),
+        ("latency-exact-sequential",
+         [py, fleet, "--fused", "--latency", "--streams", "16",
+          "--frames", "84", "--frames-per-step", "16"], 700),
+        ("latency-exact-fused",
+         [py, fleet, "--fused", "--latency", "--streams", "16",
+          "--frames", "84", "--frames-per-step", "16",
+          "--chainback", "fused"], 700),
+        ("fleet-resident-blocktracking",
+         [py, fleet, "--fused", "--resident", "--streams", "16",
+          "--frames", "160", "--frames-per-step", "16",
+          "--block-tracking"], 900),
+        ("fleet-resident-nofusefic",
+         [py, fleet, "--fused", "--resident", "--streams", "16",
+          "--frames", "160", "--frames-per-step", "16",
+          "--no-fuse-fic"], 900),
+        ("fleet-resident-lutbranch",
+         [py, fleet, "--fused", "--resident", "--streams", "16",
+          "--frames", "160", "--frames-per-step", "16",
+          "--viterbi-branch", "lut"], 900),
+        ("fleet-resident-k32",
+         [py, fleet, "--fused", "--resident", "--streams", "16",
+          "--frames", "200", "--frames-per-step", "32"], 1200),
+        ("fleet-resident-mindepth",
+         [py, fleet, "--fused", "--resident", "--streams", "16",
+          "--frames", "160", "--frames-per-step", "16",
+          "--block-tracking", "--viterbi", "tiled",
+          "--chainback", "fused"], 900),
+        ("demod-256", [py, bench, "--worker", "256", "15", "19"], 1100),
+        ("ingest-overlap",
+         [py, fleet, "--fused", "--overlap", "--streams", "16",
+          "--frames", "160", "--frames-per-step", "16"], 900),
+    ]
+    # CPU-only stages run regardless of link health
+    NO_RELAY = {"consume-standalone"}
+    for i, (name, cmd, cap) in enumerate(LADDER):
+        if i > 0 and name not in NO_RELAY:
+            ok = window_alive()
+            if not ok:
+                print(f"# stage {name}: probe failed once - retrying "
+                      "probe in 60 s", file=sys.stderr, flush=True)
+                time.sleep(60)
+                ok = window_alive()
+            if not ok:
+                with open(args.log, "a") as f:
+                    f.write(json.dumps(
+                        {"stage": "session-abort", "session": SESSION,
+                         "reason": "window died mid-ladder",
+                         "next_stage": name}) + "\n")
+                print(f"# window died before stage {name} - aborting "
+                      "session (supervisor re-arms)", file=sys.stderr)
+                return 0
+        run_stage(name, cmd, cap, args.log)
     print(f"# measurement session complete -> {args.log}", file=sys.stderr)
     return 0
 
