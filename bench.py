@@ -112,7 +112,13 @@ def worker(batch: int, iters: int, symbol_chunk: int = 0) -> None:
     # one long attempt instead so the compile either lands or its cost
     # is documented by the compile record below.
     compile_alarm = 240 if batch <= 128 else 600
-    attempts = 4 if batch <= 128 else 2
+    attempts = 4 if batch <= 128 else 1
+    # start-of-compile provenance: even a worker killed by its stage cap
+    # leaves the record that the compile was in flight with this budget
+    print(json.dumps({"stage": "compile-start", "batch": batch,
+                      "symbol_chunk": symbol_chunk,
+                      "alarm_s": compile_alarm, "attempts": attempts}),
+          flush=True)
     t_compile = time.time()
     last_err = None
     for attempt in range(attempts):
@@ -127,6 +133,11 @@ def worker(batch: int, iters: int, symbol_chunk: int = 0) -> None:
             last_err = e
             time.sleep(3)
     else:
+        print(json.dumps({"stage": "compile", "batch": batch,
+                          "symbol_chunk": symbol_chunk,
+                          "compile_seconds": round(
+                              time.time() - t_compile, 1),
+                          "failed": str(last_err)[:120]}), flush=True)
         raise last_err
     # compile provenance: lands on stdout BEFORE the timing loop, so a
     # worker killed mid-measurement still documents what the compile cost
@@ -488,7 +499,10 @@ def main():
     for batch, iters, chunk in rungs:
         if _remaining() < 150:
             break
-        demod_stage(batch, iters, chunk, cap=380)
+        # the batch-256 worker's single compile attempt alarms at 600 s —
+        # a 380 s stage cap would kill it first and reproduce the opaque
+        # rc=124 records this rung is supposed to end (r03/r04)
+        demod_stage(batch, iters, chunk, cap=380 if batch <= 128 else 700)
 
     def landed():
         return (line["value"] > 0.0 or line.get("viterbi_mbps", 0) > 0

@@ -341,7 +341,7 @@ def _chainback_parallel_sm(decisions, state0, radix_bits: int):
     return bits.reshape(Tr * r, B)
 
 
-def _radix4_forward_re(pm0, xs):
+def _radix4_forward_re(pm0, xs, branch: str = "matmul"):
     """Chainback-FREE radix-4 forward pass: register exchange.
 
     Every state carries its decoded bit history as packed uint32 words;
@@ -363,14 +363,26 @@ def _radix4_forward_re(pm0, xs):
 
     pm0: (64, B) f32. xs: (T/2, 2, B, 4) f32, T/2 <= 2^16.
     Returns (pm (64, B), hist (64, B, W) uint32) with bit 2t+k of the
-    stream at word (2t+k)>>5, bit position (2t+k)&31 (LSB-first)."""
+    stream at word (2t+k)>>5, bit position (2t+k)&31 (LSB-first).
+
+    branch: same "matmul"/"lut" routes as _radix4_forward_sm — identical
+    metrics either way, so the fused chainback composes with the LUT
+    roofline lever instead of silently dropping it."""
     St = jnp.asarray(_branch_sign_matrix().T).astype(jnp.float32)  # (128, 4)
     B = pm0.shape[-1]
     T2 = xs.shape[0]
     W = -(-(2 * T2) // 32)
 
-    def branch_err(d_t):
-        return (St @ d_t.T).reshape(NB_STATES, 2, B)
+    if branch == "lut":
+        idx16, H16 = _branch_pattern_lut()
+        Hj = jnp.asarray(H16)                          # (16, 4)
+        idxj = jnp.asarray(idx16)                      # (128,)
+
+        def branch_err(d_t):
+            return (Hj @ d_t.T)[idxj].reshape(NB_STATES, 2, B)
+    else:
+        def branch_err(d_t):
+            return (St @ d_t.T).reshape(NB_STATES, 2, B)
 
     p_idx = jnp.arange(4, dtype=jnp.float32)[None, :, None, None, None]
     # static predecessor permutations: pred_p[s'] = ((s' & 15) << 2) | p
@@ -563,7 +575,7 @@ def viterbi_decode_soft_radix4(depunctured: jnp.ndarray, start_state: int = 0,
 
     state0 = jnp.full((B,), end_state, jnp.int32)
     if chainback == "fused":
-        pm_final, hist = _radix4_forward_re(pm0, xs)
+        pm_final, hist = _radix4_forward_re(pm0, xs, branch=branch)
         bits = _re_extract_bits(hist, state0, T)              # (T, B)
     else:
         pm_final, decisions = _radix4_forward_sm(pm0, xs, branch=branch)
@@ -623,7 +635,7 @@ def viterbi_decode_soft_tiled(depunctured: jnp.ndarray,
         # register exchange: no traceback scan at all — sequential depth
         # is the L/2 ACS iterations alone (W = L/32 words per state stays
         # small because the tile length is fixed)
-        pm_final, hist = _radix4_forward_re(pm0, xs)
+        pm_final, hist = _radix4_forward_re(pm0, xs, branch=branch)
         state0 = jnp.argmin(pm_final, axis=0).astype(jnp.int32)
         bits = _re_extract_bits(hist, state0, L)              # (L, BC)
     else:

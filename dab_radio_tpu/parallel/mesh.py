@@ -446,12 +446,17 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
         subs = jax.lax.with_sharding_constraint(
             subs.astype(jnp.int8),
             NamedSharding(mesh, P("ens", "sub", None, None)))
+        # with fuse_fic the FIC lane build (depuncture+pad) rides the
+        # depunct prefix; WITHOUT it the standalone FIC decode ran above,
+        # so every truncated rung from here on must fold its outputs into
+        # the digest or XLA dead-codes the whole FIC Viterbi out of the
+        # ablation program (the serving default is fuse_fic=True either
+        # way — this keeps the non-fused ablation honest too)
+        fic_keep = () if fib_bits is None else (fib_bits, fic_err)
         if stop_after == "subs":
-            # fuse_fic: the FIC lane build (depuncture+pad) lands in this
-            # prefix; without it, so does the standalone FIC decode — run
-            # the ablation with the serving default (fuse_fic=True)
             return carry, deint_hist, {"digest": _digest(
-                subs, fic_soft, *(() if d_fic is None else (d_fic,)))}
+                subs, fic_soft,
+                *(fic_keep if d_fic is None else (d_fic,)))}
 
         def per_sub(hist, seq):
             # scan-free block push: one static gather for all C CIFs
@@ -459,7 +464,7 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
 
         deint_hist, deints = jax.vmap(jax.vmap(per_sub))(deint_hist, subs)
         if stop_after == "deint":
-            return carry, deint_hist, {"digest": _digest(deints)}
+            return carry, deint_hist, {"digest": _digest(deints, *fic_keep)}
         # padded per-subchannel depuncture (3-state mask, see docstring)
         g_b = g_all[:, :, None, :] if per_stream else g_all[None, :, None, :]
         m_b = m_all[:, :, None, :] if per_stream else m_all[None, :, None, :]
@@ -471,7 +476,7 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
         if fuse_fic:
             lanes = jnp.concatenate([lanes, d_fic], axis=0)
         if stop_after == "depunct":
-            return carry, deint_hist, {"digest": _digest(lanes)}
+            return carry, deint_hist, {"digest": _digest(lanes, *fic_keep)}
         if stop_after == "acs":
             # forward ACS only, exactly as viterbi_decode_soft_radix4
             # preps it (exact mode): the delta vs the full step is the
@@ -484,7 +489,7 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
             pm_final, decisions = vit._radix4_forward_sm(
                 pm0, xs, branch=viterbi_branch)
             return carry, deint_hist, {
-                "digest": _digest(pm_final, decisions)}
+                "digest": _digest(pm_final, decisions, *fic_keep)}
         if viterbi == "tiled":
             bits_full, _ = vit.viterbi_decode_soft_tiled(
                 lanes, chainback=chainback, branch=viterbi_branch)

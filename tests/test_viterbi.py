@@ -166,6 +166,13 @@ def test_radix4_matches_radix2_exactly():
         bl, el = vit.viterbi_decode_soft_radix4(d, branch="lut")
         np.testing.assert_array_equal(np.asarray(bl), np.asarray(b2))
         np.testing.assert_array_equal(np.asarray(el), np.asarray(e2))
+        # LUT must compose with the register-exchange chainback too (the
+        # serving lever matrix crosses them; a dropped branch= here once
+        # mislabeled an A/B)
+        bf, ef = vit.viterbi_decode_soft_radix4(d, branch="lut",
+                                                chainback="fused")
+        np.testing.assert_array_equal(np.asarray(bf), np.asarray(b2))
+        np.testing.assert_array_equal(np.asarray(ef), np.asarray(e2))
 
 
 def test_radix8_matches_radix2_exactly():

@@ -19,31 +19,21 @@ Run:  JAX_PLATFORMS=cpu python tools/bench_consume.py [--streams 16]
 import argparse
 import json
 import os
-import subprocess
 import sys
-import tempfile
 import time
 
 import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _capture import make_capture as _shared_capture  # noqa: E402
 
 
 def make_capture(n_frames: int, services: int) -> np.ndarray:
-    cache = os.path.join(tempfile.gettempdir(),
-                         f"bench_consume_{n_frames}f_{services}s.u8")
-    if not os.path.exists(cache):
-        r = subprocess.run(
-            [sys.executable, "-m",
-             "dab_radio_tpu.apps.simulate_transmitter", "--backend", "cpu",
-             "--payload", "ensemble", "--services", str(services),
-             "-n", str(n_frames), "-F", "u8"],
-            capture_output=True, cwd=ROOT)
-        assert r.returncode == 0, r.stderr.decode()[-500:]
-        with open(cache, "wb") as f:
-            f.write(r.stdout)
-    return np.fromfile(cache, dtype=np.uint8)
+    """(kept signature for consume_isolation) — shared bench capture."""
+    return _shared_capture(services, n_frames)
 
 
 def main(argv=None):

@@ -22,6 +22,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main(argv=None):
@@ -115,26 +116,12 @@ def main(argv=None):
     # one synthetic ensemble's IQ, replicated across streams (identical
     # decode work per stream; receivers keep independent state). Synthesis is
     # host tooling — run it on CPU in a subprocess (the accelerator relay is
-    # slow for eager TX work) and cache the capture.
-    import subprocess
-    import tempfile
-    ext = "u8" if args.ingest == "u8" else "c64"
-    cache = os.path.join(tempfile.gettempdir(),
-                         f"bench_fleet_iq_s{args.services}_f{F + 3}.{ext}")
+    # slow for eager TX work) and cache the capture (tools/_capture.py: the
+    # cache key is shared with bench_stages/bench_consume).
+    from _capture import make_capture
     t0 = time.time()
-    if not os.path.exists(cache):
-        r = subprocess.run(
-            [sys.executable, "-m", "dab_radio_tpu.apps.simulate_transmitter",
-             "--backend", "cpu", "--payload", "ensemble",
-             "--services", str(args.services), "-n", str(F + 3),
-             "-F", "u8" if args.ingest == "u8" else "f32"],
-            capture_output=True,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-        assert r.returncode == 0, r.stderr.decode()[-400:]
-        with open(cache, "wb") as f:
-            f.write(r.stdout)
-    iq = np.fromfile(cache, dtype=np.uint8 if args.ingest == "u8"
-                     else np.complex64)
+    iq = make_capture(args.services, F + 3,
+                      "u8" if args.ingest == "u8" else "c64")
     spc = 2 if args.ingest == "u8" else 1     # buffer units per sample
     print(f"# synth {F + 3} frames in {time.time() - t0:.1f}s", file=sys.stderr)
 

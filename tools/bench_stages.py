@@ -28,33 +28,17 @@ Usage:
 import argparse
 import json
 import os
-import subprocess
 import sys
-import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+sys.path.insert(0, HERE)
+
+from _capture import make_capture as synth_capture  # noqa: E402
 
 ALL_STAGES = ["rtt", "ingest", "demod", "subs", "deint", "depunct", "acs",
               "full"]
-
-
-def synth_capture(services: int, frames: int) -> "np.ndarray":
-    """Same synthetic-ensemble capture bench_fleet uses (cached)."""
-    import numpy as np
-    cache = os.path.join(tempfile.gettempdir(),
-                         f"bench_fleet_iq_s{services}_f{frames}.u8")
-    if not os.path.exists(cache):
-        r = subprocess.run(
-            [sys.executable, "-m", "dab_radio_tpu.apps.simulate_transmitter",
-             "--backend", "cpu", "--payload", "ensemble",
-             "--services", str(services), "-n", str(frames), "-F", "u8"],
-            capture_output=True,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-        assert r.returncode == 0, r.stderr.decode()[-400:]
-        with open(cache, "wb") as f:
-            f.write(r.stdout)
-    return np.fromfile(cache, dtype=np.uint8)
 
 
 def main(argv=None):
