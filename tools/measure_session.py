@@ -185,8 +185,11 @@ def main(argv=None):
     ]
     # CPU-only stages run regardless of link health
     NO_RELAY = {"consume-standalone"}
-    for i, (name, cmd, cap) in enumerate(LADDER):
-        if i > 0 and name not in NO_RELAY:
+    i = 0
+    while i < len(LADDER):
+        name, cmd, cap = LADDER[i]
+        i += 1
+        if i > 1 and name not in NO_RELAY:
             ok = window_alive()
             if not ok:
                 print(f"# stage {name}: probe failed once - retrying "
@@ -202,7 +205,21 @@ def main(argv=None):
                 print(f"# window died before stage {name} - aborting "
                       "session (supervisor re-arms)", file=sys.stderr)
                 return 0
-        run_stage(name, cmd, cap, args.log)
+        rec = run_stage(name, cmd, cap, args.log)
+        if name == "fleet-resident-32":
+            # escalation: if 32 streams confirmed the batch-amortization
+            # scaling (PERF.md predicts ~2x of the 72-80 rt 16-stream
+            # band), double again — 64 streams would put the per-chip
+            # headline near 300 rt. Compile risk is the only cost, so
+            # gate on the confirmed prediction, not hope.
+            rt32 = max((r.get("realtime_ensembles", 0.0)
+                        for r in rec["results"]
+                        if r.get("mode") == "fused-resident"), default=0.0)
+            if rt32 >= 120.0:
+                LADDER.insert(i, (
+                    "fleet-resident-64",
+                    [py, fleet, "--fused", "--resident", "--streams", "64",
+                     "--frames", "160", "--frames-per-step", "16"], 1800))
     print(f"# measurement session complete -> {args.log}", file=sys.stderr)
     return 0
 
