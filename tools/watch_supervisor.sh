@@ -13,7 +13,7 @@ fi
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     LEFT_H=$(( (DEADLINE - $(date +%s)) / 3600 + 1 ))
     echo "# supervisor: arming relay_watch for ${LEFT_H}h" >> /tmp/relay_watch.log
-    python tools/relay_watch.py --interval 600 --max-hours "$LEFT_H" \
+    python tools/relay_watch.py --interval 300 --max-hours "$LEFT_H" \
         >> /tmp/relay_watch.log 2>&1
     # rc 0 = a session fired; pause briefly, then re-arm for another window
     sleep 120
