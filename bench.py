@@ -53,7 +53,7 @@ BASELINE_MSPS = 2.048
 BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", "900"))
 # hard wall for the whole process incl. overtime retries after a fully
 # degraded window (see main); the record line stays valid at every instant
-OVERTIME_S = int(os.environ.get("BENCH_OVERTIME_S", "1800"))
+OVERTIME_S = int(os.environ.get("BENCH_OVERTIME_S", "2700"))
 
 # Track-record floors (~20% of every healthy-window measurement across the
 # r2/r3 sessions: demod 1430-1560 MSPS, Viterbi 174-176 Mbit/s, resident
