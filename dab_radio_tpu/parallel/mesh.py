@@ -277,14 +277,26 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
         raise NotImplementedError(
             "transmission mode III FIC (32-CU FIB groups) is unsupported "
             "— the reference rejects it identically (fic_decoder.cpp:66-73)")
-    assert viterbi in ("exact", "tiled"), viterbi
+    # viterbi="radix8": three trellis steps per scan iteration (exact
+    # incl. ties, ops/viterbi.py:viterbi_decode_soft_radix8) — the
+    # iteration-count lever for serving lane counts where candidate
+    # VOLUME is cheap but per-iteration fixed cost is not (docs/PERF.md
+    # ceiling model B). Composes with sequential/parallel chainback
+    # only, and only the matmul branch route (no LUT/fused variants —
+    # asserted, not silently dropped).
+    assert viterbi in ("exact", "tiled", "radix8"), viterbi
     assert chainback in ("sequential", "parallel", "fused"), chainback
+    if viterbi == "radix8":
+        assert chainback in ("sequential", "parallel"), \
+            "radix8 has no register-exchange (fused) chainback"
     # viterbi_branch="lut": 16-entry branch-metric table instead of the
     # (128,4) matmul — bit-identical (ops/viterbi.py _branch_pattern_lut;
     # pinned by test_radix4_matches_radix2_exactly), an A/B lever for
     # the ACS roofline gap (docs/PERF.md). Applies to every decode in the
     # round (FIC, MSC, fused lanes, exact and tiled).
     assert viterbi_branch in ("matmul", "lut"), viterbi_branch
+    assert not (viterbi == "radix8" and viterbi_branch == "lut"), \
+        "radix8 implements only the matmul branch route"
     demod = OFDMDemodulator(transmission_mode)
     dab = get_dab_params(transmission_mode)
     n_ens = mesh.shape["ens"]
@@ -324,11 +336,15 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
     all_specs = [sp for row in spec_grid for sp in row]
     nb_sub_bits = max(c.nb_cif_bits for c in flat)   # padded common width
     # pad the common trellis length so data bits stay byte-aligned (device
-    # packbits + host byte protocols) and the step count is even (radix-4)
+    # packbits + host byte protocols: nb_data = 24k ≡ 0 mod 8) and the
+    # step count divides by 2 (radix-4) AND 3 (radix-8): 6 + 24k. Costs
+    # ≤ 16 extra strong-zero pad steps (<0.5% trellis) vs the old 6 + 8k;
+    # the per-pad-step error-offset cancellation is count-independent
+    # (see the fused-FIC note below)
     max_steps = max(s.nb_steps for s in all_specs)
     if fuse_fic:
         max_steps = max(max_steps, fic_spec.nb_steps)
-    nb_steps = 6 + 8 * ((max_steps - 6 + 7) // 8)
+    nb_steps = 6 + 24 * ((max_steps - 6 + 23) // 24)
     nb_data = nb_steps - 6
     gather_idx = jnp.asarray(make_gather_index(nb_sub_bits))
     assert all(c.start_address + c.length <= dab.nb_cif_bits // 64
@@ -494,6 +510,9 @@ def multichip_receiver_step(mesh: Mesh, transmission_mode: int = 2,
             bits_full, _ = vit.viterbi_decode_soft_tiled(
                 lanes, chainback=chainback, branch=viterbi_branch)
             err_full = jnp.zeros((lanes.shape[0],), jnp.int32)
+        elif viterbi == "radix8":
+            bits_full, err_full = vit.viterbi_decode_soft_radix8(
+                lanes, chainback=chainback)
         else:
             bits_full, err_full = vit.viterbi_decode_soft_radix4(
                 lanes, chainback=chainback, branch=viterbi_branch)

@@ -493,6 +493,35 @@ def test_fused_fleet_tiled_viterbi_matches_exact():
     assert exact and tiled == exact
 
 
+def test_fused_fleet_radix8_matches_exact():
+    """viterbi='radix8' (3 trellis steps per scan iteration, exact incl.
+    ties) decodes the same AU stream as radix-4 exact through the whole
+    serving path — including the 6+24k common-trellis padding both now
+    share (the iteration-count lever for serving lane counts,
+    docs/PERF.md ceiling model B)."""
+    from dab_radio_tpu.models.fused_fleet import FusedFleet
+    from dab_radio_tpu.params import SubchannelConfig
+
+    iq = _api_iq()
+    cfgs = [SubchannelConfig(0, 48, False, eep_type="A", eep_prot_level=2),
+            SubchannelConfig(48, 48, False, eep_type="A", eep_prot_level=2)]
+
+    def run(mode):
+        fleet = FusedFleet(1, cfgs, transmission_mode=1, frames_per_step=4,
+                           viterbi=mode)
+        aus = []
+        fleet.on_access_unit.append(
+            lambda b, s, i, n, au, h: aus.append((s, bytes(au))))
+        chunk = 2 * fleet.round_samples
+        for r in range(iq.shape[0] // chunk):
+            fleet.process_round(iq[r * chunk:(r + 1) * chunk][None])
+        return aus
+
+    exact = run("exact")
+    radix8 = run("radix8")
+    assert exact and radix8 == exact
+
+
 def test_fused_fleet_lut_branch_matches_matmul():
     """viterbi_branch='lut' (16-entry branch-metric factorization) is
     bit-identical to the matmul route through the WHOLE serving path —

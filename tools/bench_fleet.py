@@ -35,7 +35,8 @@ def main(argv=None):
                     choices=["default", "cpu", "tpu"])
     ap.add_argument("--pipeline-depth", type=int, default=2,
                     help="rounds of deferred host fetch (hides device latency)")
-    ap.add_argument("--viterbi", default="exact", choices=["exact", "tiled"])
+    ap.add_argument("--viterbi", default="exact",
+                    choices=["exact", "tiled", "radix8"])
     ap.add_argument("--viterbi-branch", default="matmul",
                     choices=["matmul", "lut"],
                     help="branch-metric route: (128,4) matmul or the "
@@ -103,8 +104,11 @@ def main(argv=None):
     import numpy as np
     import jax
     if args.viterbi != "exact":
-        from dab_radio_tpu.dab.msc import set_decode_mode
-        set_decode_mode(args.viterbi)
+        assert args.fused or args.viterbi != "radix8", \
+            "radix8 is a fused-path lever (dynamic MSC path: exact/tiled)"
+        if not args.fused:
+            from dab_radio_tpu.dab.msc import set_decode_mode
+            set_decode_mode(args.viterbi)
     from dab_radio_tpu.models.demodulator import OFDMDemodulator
     from dab_radio_tpu.models.multistream import MultiStreamDemodulator
     from dab_radio_tpu.models.fleet import ReceiverFleet

@@ -170,6 +170,10 @@ def main(argv=None):
          [py, fleet, "--fused", "--resident", "--streams", "16",
           "--frames", "160", "--frames-per-step", "16",
           "--viterbi-branch", "lut"], 900),
+        ("fleet-resident-radix8",
+         [py, fleet, "--fused", "--resident", "--streams", "16",
+          "--frames", "160", "--frames-per-step", "16",
+          "--viterbi", "radix8"], 900),
         ("fleet-resident-k32",
          [py, fleet, "--fused", "--resident", "--streams", "16",
           "--frames", "200", "--frames-per-step", "32"], 1200),
